@@ -134,6 +134,11 @@ def coerce_by_role(
     count comes from the time-format kernel (functions/timefmt.py), exactly
     as validation.py:215-217 sources it from ``_count_time_format_errors``.
     """
+    arr_t = arr.type if not isinstance(arr, pa.ChunkedArray) else arr.type
+    if pa.types.is_binary(arr_t) or pa.types.is_large_binary(arr_t):
+        # opaque payloads (audio bytes) pass through untouched — validated
+        # by the decoder stage, never string-coerced (SURVEY.md §1.3)
+        return _as_array(arr), 0
     if role == "Location" or role == "Time":
         return coerce_string(arr)
     if role == "Measures":

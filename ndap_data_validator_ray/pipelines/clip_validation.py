@@ -1,0 +1,255 @@
+"""Flagship pipeline: full constraint-suite validation of the audio clip +
+transcript table (the BASELINE.json metric: "validated clips/sec").
+
+One streaming pass over the data (read -> attach partition ids ->
+actor-pool audio decode -> stateless batch validation -> small union
+output), plus one column-pruned pass for the global uniqueness shuffle:
+
+    read_parquet(files, include_paths)            # fragments -> blocks
+      .map_batches(attach_partition_id)           # lineage (path -> pid)
+      .map_batches(AudioDecodeValidator, concurrency=N, batch_size=B)
+      .map_batches(ValidateBatch(schema))         # stats + violations union
+      .write_parquet(run_dir)                     # SMALL output (not data)
+
+    read_parquet(files, columns=[key])            # uniqueness: 1 column only
+      -> batch partial counts -> groupby(key).sum -> dup keys (tiny)
+
+Verdict logic runs on merged small state at the driver (reference shape,
+``validation.py:352-357``); per-partition manifests make the run resumable
+(state/checkpoint.py).  Per-file failure becomes a failed-partition record,
+not a job abort — matching the reference's per-file fold (``main.py:928-936``).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ndap_data_validator_ray import report as rpt
+from ndap_data_validator_ray.report import TableStats
+from ndap_data_validator_ray.schema import TableSchema, clips_table_schema
+from ndap_data_validator_ray.sources.synthetic import clip_files
+from ndap_data_validator_ray.stages.audio import AudioDecodeValidator
+from ndap_data_validator_ray.stages.dedup import duplicate_keys
+from ndap_data_validator_ray.stages.validate import PARTITION_COL, ValidateBatch
+from ndap_data_validator_ray.state import baseline as bl
+from ndap_data_validator_ray.state import checkpoint as ckpt
+from ndap_data_validator_ray.functions.sketches import deserialize
+
+
+@dataclass
+class ClipRunConfig:
+    out_dir: str
+    run_id: str = "RUN-local"
+    files_per_partition: int = 1
+    batch_size: int = 512
+    audio_concurrency: Any = 4  # int or (min, max) actor-pool bound
+    full_decode: bool = True
+    violation_cap: int = 1000
+    dur_tolerance_ms: float = 10.0
+    resume: bool = True
+    baseline_path: str | None = None
+    drift_ks_threshold: float = 0.15
+    check_unique: bool = True
+    extra_read_kwargs: dict = field(default_factory=dict)
+
+
+def _partition_assignment(files: list[str], files_per_partition: int) -> dict[int, list[str]]:
+    parts: dict[int, list[str]] = {}
+    for i in range(0, len(files), files_per_partition):
+        parts[i // files_per_partition] = files[i : i + files_per_partition]
+    return parts
+
+
+def _attach_partition_id(path_to_pid: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        pids = pa.array([path_to_pid.get(p, -1) for p in paths], pa.int64())
+        return batch.drop_columns(["path"]).append_column(PARTITION_COL, pids)
+
+    return fn
+
+
+def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None = None) -> dict[str, Any]:
+    """Run the full constraint suite; returns the verdict report dict and
+    writes violations + per-partition manifests under ``cfg.out_dir``."""
+    schema = schema or clips_table_schema(drift=cfg.baseline_path is not None)
+    files = clip_files(data_dir)
+    if not files:
+        raise FileNotFoundError(f"no clip shards under {data_dir}")
+    partitions = _partition_assignment(files, cfg.files_per_partition)
+    ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
+    run_dir = os.path.join(cfg.out_dir, f"run-{cfg.run_id}")
+
+    done = ckpt.completed_partitions(ckpt_dir, partitions) if cfg.resume else set()
+    pending = {pid: fs for pid, fs in partitions.items() if pid not in done}
+
+    if pending:
+        pending_files = [f for fs in pending.values() for f in fs]
+        path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
+        ds = ray.data.read_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
+        ds = ds.map_batches(_attach_partition_id(path_to_pid), batch_format="pyarrow")
+        ds = ds.map_batches(
+            AudioDecodeValidator,
+            fn_constructor_kwargs={"full_decode": cfg.full_decode},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.audio_concurrency,
+            num_cpus=1,
+        )
+        ds = ds.map_batches(
+            ValidateBatch(
+                schema,
+                key_column="clip_id",
+                violation_cap=cfg.violation_cap,
+                dur_tolerance_ms=cfg.dur_tolerance_ms,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        ds.write_parquet(run_dir)
+
+        # union output is SMALL (violations + one stats row per batch):
+        # read it back, fold per partition, write manifests
+        union = pads.dataset(run_dir, format="parquet").to_table()
+        _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
+
+    manifests = ckpt.load_manifests(ckpt_dir)
+    total = ckpt.merged_stats(manifests)
+
+    dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+    n_dup_keys = 0
+    if cfg.check_unique:
+        key_ds = ray.data.read_parquet(files, columns=["clip_id"])
+        dup_tbl = duplicate_keys(key_ds, "clip_id")
+        n_dup_keys = dup_tbl.num_rows
+        import pyarrow.parquet as pq
+
+        os.makedirs(run_dir, exist_ok=True)
+        pq.write_table(dup_tbl, os.path.join(run_dir, "unique_violations.parquet"))
+
+    baseline = bl.load_baseline(cfg.baseline_path) if cfg.baseline_path else None
+    report = rpt.finalize_report(
+        schema,
+        total,
+        duplicate_keys=n_dup_keys if cfg.check_unique else None,
+        baseline=baseline,
+        drift_ks_threshold=cfg.drift_ks_threshold,
+    )
+    report["run_id"] = cfg.run_id
+    report["partitions"] = {
+        "total": len(partitions),
+        "resumed_from_checkpoint": sorted(done),
+        "validated_this_run": sorted(pending),
+    }
+    report["violation_counts"] = _violation_counts_from_manifests(manifests)
+    if cfg.check_unique:
+        report["violation_counts"][rpt.CHECK_UNIQUE] = n_dup_keys
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "report.json.tmp"), "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    os.replace(os.path.join(run_dir, "report.json.tmp"), os.path.join(run_dir, "report.json"))
+    return report
+
+
+def _write_partition_manifests(
+    union: pa.Table, pending: dict[int, list[str]], ckpt_dir: str, run_id: str, schema: TableSchema
+) -> None:
+    pid_col = union["partition_id"].to_numpy(zero_copy_only=False)
+    rec_type = union["record_type"].to_pylist()
+    for pid, files in pending.items():
+        mask = pid_col == pid
+        stats = TableStats()
+        vcounts: collections.Counter = collections.Counter()
+        # deterministic fold: sort stats blobs bytewise so merge order does
+        # not depend on task completion order (resume determinism)
+        blobs = []
+        for i in range(union.num_rows):
+            if not mask[i]:
+                continue
+            if rec_type[i] == "stats":
+                blobs.append(union["stats_blob"][i].as_py())
+            else:
+                vcounts[union["check"][i].as_py()] += 1
+        for blob in sorted(blobs):
+            stats = stats.merge(deserialize(blob))
+        # violation ROWS are capped per batch; exact counts come from stats
+        exact = _exact_violation_counts(stats, schema)
+        for check, cnt in exact.items():
+            vcounts[check] = cnt
+        ckpt.write_manifest(ckpt_dir, ckpt.make_manifest(run_id, pid, files, stats, dict(vcounts)))
+
+
+def _exact_violation_counts(stats: TableStats, schema: TableSchema) -> dict[str, int]:
+    """Exact per-check counts from the mergeable stats (violation ROWS are
+    capped per batch; these counters are never capped)."""
+    out: dict[str, int] = {}
+    nn = 0
+    num = 0
+    tfmt = 0
+    for spec in schema.columns:
+        cs = stats.columns.get(spec.name)
+        if cs is None:
+            continue
+        flags = schema.role_flags(spec.role)
+        not_null_req = flags.get("notNull", False) if spec.not_null is None else spec.not_null
+        if not_null_req:
+            nn += cs.nulls
+        if flags.get("numericOnly"):
+            num += max(cs.conversion_errors, 0)
+        if spec.role == "Time" and cs.time_hist is not None:
+            tfmt += int(cs.time_hist[0])
+    if nn:
+        out[rpt.CHECK_NOT_NULL] = nn
+    if num:
+        out[rpt.CHECK_NUMERIC_ONLY] = num
+    if tfmt:
+        out[rpt.CHECK_TIME_FORMAT] = tfmt
+    dom = sum(cs.domain_violations for cs in stats.columns.values())
+    rng = sum(cs.range_violations for cs in stats.columns.values())
+    emp = sum(cs.empty_strings for cs in stats.columns.values())
+    if dom:
+        out[rpt.CHECK_DOMAIN] = dom
+    if rng:
+        out[rpt.CHECK_RANGE] = rng
+    if emp:
+        out[rpt.CHECK_REFERENTIAL] = emp
+    if stats.audio:
+        a = stats.audio
+        for check, v in (
+            (rpt.CHECK_DECODE, a.decode_failures),
+            (rpt.CHECK_SR_CONSISTENCY, a.sr_mismatches),
+            (rpt.CHECK_DUR_CONSISTENCY, a.dur_mismatches),
+            (rpt.CHECK_CODEC_CONSISTENCY, a.codec_mismatches),
+        ):
+            if v:
+                out[check] = v
+    return out
+
+
+def _violation_counts_from_manifests(manifests: dict[int, ckpt.PartitionManifest]) -> dict[str, int]:
+    total: collections.Counter = collections.Counter()
+    for m in manifests.values():
+        total.update(m.violation_counts)
+    return dict(total)
+
+
+def save_clean_baseline(data_dir: str, out_path: str, cfg: ClipRunConfig | None = None) -> None:
+    """Produce a drift baseline snapshot (FIXTURES.md F3) from a clean run."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        c = cfg or ClipRunConfig(out_dir=tmp)
+        c = ClipRunConfig(**{**c.__dict__, "out_dir": tmp, "baseline_path": None, "check_unique": False, "resume": False})
+        validate_clips(data_dir, c)
+        manifests = ckpt.load_manifests(os.path.join(tmp, "checkpoints"))
+        bl.save_baseline(out_path, ckpt.merged_stats(manifests))

@@ -61,6 +61,7 @@ class ColumnSpec:
     role: str = "Others"
     measure_type: str | None = None  # for Measures; default float (main.py:850-851)
     not_null: bool | None = None  # None -> derive from role flags
+    not_empty: bool = False  # referential-style: empty string counts as orphan
     unique: bool = False
     domain: tuple[str, ...] | None = None  # allowed categorical values
     range_min: float | None = None
@@ -120,7 +121,10 @@ def clips_table_schema(drift: bool = False) -> TableSchema:
                 range_min=1, range_max=None, track_quantiles=True, drift=drift,
             ),
             ColumnSpec("codec", role="Others", not_null=True, domain=tuple(ALLOWED_CODECS), track_cardinality=True),
-            ColumnSpec("transcript", role="Others", not_null=True),
+            # clip->transcript pairing (J1): with pairs in one row the
+            # referential check is a null/empty consistency check, no shuffle
+            # (SURVEY.md §2.5)
+            ColumnSpec("transcript", role="Others", not_null=True, not_empty=True),
         ),
         rule_schema=DEFAULT_RULE_SCHEMA,
     )

@@ -1,0 +1,89 @@
+"""Conformance: Arrow coercion kernels vs the pandas reference oracle
+(semantics of /root/reference/utils/validation.py:34-90,:200-231)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ndap_data_validator_ray.functions import coercion as co
+from tests.oracle_reference import oracle_coerce
+
+MESSY_NUMERIC = ["1", "2.5", "-3", " 4 ", "5e2", "abc", "", None, "inf", "nan", "1_000", "0x1f", "7.0", "١٢"]
+MESSY_BOOL = ["true", " T ", "YES", "y", "1", "false", "F", "no", "N", "0", "maybe", "", None, "01"]
+MESSY_TIME = ["2020", "Jan-2021", "2020-21", "nope", "", None, "Feb - Mar, 2019", "05-Dec-2020"]
+
+
+@pytest.mark.parametrize("role,mtype", [("Measures", "integer"), ("Measures", "float")])
+def test_numeric_parity(role, mtype):
+    ser = pd.Series(MESSY_NUMERIC, dtype=object)
+    expect, expect_errs = oracle_coerce(ser, role, mtype)
+    arr = pa.array(MESSY_NUMERIC, pa.string())
+    got, got_errs = co.coerce_by_role(arr, role, mtype)
+    assert got_errs == expect_errs
+    got_vals = got.to_pylist()
+    exp_vals = [None if pd.isna(v) else float(v) for v in expect.tolist()]
+    assert [None if v is None else float(v) for v in got_vals] == exp_vals
+
+
+def test_numeric_parity_on_typed_input():
+    vals = [1.0, 2.5, None, -7.0, 3.999]
+    for mtype in ("integer", "float"):
+        expect, e_errs = oracle_coerce(pd.Series(vals), "Measures", mtype)
+        got, g_errs = co.coerce_by_role(pa.array(vals, pa.float64()), "Measures", mtype)
+        assert g_errs == e_errs
+        assert [None if v is None else float(v) for v in got.to_pylist()] == [
+            None if pd.isna(v) else float(v) for v in expect.tolist()
+        ]
+
+
+def test_boolean_tokens():
+    got, errs = co.coerce_boolean(pa.array(MESSY_BOOL, pa.string()))
+    # oracle per validation.py:60-76
+    as_str = pd.Series(MESSY_BOOL, dtype=object).astype("string").str.strip().str.lower()
+    exp = as_str.map(lambda v: True if v in {"true", "t", "yes", "y", "1"} else (False if v in {"false", "f", "no", "n", "0"} else pd.NA))
+    exp_errs = int(exp.isna().sum()) - int(pd.Series(MESSY_BOOL).isna().sum())
+    assert errs == max(exp_errs, 0)
+    assert got.to_pylist() == [None if pd.isna(v) else bool(v) for v in exp.tolist()]
+
+
+def test_datetime_parity():
+    vals = ["2020-01-02", "2020-01-02 03:04:05", "notadate", "", None, "13/45/9999"]
+    got, errs = co.coerce_datetime(pa.array(vals, pa.string()))
+    # oracle is the same pandas parse the reference performs (validation.py:80)
+    exp = pd.to_datetime(pd.Series(vals), errors="coerce")
+    assert errs == int(exp.isna().sum()) - 1  # one original null
+    # value parity
+    got_list = got.to_pylist()
+    for g, e in zip(got_list, exp.tolist()):
+        assert (g is None) == pd.isna(e)
+        if g is not None:
+            assert g == e.to_pydatetime()
+
+
+def test_location_and_others():
+    arr = pa.array(["x", None, "7"], pa.string())
+    got, errs = co.coerce_by_role(arr, "Location", None)
+    assert errs == 0 and got.to_pylist() == ["x", None, "7"]
+    got, errs = co.coerce_by_role(arr, "Others", None)
+    assert errs == 0 and pa.types.is_dictionary(got.type)
+
+
+def test_binary_passthrough():
+    arr = pa.array([b"\xff\xfe", None], pa.binary())
+    got, errs = co.coerce_by_role(arr, "Others", None)
+    assert errs == 0 and got.to_pylist() == [b"\xff\xfe", None]
+
+
+def test_batch_split_invariance():
+    """Sum of per-batch error counts == whole-column count (the partial+merge
+    algebra the distributed pass relies on)."""
+    rng = np.random.default_rng(7)
+    vals = [str(v) for v in rng.normal(0, 10, 500)] + ["junk"] * 37 + [None] * 23 + ["7.5"] * 11
+    rng.shuffle(vals)
+    whole, whole_errs = co.coerce_integer(pa.array(vals, pa.string()))
+    split_errs = 0
+    for i in range(0, len(vals), 61):
+        _, e = co.coerce_integer(pa.array(vals[i : i + 61], pa.string()))
+        split_errs += e
+    assert split_errs == whole_errs

@@ -1,0 +1,88 @@
+import functools
+
+import numpy as np
+import pytest
+
+from ndap_data_validator_ray.functions import sketches as sk
+
+
+def test_hll_accuracy_and_merge():
+    vals = np.array([f"k{i}" for i in range(40000)], dtype=object)
+    whole = sk.HyperLogLog()
+    whole.update(vals)
+    assert abs(whole.estimate() - 40000) / 40000 < 0.05
+    parts = []
+    for chunk in np.array_split(vals, 7):
+        h = sk.HyperLogLog()
+        h.update(chunk)
+        parts.append(h)
+    merged = functools.reduce(lambda a, b: a.merge(b), parts)
+    assert np.array_equal(merged.registers, whole.registers)
+
+
+def test_hll_merge_commutative_idempotent():
+    a, b = sk.HyperLogLog(), sk.HyperLogLog()
+    a.update(np.array(["x", "y", "z"], dtype=object))
+    b.update(np.array(["y", "w"], dtype=object))
+    ab, ba = a.merge(b), b.merge(a)
+    assert np.array_equal(ab.registers, ba.registers)
+    assert np.array_equal(ab.merge(ab).registers, ab.registers)  # idempotent union
+
+
+def test_hll_small_range():
+    h = sk.HyperLogLog()
+    h.update(np.array(["a", "b", "c", "a"], dtype=object))
+    assert round(h.estimate()) == 3
+
+
+@pytest.mark.parametrize("dist", ["normal", "lognormal", "uniform_int"])
+def test_tdigest_quantiles(dist):
+    rng = np.random.default_rng(3)
+    if dist == "normal":
+        v = rng.normal(50, 9, 100000)
+    elif dist == "lognormal":
+        v = rng.lognormal(3, 1, 100000)
+    else:
+        v = rng.integers(0, 500, 100000).astype(float)
+    d = sk.TDigest()
+    for c in np.array_split(v, 16):
+        d.update(c)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(v, q)
+        spread = np.quantile(v, min(q + 0.02, 1)) - np.quantile(v, max(q - 0.02, 0))
+        assert abs(d.quantile(q) - exact) <= max(spread, 1e-9) + 1e-6, (q, d.quantile(q), exact)
+
+
+def test_tdigest_merge_weight_and_extremes():
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1, 30000)
+    parts = []
+    for c in np.array_split(v, 5):
+        d = sk.TDigest()
+        d.update(c)
+        parts.append(d)
+    m = functools.reduce(lambda a, b: a.merge(b), parts)
+    assert m.total_weight() == pytest.approx(30000)
+    assert m.min_val == v.min() and m.max_val == v.max()
+    m2 = functools.reduce(lambda a, b: a.merge(b), reversed(parts))
+    # merge is order-insensitive within digest accuracy
+    for q in (0.05, 0.5, 0.95):
+        assert abs(m.quantile(q) - m2.quantile(q)) < 0.05
+
+
+def test_ks_psi_drift_detection():
+    rng = np.random.default_rng(9)
+    base = sk.TDigest(); base.update(rng.normal(100, 10, 50000))
+    same = sk.TDigest(); same.update(rng.normal(100, 10, 50000))
+    shifted = sk.TDigest(); shifted.update(rng.normal(130, 10, 50000))
+    assert sk.ks_statistic(base, same) < 0.05
+    assert sk.ks_statistic(base, shifted) > 0.5
+    assert sk.psi_statistic(base, same) < 0.05
+    assert sk.psi_statistic(base, shifted) > 1.0
+
+
+def test_serialize_roundtrip():
+    d = sk.TDigest()
+    d.update(np.arange(1000, dtype=float))
+    d2 = sk.deserialize(sk.serialize(d))
+    assert d2.quantile(0.5) == d.quantile(0.5)
