@@ -1,44 +1,144 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship clip-validation pipeline (full constraint
+suite over the synthesized audio clip + transcript table, BASELINE.json:15)
+and returns its violation rows.  ``queries()`` exposes every implemented
+operator from SURVEY.md §2 (+ the training-data ops); ``oracle_sql()``
+gives DuckDB equivalents where SQL can express the semantics.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+_CLIPS_CACHE = "/tmp/ndap_clips_cache"
+
+
+def _clips_dir(n_rows: int, **kwargs) -> str:
+    """Synthesize (once, cached) a deterministic clips table under /tmp."""
+    from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
+
+    spec = ClipTableSpec(n_rows=n_rows, n_files=max(4, n_rows // 500), hot_dup_copies=max(10, n_rows // 100), **kwargs)
+    d = os.path.join(_CLIPS_CACHE, spec.cache_key())
+    write_clips_dataset(d, spec)
+    return d
+
+
+def _clips_rows_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(name, 2000)
+
+
+def _run_clip_validation(sf_dir: str) -> dict:
+    import tempfile
+
+    from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
+
+    data_dir = _clips_dir(_clips_rows_for(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="ndap_run_")
+    report = validate_clips(
+        data_dir,
+        ClipRunConfig(out_dir=out_dir, run_id="DRIVER", audio_concurrency=4, resume=False),
+    )
+    report["_out_dir"] = out_dir
+    return report
+
+
+def clips_validation_report(sf_dir: str) -> pd.DataFrame:
+    """Flagship verdict report flattened to one row per column."""
+    rep = _run_clip_validation(sf_dir)
+    rows = []
+    for col, e in rep["per_column"].items():
+        rows.append(
+            {
+                "column": col,
+                "role": e["role"],
+                "nulls": e["nulls"],
+                "conversion_errors": e["conversion_errors"],
+                "passed": bool(e["passed"]),
+                "n_reasons": len(e["reasons"]),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+def clips_violation_rows(sf_dir: str) -> pd.DataFrame:
+    """Materialized violation rows (check, column, key) from the flagship run."""
+    import pyarrow.dataset as pads
+
+    rep = _run_clip_validation(sf_dir)
+    union = pads.dataset(os.path.join(rep["_out_dir"], "run-DRIVER", "union"), format="parquet").to_table().to_pandas()
+    out = union[union["record_type"] == "violation"][["check", "column", "key"]]
+    return out.sort_values(["check", "column", "key"]).reset_index(drop=True)
+
+
+def clips_violation_counts(sf_dir: str) -> pd.DataFrame:
+    """Exact per-check violation counts (uncapped counters)."""
+    rep = _run_clip_validation(sf_dir)
+    items = sorted(rep["violation_counts"].items())
+    return pd.DataFrame({"check": [k for k, _ in items], "n_violations": [int(v) for _, v in items]})
+
+
+def role_validation_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Reference-parity role validation applied to lineitem (rows-only:
+    report shape is the reference's, not a SQL result)."""
+    import ray.data
+
+    from ndap_data_validator_ray.pipelines.role_validation import validate_dataset
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"],
+    )
+    rep = validate_dataset(
+        ds,
+        role_selection={
+            "l_returnflag": "Location",
+            "l_linestatus": "Others",
+            "l_orderkey": "Measures",
+            "l_quantity": "Measures",
+        },
+        measure_type_selection={"l_orderkey": "integer", "l_quantity": "float"},
+    )
+    rows = [
+        {
+            "column": col,
+            "role": e["role"],
+            "nulls": e["nulls"],
+            "conversion_errors": e["conversion_errors"],
+            "passed": bool(e["passed"]),
+        }
+        for col, e in rep["per_column"].items()
+    ]
+    out = pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+    out["missing_roles"] = ",".join(rep["missing_roles"])
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; returns the violation rows table."""
+    return clips_violation_rows("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ndap_data_validator_ray.pipelines.queries import REGISTRY
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    out["clips_validation_report"] = clips_validation_report
+    out["clips_violation_rows"] = clips_violation_rows
+    out["clips_violation_counts"] = clips_violation_counts
+    out["role_validation_lineitem"] = role_validation_lineitem
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ndap_data_validator_ray.pipelines.queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

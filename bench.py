@@ -1,0 +1,187 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): **validated clips/sec** — the full constraint
+suite (audio decode + column stats + uniqueness + violation rows) over a
+deterministic synthetic clips table (cached under /tmp across runs, so
+repeated/scaling runs measure compute, not synthesis).
+
+Also times a set of representative query pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1).
+
+    python bench.py               # one JSON line on stdout
+    python bench.py --scaling     # N vs 4N CPUs in fresh processes +
+                                  # scaling efficiency (north rule evidence)
+
+Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, NDAP_BENCH_CLIPS (rows,
+default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline_clips(num_cpus: int) -> dict:
+    import ray
+
+    from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
+    from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
+
+    n_rows = int(os.environ.get("NDAP_BENCH_CLIPS", "20000"))
+    spec = ClipTableSpec(
+        n_rows=n_rows,
+        n_files=max(16, num_cpus * 2),
+        dur_ms_lo=200,
+        dur_ms_hi=800,
+        hot_dup_copies=n_rows // 100,
+    )
+    data_dir = os.path.join("/tmp/ndap_clips_cache", spec.cache_key())
+    write_clips_dataset(data_dir, spec)  # cached after first call
+
+    # warm the OS page cache so we measure compute + shuffle, not first I/O
+    from ndap_data_validator_ray.sources.synthetic import clip_files
+
+    for f in clip_files(data_dir):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    out_dir = f"/tmp/ndap_bench_out_{os.getpid()}"
+    t0 = time.time()
+    report = validate_clips(
+        data_dir,
+        ClipRunConfig(
+            out_dir=out_dir,
+            run_id="BENCH",
+            audio_concurrency=(2, max(2, num_cpus // 2)),
+            batch_size=512,
+            resume=False,
+            full_decode=True,
+        ),
+    )
+    wall = time.time() - t0
+    rows = report["rows"]
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {"sec": wall, "rows": rows, "clips_per_sec": rows / wall}
+
+
+_QUERY_NAMES = [
+    "profile_lineitem",
+    "tpch_q1",
+    "events_hourly_activity",
+    "top_revenue_customers",
+    "duplicate_lineitem_pk",
+    "dedup_exact_documents",
+    "minhash_pairs_documents",
+    "knn_embeddings",
+]
+
+
+def run_once() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    head = _headline_clips(num_cpus)
+
+    from ndap_data_validator_ray.pipelines.queries import REGISTRY
+
+    queries: dict[str, float] = {}
+    for name in _QUERY_NAMES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.time()
+        try:
+            fn(sf_dir)
+            queries[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a broken query shouldn't kill the bench
+            queries[name] = -1.0
+            print(f"# query {name} failed: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": "clip_validation_full_suite",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "clips_per_sec": round(head["clips_per_sec"], 1),
+        "bench_rows": head["rows"],
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """North-rule evidence: same job, same input, fresh processes at N and
+    4N CPUs; report clips/sec at both + scaling efficiency."""
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), NDAP_BENCH_ONLY_HEADLINE="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo, thr_hi = r_lo["clips_per_sec"], r_hi["clips_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "clips_per_sec_lo": thr_lo,
+        "clips_per_sec_hi": thr_hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_rows": r_lo["bench_rows"],
+    }
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if os.environ.get("NDAP_BENCH_ONLY_HEADLINE"):
+        import ray
+
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        head = _headline_clips(num_cpus)
+        ray.shutdown()
+        print(
+            json.dumps(
+                {
+                    "metric": "clip_validation_full_suite",
+                    "value": round(head["sec"], 3),
+                    "unit": "sec",
+                    "clips_per_sec": round(head["clips_per_sec"], 1),
+                    "bench_rows": head["rows"],
+                    "num_cpus": num_cpus,
+                }
+            )
+        )
+        return
+    print(json.dumps(run_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""CLI entry points — the ``ray job submit`` surface of the engine.
+
+    python -m ndap_data_validator_ray.cli synth    --out DIR --rows N [...]
+    python -m ndap_data_validator_ray.cli validate --data DIR --out DIR [...]
+    python -m ndap_data_validator_ray.cli baseline --data DIR --out FILE
+
+On a real cluster each subcommand is launched with
+``ray job submit -- python -m ndap_data_validator_ray.cli ...`` and
+connects to the running cluster; standalone it initializes a local
+session (guarded — the module never double-inits)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus is not None:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ndap_data_validator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="write a deterministic synthetic clips table")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--rows", type=int, default=10000)
+    sp.add_argument("--files", type=int, default=16)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--dur-lo", type=int, default=200)
+    sp.add_argument("--dur-hi", type=int, default=2000)
+    sp.add_argument("--clean", action="store_true", help="no injected violations")
+    sp.add_argument("--hot-dups", type=int, default=0)
+    sp.add_argument("--num-cpus", type=int, default=None)
+
+    vp = sub.add_parser("validate", help="run the full clip constraint suite")
+    vp.add_argument("--data", required=True)
+    vp.add_argument("--out", required=True)
+    vp.add_argument("--run-id", default="RUN-cli")
+    vp.add_argument("--batch-size", type=int, default=512)
+    vp.add_argument("--audio-concurrency", type=int, default=4)
+    vp.add_argument("--no-full-decode", action="store_true")
+    vp.add_argument("--no-resume", action="store_true")
+    vp.add_argument("--no-unique", action="store_true")
+    vp.add_argument("--baseline", default=None)
+    vp.add_argument("--num-cpus", type=int, default=None)
+
+    bp = sub.add_parser("baseline", help="write a drift baseline from a clean run")
+    bp.add_argument("--data", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--num-cpus", type=int, default=None)
+
+    args = p.parse_args(argv)
+    _ensure_ray(getattr(args, "num_cpus", None))
+
+    if args.cmd == "synth":
+        from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
+
+        spec = ClipTableSpec(
+            n_rows=args.rows, n_files=args.files, seed=args.seed,
+            dur_ms_lo=args.dur_lo, dur_ms_hi=args.dur_hi,
+            inject_violations=not args.clean, hot_dup_copies=args.hot_dups,
+        )
+        g = write_clips_dataset(args.out, spec)
+        print(json.dumps({"rows": g.n_rows, "out": args.out}))
+    elif args.cmd == "validate":
+        from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
+
+        cfg = ClipRunConfig(
+            out_dir=args.out, run_id=args.run_id, batch_size=args.batch_size,
+            audio_concurrency=args.audio_concurrency, full_decode=not args.no_full_decode,
+            resume=not args.no_resume, check_unique=not args.no_unique, baseline_path=args.baseline,
+        )
+        report = validate_clips(args.data, cfg)
+        print(json.dumps({k: report[k] for k in ("passed", "rows", "failed_columns", "violation_counts")}, default=str))
+    elif args.cmd == "baseline":
+        from ndap_data_validator_ray.pipelines.clip_validation import save_clean_baseline
+
+        save_clean_baseline(args.data, args.out)
+        print(json.dumps({"baseline": args.out}))
+
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

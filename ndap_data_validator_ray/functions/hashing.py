@@ -1,0 +1,101 @@
+"""Shingling, MinHash, and SimHash kernels (pure numpy, deterministic).
+
+Building blocks for the near-duplicate detection stages
+(stages/dedup_near.py): shingle -> minhash signature -> LSH bands, and
+simhash bit-signatures.  Hashing is ``pandas.util.hash_array`` (stable
+across processes) driven through seed-mixed multiplicative permutations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Stable hashes of the k-character shingles of ``text``."""
+    t = text if len(text) >= k else text + " " * (k - len(text))
+    sh = [t[i : i + k] for i in range(len(t) - k + 1)]
+    return pd.util.hash_array(np.array(sh, dtype=object), categorize=False)
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    ws = text.split()
+    if len(ws) < n:
+        return {" ".join(ws)} if ws else set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        rng = np.random.default_rng(seed)
+        # odd multipliers -> bijective multiply-shift hashing mod 2^64
+        a = (rng.integers(0, 1 << 62, num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        b = rng.integers(0, 1 << 63, num_perm, dtype=np.uint64)
+        _PERM_CACHE[key] = (a, b)
+    return _PERM_CACHE[key]
+
+
+def minhash_signature(shingle_hashes: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """num_perm-wide MinHash signature via multiply-shift permutations in
+    uint64 wraparound arithmetic — fully vectorized (shingles x perms)."""
+    if len(shingle_hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = _perms(num_perm, seed)
+    x = shingle_hashes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        vals = x[:, None] * a[None, :] + b[None, :]  # uint64 wraparound is the hash
+    return vals.min(axis=0)
+
+
+def minhash_signature_matrix(list_of_shingle_hashes: list[np.ndarray], num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """Batch form: (n_docs, num_perm) uint64 matrix, vectorized per doc."""
+    return np.vstack([minhash_signature(s, num_perm, seed) for s in list_of_shingle_hashes])
+
+
+def lsh_bands(signature: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Hash each of ``bands`` contiguous signature slices -> (bands,) uint64.
+    Docs sharing any (band_id, band_hash) become LSH candidates."""
+    rows = len(signature) // bands
+    sig = signature[: bands * rows].reshape(bands, rows)
+    return pd.util.hash_array(
+        np.array([sig[i].tobytes() for i in range(bands)], dtype=object), categorize=False
+    )
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(1, len(a | b))
+
+
+def minhash_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash: weighted bit-vote over token hashes."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    h = token_hashes.astype(np.uint64)
+    if weights is None:
+        weights = np.ones(len(h), dtype=np.float64)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.float64)
+    votes = (bits * 2 - 1) * weights[:, None]
+    col = votes.sum(axis=0) > 0
+    out = np.uint64(0)
+    for i in np.flatnonzero(col):
+        out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
+    """Vectorized Hamming distance of an array of uint64 against one value."""
+    x = np.bitwise_xor(a.astype(np.uint64), b)
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)

@@ -1,0 +1,127 @@
+"""Text-analysis kernels for training-data pipelines (target-only ops):
+language ID (n-gram heuristic), quality scoring, token counting, document
+fingerprinting.  All vectorized (pandas.str / numpy) — intended to run
+inside ``map_batches``; regexes and profile tables are module-level so an
+actor pool pays construction once per process.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+# a BPE-ish word/punct splitter: word pieces, numbers, or single non-space marks
+_TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+_WORD_RE = re.compile(r"[A-Za-z']+")
+
+# tiny per-language stopword/character profiles (public common-word lists).
+# This is a heuristic scorer, not a model — deterministic and dependency-free.
+_LANG_PROFILES: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is you that it he was for on are as with his they at be this".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf ist nicht ein eine als auch es an".split()),
+    "fr": frozenset("le de la et les des en un du une que est dans qui par pour sur pas plus au".split()),
+    "es": frozenset("de la que el en y a los se del las un por con no una su para es al lo".split()),
+    "it": frozenset("di che la il un a per in una sono mi ho si lo ma le con non e più".split()),
+}
+
+
+def token_count(texts: pd.Series) -> np.ndarray:
+    """Whitespace-split token count (0 for null/empty)."""
+    return texts.fillna("").str.split().str.len().to_numpy(dtype=np.int64)
+
+
+def bpe_ish_token_count(texts: pd.Series) -> np.ndarray:
+    """Sub-word-ish token count via the word/number/punct regex."""
+    return texts.fillna("").str.findall(_TOKEN_RE).str.len().to_numpy(dtype=np.int64)
+
+
+def detect_language(texts: pd.Series) -> pd.Series:
+    """Stopword-overlap language ID: argmax over per-language hit counts;
+    'und' (undetermined) when nothing matches or the text is empty."""
+    langs = list(_LANG_PROFILES)
+    words = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    out = []
+    for ws in words:
+        if not ws:
+            out.append("und")
+            continue
+        best, best_hits = "und", 0
+        for lang in langs:
+            prof = _LANG_PROFILES[lang]
+            hits = sum(1 for w in ws if w in prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        out.append(best)
+    return pd.Series(out, index=texts.index, dtype=object)
+
+
+def quality_features(texts: pd.Series) -> pd.DataFrame:
+    """Deterministic quality components (one row per doc):
+    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stopword_ratio (en), repetition_ratio."""
+    t = texts.fillna("")
+    n_chars = t.str.len().to_numpy(dtype=np.int64)
+    toks = t.str.split()
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    safe_chars = np.maximum(n_chars, 1)
+    safe_toks = np.maximum(n_tokens, 1)
+    punct = t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    digits = t.str.count(r"\d").to_numpy(dtype=np.int64)
+    upper = t.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
+    mean_tok = safe_chars / safe_toks
+    en = _LANG_PROFILES["en"]
+    lower_words = t.str.lower().str.findall(_WORD_RE)
+    stop_ratio = np.array([sum(w in en for w in ws) / max(1, len(ws)) for ws in lower_words])
+    uniq_ratio = np.array([len(set(ws)) / max(1, len(ws)) for ws in toks.apply(lambda x: x or [])])
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": mean_tok,
+            "punct_ratio": punct / safe_chars,
+            "digit_ratio": digits / safe_chars,
+            "upper_ratio": upper / safe_chars,
+            "stopword_ratio": stop_ratio,
+            "repetition_ratio": 1.0 - uniq_ratio,
+        },
+        index=texts.index,
+    )
+
+
+def quality_score(texts: pd.Series) -> np.ndarray:
+    """Scalar [0,1] quality score from the feature bundle (heuristic:
+    penalize very short docs, punct/digit soup, heavy repetition)."""
+    f = quality_features(texts)
+    length_term = np.clip(f["n_tokens"] / 20.0, 0, 1)
+    punct_term = 1.0 - np.clip(f["punct_ratio"] * 3, 0, 1)
+    digit_term = 1.0 - np.clip(f["digit_ratio"] * 3, 0, 1)
+    rep_term = 1.0 - np.clip((f["repetition_ratio"] - 0.3) * 2, 0, 1)
+    return (0.4 * length_term + 0.2 * punct_term + 0.2 * digit_term + 0.2 * rep_term).to_numpy()
+
+
+def fingerprint64(texts: pd.Series) -> np.ndarray:
+    """Stable 64-bit document fingerprint (full-content hash)."""
+    return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object), categorize=False).astype(np.uint64)
+
+
+def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Rolling (Rabin-Karp) hash fingerprints of character windows —
+    the classic winnowing building block for near-dup document sketches."""
+    if len(text) < window:
+        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+    vals = np.frombuffer(text.encode("utf-8", "replace")[: len(text)], dtype=np.uint8)
+    n = len(vals)
+    if n < window:
+        return np.array([int(vals.sum())], dtype=np.uint64)
+    powers = pow(base, window - 1, mod)
+    out = np.empty(n - window + 1, dtype=np.uint64)
+    h = 0
+    for i in range(window):
+        h = (h * base + int(vals[i])) % mod
+    out[0] = h
+    for i in range(1, n - window + 1):
+        h = ((h - int(vals[i - 1]) * powers) * base + int(vals[i + window - 1])) % mod
+        out[i] = h
+    return out

@@ -51,7 +51,10 @@ class ClipRunConfig:
     run_id: str = "RUN-local"
     files_per_partition: int = 1
     batch_size: int = 512
-    audio_concurrency: Any = 4  # int or (min, max) actor-pool bound
+    # actor-pool size: (min, max) autoscaling by default so the pool can
+    # never reserve every CPU and starve the read/write stages (a fixed
+    # pool equal to the CPU count deadlocks a small cluster)
+    audio_concurrency: Any = (1, 4)
     full_decode: bool = True
     violation_cap: int = 1000
     dur_tolerance_ms: float = 10.0
@@ -115,11 +118,12 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
-        ds.write_parquet(run_dir)
+        union_dir = os.path.join(run_dir, "union")
+        ds.write_parquet(union_dir)
 
         # union output is SMALL (violations + one stats row per batch):
         # read it back, fold per partition, write manifests
-        union = pads.dataset(run_dir, format="parquet").to_table()
+        union = pads.dataset(union_dir, format="parquet").to_table()
         _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
 
     manifests = ckpt.load_manifests(ckpt_dir)

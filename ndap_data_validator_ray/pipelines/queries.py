@@ -1,0 +1,796 @@
+"""Query registry: every operator surfaced as a (Ray pipeline, oracle SQL)
+pair over the driver's parquet tables.
+
+Each entry in ``REGISTRY`` maps a name to ``(fn, sql)`` where ``fn(sf_dir)``
+runs the Ray Data pipeline and ``sql`` is the DuckDB-equivalent statement
+over the pre-registered views (``region nation customer supplier part
+orders lineitem events documents embeddings``), or ``None`` for
+non-SQL-expressible ops (the driver then records a rows-only check).
+
+Column-name and value conventions (driver compares row-count + schema +
+order-insensitive value-hash):
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded on BOTH sides — ROUND(sum, 2) for sums of
+  2-decimal money columns and ROUND(avg, 6) for means — so bit-level
+  summation-order differences cannot flip the hash (the true sums are
+  multiples of 0.01, far from rounding boundaries);
+- timestamps that act as group keys are emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _r2(x):
+    return np.round(np.asarray(x, dtype=np.float64), 2)
+
+
+def _r6(x):
+    return np.round(np.asarray(x, dtype=np.float64), 6)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the reference's A1/A3/A13 stats as one distributed pass)
+# ---------------------------------------------------------------------------
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-column null counts + numeric min/max + row count, computed as
+    per-batch partials merged on the driver (reference A1/A13 semantics,
+    validation.py:273 / dead-code :126-133, distributed)."""
+    cols = ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+    num_cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row: dict[str, Any] = {"n_rows": [batch.num_rows]}
+        for c in cols:
+            row[f"{c}_nulls"] = [batch[c].null_count]
+        for c in num_cols:
+            row[f"{c}_min"] = [pc.min(batch[c]).as_py()]
+            row[f"{c}_max"] = [pc.max(batch[c]).as_py()]
+        return pa.table(row)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = {"n_rows": [int(parts["n_rows"].sum())]}
+    for c in cols:
+        out[f"{c}_nulls"] = [int(parts[f"{c}_nulls"].sum())]
+    for c in num_cols:
+        out[f"{c}_min"] = [float(parts[f"{c}_min"].min())]
+        out[f"{c}_max"] = [float(parts[f"{c}_max"].max())]
+    return pd.DataFrame(out)
+
+
+_PROFILE_SQL = (
+    "SELECT COUNT(*) AS n_rows, "
+    + ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nulls"
+        for c in ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(MIN({c}) AS DOUBLE) AS {c}_min, CAST(MAX({c}) AS DOUBLE) AS {c}_max"
+        for c in ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    + " FROM lineitem"
+)
+
+
+def distinct_counts_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct counts via per-batch unique partials merged on the
+    driver (scale path is the HLL sketch — see clips report)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in batch.column_names:
+            u = pc.unique(batch[c])
+            names.extend([c] * len(u))
+            vals.append(u)
+        return pa.table({"col": pa.array(names, pa.string()), "val": pa.concat_arrays([v.cast(pa.int64()) for v in vals])})
+
+    parts = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
+    n = parts.groupby("col")["val"].nunique()
+    return pd.DataFrame(
+        {"orderkeys": [int(n["l_orderkey"])], "partkeys": [int(n["l_partkey"])], "suppkeys": [int(n["l_suppkey"])]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A-series distributed: groupby shuffle over pre-agg partials)
+# ---------------------------------------------------------------------------
+
+def tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary (filter -> groupby aggregate)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("2000-01-01"))))
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        return batch.append_column("disc_price", disc).append_column("charge", charge)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_extendedprice", alias_name="avg_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        out[c] = _r2(out[c])
+    for c in ("avg_qty", "avg_price", "avg_disc"):
+        out[c] = _r6(out[c])
+    return out
+
+
+_TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def orders_priority_stats(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_total"),
+            Min("o_totalprice", alias_name="min_total"),
+            Max("o_totalprice", alias_name="max_total"),
+        )
+        .to_pandas()
+    )
+    out["sum_total"] = _r2(out["sum_total"])
+    return out
+
+
+_ORDERS_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_total,
+       MIN(o_totalprice) AS min_total, MAX(o_totalprice) AS max_total
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "events", columns=["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+        .to_pandas()
+    )
+    out["sum_value"] = _r2(out["sum_value"])
+    out["avg_value"] = _r6(out["avg_value"])
+    return out
+
+
+_EVENTS_BY_TYPE_SQL = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value, ROUND(AVG(value), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def events_hourly_activity(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped windowed aggregate: tumbling 1h count per user
+    (Ray Data has no event-time windows; the window key is computed per
+    batch and the count is an ordinary groupby — ray_guide 'streaming').
+    """
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def hour_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "hour": batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+        )
+
+    return (
+        ds.map_batches(hour_key, batch_format="pandas")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (broadcast small side; J1/J2-style referential checks)
+# ---------------------------------------------------------------------------
+
+def top_revenue_customers(sf_dir: str) -> pd.DataFrame:
+    """orders >< customer with the small side broadcast via ray.put (never
+    re-shipped per batch), then groupby + top-10 (revenue desc, custkey)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    class AttachName:
+        def __init__(self):
+            self.names = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["c_name"] = batch["o_custkey"].map(self.names)
+            return batch
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(AttachName, batch_format="pandas", concurrency=2)
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["c_name"] = out["o_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
+    out["revenue"] = _r2(out["revenue"])
+    out = out.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(10)
+    return out[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+
+
+_TOP_REVENUE_SQL = """
+SELECT o_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC, o_custkey ASC LIMIT 10
+"""
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti-join via broadcast key set (referential orphan check J1)."""
+    keys = set(
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}), batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+    )
+    ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["c_custkey"].isin(self.keys)]
+
+    out = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(AntiFilter, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype=object)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_CUST_WO_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def lineitem_orphans(sf_dir: str) -> pd.DataFrame:
+    """Referential check: lineitems whose order key has no orders row
+    (broadcast Bloom-style key set; exact set here)."""
+    keys = set(
+        _read(sf_dir, "orders", columns=["o_orderkey"])
+        .map_batches(lambda t: pa.table({"k": pc.unique(t["o_orderkey"])}), batch_format="pyarrow")
+        .to_pandas()["k"]
+    )
+    ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[~batch["l_orderkey"].isin(self.keys)]
+
+    out = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+        .map_batches(AntiFilter, batch_format="pandas", concurrency=2)
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"l_orderkey": pd.Series([], dtype="int64"), "l_linenumber": pd.Series([], dtype="int32")}
+        )
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+_LINEITEM_ORPHANS_SQL = """
+SELECT l_orderkey, l_linenumber FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def customer_counts_by_nation(sf_dir: str) -> pd.DataFrame:
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    class Attach:
+        def __init__(self):
+            self.names = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n_name": batch["c_nationkey"].astype(int).map(self.names)})
+
+    return (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+
+
+_CUST_BY_NATION_SQL = """
+SELECT n_name, COUNT(*) AS n_customers FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness (A14: hash-partitioned groupby over batch partials)
+# ---------------------------------------------------------------------------
+
+def duplicate_order_keys(sf_dir: str) -> pd.DataFrame:
+    from ndap_data_validator_ray.stages.dedup import duplicate_keys
+
+    tbl = duplicate_keys(_read(sf_dir, "orders", columns=["o_orderkey"]), "o_orderkey")
+    return tbl.to_pandas()
+
+
+_DUP_ORDERS_SQL = """
+SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1 ORDER BY o_orderkey
+"""
+
+
+def duplicate_lineitem_pk(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["l_orderkey", "l_linenumber"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    return out[out["cnt"] > 1].sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+_DUP_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt FROM lineitem
+GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k
+# ---------------------------------------------------------------------------
+
+def top_parts_by_price(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice", "p_size"])
+        .map_batches(lambda t: t.filter(pc.greater(t["p_size"], 40)), batch_format="pyarrow")
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out
+
+
+_TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice, p_size FROM part WHERE p_size > 40
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact content dedup groups: min doc_id + copy count per distinct text
+    (hash-partition groupby; content kept to make collisions harmless)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_h"] = pd.util.hash_array(batch["text"].to_numpy(dtype=object), categorize=False).astype(np.int64)
+        return batch
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        return g[["doc_id", "n_copies"]]
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("_h")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
+def dedup_prefix_documents(sf_dir: str) -> pd.DataFrame:
+    """Near-exact dedup on a normalized 40-char prefix key (groups actually
+    collide, unlike full-text on this corpus)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["prefix"] = batch["text"].fillna("").str.slice(0, 40)
+        return batch[["doc_id", "prefix"]]
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("prefix", as_index=False).agg(doc_id=("doc_id", "min"), n_docs=("doc_id", "size"))
+        return g[["prefix", "doc_id", "n_docs"]]
+
+    return (
+        ds.map_batches(add_key, batch_format="pandas")
+        .groupby("prefix")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_DEDUP_PREFIX_SQL = """
+SELECT substr(text, 1, 40) AS prefix, MIN(doc_id) AS doc_id, COUNT(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY doc_id
+"""
+
+
+def doc_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _read(sf_dir, "documents", columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = _r6(out["avg_chars"])
+    return out
+
+
+_DOC_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 6) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def token_counts_documents(sf_dir: str) -> pd.DataFrame:
+    from ndap_data_validator_ray.functions.text import token_count
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_tokens": token_count(batch["text"])})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_TOKEN_COUNTS_SQL = r"""
+SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def char_stats_documents(sf_dir: str) -> pd.DataFrame:
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "len_chars": t.str.len().astype("int64"),
+                "n_digits": t.str.count(r"\d").astype("int64"),
+                "n_spaces": t.str.count(" ").astype("int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_CHAR_STATS_SQL = r"""
+SELECT doc_id, length(text) AS len_chars,
+       length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+       length(text) - length(replace(text, ' ', '')) AS n_spaces
+FROM documents ORDER BY doc_id
+"""
+
+
+def lang_id_documents(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID (rows-only: not SQL-expressible)."""
+    from ndap_data_validator_ray.functions.text import detect_language
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "detected_lang": detect_language(batch["text"])})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def quality_scores_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality features + scalar score (rows-only)."""
+    from ndap_data_validator_ray.functions.text import quality_features, quality_score
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        f = quality_features(batch["text"])
+        f.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        f["quality"] = quality_score(batch["text"])
+        return f
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def fingerprints_documents(sf_dir: str) -> pd.DataFrame:
+    """64-bit content fingerprints (rows-only; stable across engines but the
+    hash function is engine-defined, so no SQL oracle)."""
+    from ndap_data_validator_ray.functions.text import fingerprint64
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "fingerprint": fingerprint64(batch["text"]).astype(np.int64)}
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup candidate pairs (rows-only)."""
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2)
+    return out
+
+
+def simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=2)
+
+
+def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
+    """Word-3-gram Jaccard-verified near-dup pairs (rows-only)."""
+    from ndap_data_validator_ray.stages.dedup_near import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
+    emb = emb.sort_values("vec_id").head(n)
+    return emb["vec_id"].to_numpy(), np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+
+
+def knn_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact cosine top-10 of the first 5 vectors against the corpus.
+    Emits ranks (not raw sims) so float summation order can't flip hashes."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qids, qmat, k=10, concurrency=2)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+def knn_embeddings_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall-vs-cost variant)."""
+    from ndap_data_validator_ray.stages.similarity import lsh_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, qids, qmat, k=10, concurrency=2)[["query_id", "neighbor_id", "rank"]]
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs at 0.95 (rows-only)."""
+    from ndap_data_validator_ray.stages.similarity import embedding_near_duplicates
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_duplicates(ds, threshold=0.95, concurrency=2)
+
+
+def embedding_norms(sf_dir: str) -> pd.DataFrame:
+    """L2 norms per vector (rounded to 6), vectorized per batch."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(batch["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"vec_id": batch["vec_id"], "l2_norm": _r6(np.linalg.norm(m, axis=1))})
+
+    return (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+_EMB_NORMS_SQL = """
+SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+"""
+
+
+def label_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean vector norm (groupby over vector partial sums)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(batch["embedding"].to_numpy()).astype(np.float64)
+        df = pd.DataFrame({"label": batch["label"].to_numpy(), "s": list(m)})
+        g = df.groupby("label")["s"].apply(lambda rows: np.sum(np.vstack(rows), axis=0))
+        n = df.groupby("label").size()
+        return pd.DataFrame({"label": g.index, "vec_sum": [v.tobytes() for v in g.to_numpy()], "n": n.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = []
+    for label, g in parts.groupby("label"):
+        total = np.sum([np.frombuffer(b) for b in g["vec_sum"]], axis=0)
+        n = int(g["n"].sum())
+        out.append((int(label), n, float(np.round(np.linalg.norm(total / n), 6))))
+    return pd.DataFrame(out, columns=["label", "n_vectors", "centroid_norm"]).sort_values("label").reset_index(drop=True)
+
+
+_LABEL_CENTROID_SQL = """
+WITH dims AS (SELECT UNNEST(range(1, 65)) AS i),
+unn AS (
+  SELECT label, i, SUM(CAST(embedding[i] AS DOUBLE)) AS s, COUNT(*) AS cnt
+  FROM embeddings CROSS JOIN dims GROUP BY label, i
+)
+SELECT label, CAST(MAX(cnt) AS BIGINT) AS n_vectors,
+       ROUND(sqrt(SUM((s / cnt) * (s / cnt))), 6) AS centroid_norm
+FROM unn GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "profile_lineitem": (profile_lineitem, _PROFILE_SQL),
+    "distinct_counts_lineitem": (distinct_counts_lineitem,
+        "SELECT COUNT(DISTINCT l_orderkey) AS orderkeys, COUNT(DISTINCT l_partkey) AS partkeys, "
+        "COUNT(DISTINCT l_suppkey) AS suppkeys FROM lineitem"),
+    "tpch_q1": (tpch_q1, _TPCH_Q1_SQL),
+    "orders_priority_stats": (orders_priority_stats, _ORDERS_PRIORITY_SQL),
+    "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
+    "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
+    "top_revenue_customers": (top_revenue_customers, _TOP_REVENUE_SQL),
+    "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
+    "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),
+    "customer_counts_by_nation": (customer_counts_by_nation, _CUST_BY_NATION_SQL),
+    "duplicate_order_keys": (duplicate_order_keys, _DUP_ORDERS_SQL),
+    "duplicate_lineitem_pk": (duplicate_lineitem_pk, _DUP_LINEITEM_SQL),
+    "top_parts_by_price": (top_parts_by_price, _TOP_PARTS_SQL),
+    "dedup_exact_documents": (dedup_exact_documents, _DEDUP_EXACT_SQL),
+    "dedup_prefix_documents": (dedup_prefix_documents, _DEDUP_PREFIX_SQL),
+    "doc_stats_by_lang": (doc_stats_by_lang, _DOC_STATS_SQL),
+    "token_counts_documents": (token_counts_documents, _TOKEN_COUNTS_SQL),
+    "char_stats_documents": (char_stats_documents, _CHAR_STATS_SQL),
+    "lang_id_documents": (lang_id_documents, None),
+    "quality_scores_documents": (quality_scores_documents, None),
+    "fingerprints_documents": (fingerprints_documents, None),
+    "minhash_pairs_documents": (minhash_pairs_documents, None),
+    "simhash_pairs_documents": (simhash_pairs_documents, None),
+    "ngram_jaccard_documents": (ngram_jaccard_documents, None),
+    "knn_embeddings": (knn_embeddings, _KNN_SQL),
+    "knn_embeddings_lsh": (knn_embeddings_lsh, None),
+    "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
+    "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
+    "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),
+}

@@ -77,6 +77,11 @@ class TableSchema:
 
     columns: tuple[ColumnSpec, ...]
     rule_schema: str = DEFAULT_RULE_SCHEMA
+    # The reference hard-requires >=1 Time and >=1 Measures column
+    # (validation.py:345-348).  That invariant belongs to the tabular
+    # conformance profile (SURVEY.md §2.11); constraint-driven schemas like
+    # the clips table opt out.
+    enforce_role_coverage: bool = True
 
     def role_selection(self) -> dict[str, str]:
         return {c.name: c.role for c in self.columns}
@@ -94,6 +99,8 @@ class TableSchema:
     def missing_roles(self) -> list[str]:
         """Mandatory-role coverage check (validation.py:341-350): schema-level,
         no data scan needed."""
+        if not self.enforce_role_coverage:
+            return []
         schema = RULE_SCHEMAS.get(self.rule_schema) or RULE_SCHEMAS[DEFAULT_RULE_SCHEMA]
         required = [r for r, f in schema.items() if f.get("mandatory")]
         for hard in HARD_REQUIRED_ROLES:
@@ -127,6 +134,7 @@ def clips_table_schema(drift: bool = False) -> TableSchema:
             ColumnSpec("transcript", role="Others", not_null=True, not_empty=True),
         ),
         rule_schema=DEFAULT_RULE_SCHEMA,
+        enforce_role_coverage=False,
     )
 
 

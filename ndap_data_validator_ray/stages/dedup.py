@@ -45,11 +45,13 @@ def duplicate_keys(ds: "ray.data.Dataset", key: str) -> pa.Table:
     dups = counts.map_batches(
         lambda t: t.filter(pa.compute.greater(t["cnt"], 1)), batch_format="pyarrow"
     )
-    tbl = pa.Table.from_pandas(dups.to_pandas(), preserve_index=False)
-    if tbl.num_rows:
-        order = pa.compute.sort_indices(tbl, sort_keys=[(key, "ascending")])
-        tbl = tbl.take(order)
-    return tbl
+    pdf = dups.to_pandas()
+    if pdf.empty:
+        key_type = ds.schema().base_schema.field(key).type
+        return pa.table({key: pa.array([], key_type), "cnt": pa.array([], pa.int64())})
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    order = pa.compute.sort_indices(tbl, sort_keys=[(key, "ascending")])
+    return tbl.take(order)
 
 
 def exact_dedup(ds: "ray.data.Dataset", content_cols: list[str], keep_col: str) -> "ray.data.Dataset":

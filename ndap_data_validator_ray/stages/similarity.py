@@ -1,0 +1,209 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k — the query matrix is broadcast
+  once via ``ray.put`` and each batch does one numpy matmul against it
+  (never re-shipped per batch); per-batch local top-k partials are merged
+  on the driver (k x n_queries rows per batch, tiny).
+- ``lsh_topk``: random-hyperplane LSH variant (the scale path): each batch
+  only scores vectors whose signature collides with a query bucket in at
+  least one table, cutting the matmul cost on large corpora.
+- ``embedding_near_duplicates``: cosine near-dup detection via the same
+  hyperplane bucketing (embedding-space analogue of MinHash dedup).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pd.DataFrame, col: str) -> np.ndarray:
+    return np.vstack(batch[col].to_numpy()).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(norms, 1e-12)
+
+
+class BruteForceScorer:
+    """Actor stage: fetch the broadcast query matrix ONCE in __init__,
+    emit per-batch local top-k (query_id, vec_id, sim) partials."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(queries_ref)  # broadcast: one object-store read per actor
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["matrix"])
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        sims = m @ self.q_mat.T  # (n_batch, n_queries)
+        ids = batch[self.id_col].to_numpy()
+        k = min(self.k, len(ids))
+        out_q, out_v, out_s = [], [], []
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query local top-k
+        for qi, qid in enumerate(self.q_ids):
+            rows = top[:, qi]
+            for r in rows:
+                out_q.append(qid)
+                out_v.append(ids[r])
+                out_s.append(sims[r, qi])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "sim": out_s})
+
+
+def brute_force_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Exact cosine top-k of every query against the whole dataset.
+    Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
+    neighbor_id for determinism."""
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    partials = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        best = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.sim, -int(r.neighbor_id)))
+        for rank, r in enumerate(best, 1):
+            out.append((qid, r.neighbor_id, r.sim, rank))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim", "rank"]).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits @ weights
+
+
+class LshScorer:
+    """LSH-bucketed variant: score only rows colliding with some query
+    bucket (multi-table random hyperplane signatures)."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int, n_planes: int, n_tables: int, dim: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["matrix"])
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        self.tables = [_hyperplanes(dim, n_planes, seed=11 + t) for t in range(n_tables)]
+        self.q_sigs = [_signatures(self.q_mat, p) for p in self.tables]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy()
+        cand = np.zeros((len(ids), len(self.q_ids)), dtype=bool)
+        for planes, qs in zip(self.tables, self.q_sigs):
+            sig = _signatures(m, planes)
+            cand |= sig[:, None] == qs[None, :]
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            rows = np.flatnonzero(cand[:, qi])
+            if len(rows) == 0:
+                continue
+            sims = m[rows] @ self.q_mat[qi]
+            keep = rows[np.argsort(-sims)[: self.k]]
+            for r in keep:
+                out_q.append(qid)
+                out_v.append(ids[r])
+                out_s.append(float(m[r] @ self.q_mat[qi]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "sim": out_s})
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Approximate cosine top-k (recall < 1, cost << brute force at scale)."""
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": qm})
+    partials = ds.map_batches(
+        LshScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k,
+            n_planes=n_planes, n_tables=n_tables, dim=qm.shape[1],
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        best = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.sim, -int(r.neighbor_id)))
+        for rank, r in enumerate(best, 1):
+            out.append((qid, r.neighbor_id, r.sim, rank))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim", "rank"]).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+def embedding_near_duplicates(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs: bucket by hyperplane signature
+    (shuffle only (sig, id, vec) triples), verify cosine inside buckets."""
+    dim = len(ds.take(1)[0][vec_col])
+    planes = _hyperplanes(dim, n_planes, seed=23)
+
+    def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return pd.DataFrame({id_col: batch[id_col], "sig": _signatures(m, planes), vec_col: batch[vec_col]})
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=[id_col])
+        out_a, out_b, out_s = [], [], []
+        if 1 < len(rows) <= 1000:
+            m = _normalize(_batch_matrix(rows, vec_col))
+            ids = rows[id_col].tolist()
+            sims = m @ m.T
+            iu = np.triu_indices(len(ids), 1)
+            for i, j in zip(*iu):
+                if sims[i, j] >= threshold:
+                    a, b = sorted((ids[i], ids[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_s.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    pairs = (
+        ds.map_batches(sig_batch, batch_format="pandas", concurrency=concurrency)
+        .groupby("sig")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
