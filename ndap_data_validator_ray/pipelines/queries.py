@@ -220,20 +220,25 @@ def events_hourly_activity(sf_dir: str) -> pd.DataFrame:
     """
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def hour_key(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": batch["user_id"],
-                "hour": batch["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
-            }
-        )
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # composite (user_id, hour-bucket) int64 key + in-batch pre-agg so
+        # the shuffle moves (key, count) partials on ONE key column
+        # unit-safe epoch-hour bucket (arrow gives datetime64[us] here)
+        hour_bucket = (batch["ts"] - pd.Timestamp(0)) // pd.Timedelta(hours=1)
+        key = batch["user_id"].astype("int64") * 1_000_000 + hour_bucket.astype("int64")
+        g = key.value_counts()
+        return pd.DataFrame({"k": g.index.to_numpy(), "n_events": g.to_numpy()})
 
-    return (
-        ds.map_batches(hour_key, batch_format="pandas")
-        .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"))
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("n_events", alias_name="n_events"))
         .to_pandas()
     )
+    out["user_id"] = (out["k"] // 1_000_000).astype("int64")
+    hours = pd.Timestamp(0) + (out["k"] % 1_000_000) * pd.Timedelta(hours=1)
+    out["hour"] = hours.dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out[["user_id", "hour", "n_events"]].reset_index(drop=True)
 
 
 _EVENTS_HOURLY_SQL = """
@@ -249,27 +254,27 @@ FROM events GROUP BY 1, 2
 def top_revenue_customers(sf_dir: str) -> pd.DataFrame:
     """orders >< customer with the small side broadcast via ray.put (never
     re-shipped per batch), then groupby + top-10 (revenue desc, custkey)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-
-    class AttachName:
-        def __init__(self):
-            self.names = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["c_name"] = batch["o_custkey"].map(self.names)
-            return batch
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # pre-aggregate inside the batch: the shuffle moves one row per
+        # (batch, custkey), not one per order
+        g = batch.groupby("o_custkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return g
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(AttachName, batch_format="pandas", concurrency=2)
+        .map_batches(partial, batch_format="pandas")
         .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders"))
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
-    out["c_name"] = out["o_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
     out["revenue"] = _r2(out["revenue"])
     out = out.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(10)
+    # dimension lookup AFTER top-k: 10 rows, driver-side (broadcast-join
+    # shape; the small side never rides the shuffle)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    out["c_name"] = out["o_custkey"].map(dict(zip(cust["c_custkey"], cust["c_name"])))
     return out[["o_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
@@ -393,19 +398,34 @@ SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey HAVING COUNT(
 
 
 def duplicate_lineitem_pk(sf_dir: str) -> pd.DataFrame:
+    """Composite-key uniqueness: the two-column key is packed into one
+    int64 before the shuffle (Ray's multi-key groupby is ~10x slower than
+    single-key at this scale) and unpacked on the small result."""
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(["l_orderkey", "l_linenumber"], as_index=False).size()
-        return g.rename(columns={"size": "cnt"})
+    def partial(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.multiply(pc.cast(batch["l_orderkey"], pa.int64()), pa.scalar(1 << 32, pa.int64())),
+            pc.cast(batch["l_linenumber"], pa.int64()),
+        )
+        vc = key.value_counts()
+        return pa.table({"k": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
 
     out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_orderkey", "l_linenumber"])
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
         .aggregate(Sum("cnt", alias_name="cnt"))
         .to_pandas()
     )
-    return out[out["cnt"] > 1].sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    out = out[out["cnt"] > 1]
+    k = out["k"].to_numpy(dtype=np.int64)
+    out["l_orderkey"] = k >> 32
+    out["l_linenumber"] = (k & 0xFFFFFFFF).astype(np.int32)
+    return (
+        out[["l_orderkey", "l_linenumber", "cnt"]]
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
 
 
 _DUP_LINEITEM_SQL = """
