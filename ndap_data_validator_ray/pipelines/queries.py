@@ -229,12 +229,12 @@ def events_hourly_activity(sf_dir: str) -> pd.DataFrame:
         g = key.value_counts()
         return pd.DataFrame({"k": g.index.to_numpy(), "n_events": g.to_numpy()})
 
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("k")
-        .aggregate(Sum("n_events", alias_name="n_events"))
-        .to_pandas()
-    )
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("k", as_index=False)["n_events"].sum()
+
+    out = bucketed_groupby(ds, ["k"], partial, merge).to_pandas()
     out["user_id"] = (out["k"] // 1_000_000).astype("int64")
     hours = pd.Timestamp(0) + (out["k"] % 1_000_000) * pd.Timedelta(hours=1)
     out["hour"] = hours.dt.strftime("%Y-%m-%d %H:%M:%S")
@@ -254,21 +254,21 @@ FROM events GROUP BY 1, 2
 def top_revenue_customers(sf_dir: str) -> pd.DataFrame:
     """orders >< customer with the small side broadcast via ray.put (never
     re-shipped per batch), then groupby + top-10 (revenue desc, custkey)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         # pre-aggregate inside the batch: the shuffle moves one row per
         # (batch, custkey), not one per order
-        g = batch.groupby("o_custkey", as_index=False).agg(
+        return batch.groupby("o_custkey", as_index=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
-        return g
 
-    out = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
-    )
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("o_custkey", as_index=False).agg(revenue=("revenue", "sum"), n_orders=("n_orders", "sum"))
+
+    out = bucketed_groupby(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]), ["o_custkey"], partial, merge
+    ).to_pandas()
     out["revenue"] = _r2(out["revenue"])
     out = out.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(10)
     # dimension lookup AFTER top-k: 10 rows, driver-side (broadcast-join
@@ -401,23 +401,20 @@ def duplicate_lineitem_pk(sf_dir: str) -> pd.DataFrame:
     """Composite-key uniqueness: the two-column key is packed into one
     int64 before the shuffle (Ray's multi-key groupby is ~10x slower than
     single-key at this scale) and unpacked on the small result."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
     ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        key = pc.add(
-            pc.multiply(pc.cast(batch["l_orderkey"], pa.int64()), pa.scalar(1 << 32, pa.int64())),
-            pc.cast(batch["l_linenumber"], pa.int64()),
-        )
-        vc = key.value_counts()
-        return pa.table({"k": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch["l_orderkey"].to_numpy(dtype=np.int64) * (1 << 32) + batch["l_linenumber"].to_numpy(dtype=np.int64)
+        vc = pd.Series(key).value_counts()
+        return pd.DataFrame({"k": vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)})
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
-    out = out[out["cnt"] > 1]
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("k", as_index=False)["cnt"].sum()
+        return g[g["cnt"] > 1]  # dup filter inside the reducer: tiny output
+
+    out = bucketed_groupby(ds, ["k"], partial, merge).to_pandas()
     k = out["k"].to_numpy(dtype=np.int64)
     out["l_orderkey"] = k >> 32
     out["l_linenumber"] = (k & 0xFFFFFFFF).astype(np.int32)

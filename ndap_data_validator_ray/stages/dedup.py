@@ -18,24 +18,22 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 
-def _batch_key_counts(key: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        arr = batch[key]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        vc = arr.drop_null().value_counts()
-        return pa.table({key: vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())})
+def key_counts(ds: "ray.data.Dataset", key: str, n_buckets: int = 64) -> "ray.data.Dataset":
+    """Global exact counts per key: batch partials -> bucketed two-phase
+    merge (stages/groupby.py) — the shuffle key is a B-way bucket, never
+    the raw high-cardinality key."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
-    return fn
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key].dropna().value_counts()
+        return pd.DataFrame({key: vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)})
 
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(key, as_index=False)["cnt"].sum()
 
-def key_counts(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
-    """Global exact counts per key: batch partials -> hash-shuffle groupby."""
-    partial = ds.map_batches(_batch_key_counts(key), batch_format="pyarrow")
-    return partial.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    return bucketed_groupby(ds, [key], partial, merge, n_buckets)
 
 
 def duplicate_keys(ds: "ray.data.Dataset", key: str) -> pa.Table:
@@ -61,10 +59,11 @@ def exact_dedup(ds: "ray.data.Dataset", content_cols: list[str], keep_col: str) 
     so hash collisions cannot merge distinct contents — groups are re-split
     on true content inside ``map_groups``)."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        joined = batch[content_cols].astype(str).agg("\x1f".join, axis=1)
-        batch["_content_hash"] = pd.util.hash_array(joined.to_numpy(dtype=object), categorize=False).astype(np.int64)
-        return batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # in-batch pre-dedup: at most one candidate row per content per batch
+        return batch.sort_values(keep_col, kind="stable").groupby(content_cols, as_index=False, sort=False).first()
 
     def first_per_content(group: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -73,6 +72,4 @@ def exact_dedup(ds: "ray.data.Dataset", content_cols: list[str], keep_col: str) 
             .first()
         )
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
-    kept = hashed.groupby("_content_hash").map_groups(first_per_content, batch_format="pandas")
-    return kept.drop_columns(["_content_hash"])
+    return bucketed_groupby(ds, content_cols, partial, first_per_content, n_buckets=64)

@@ -82,15 +82,26 @@ def minhash_lsh_pairs(
     concurrency: int | tuple = 4,
 ) -> pd.DataFrame:
     """Candidate near-dup pairs above ``threshold`` (deduped, sorted)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands),
         batch_format="pandas",
         concurrency=concurrency,
     )
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _candidate_pairs_in_group(g, id_col, threshold), batch_format="pandas"
-    )
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds many (band_id, band_hash) buckets: verify each
+        frames = [
+            _candidate_pairs_in_group(g, id_col, threshold)
+            for _, g in group.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = bucketed_groupby(banded, ["band_id", "band_hash"], lambda b: b, verify_bucket)
     pdf = pairs.to_pandas()
     if pdf.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
@@ -185,12 +196,16 @@ def simhash_near_pairs(
                     out_d.append(int(d[j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    pairs = (
-        sigs.map_batches(explode_slices, batch_format="pandas")
-        .groupby(["slice_id", "slice_val"])
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        frames = [verify(g) for _, g in group.groupby(["slice_id", "slice_val"], sort=False)]
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.concat(frames, ignore_index=True)
+
+    exploded = sigs.map_batches(explode_slices, batch_format="pandas")
+    pairs = bucketed_groupby(exploded, ["slice_id", "slice_val"], lambda b: b, verify_bucket).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

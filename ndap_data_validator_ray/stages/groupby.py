@@ -1,0 +1,94 @@
+"""Bucketed (two-phase) grouped aggregation — the engine's workhorse for
+high-cardinality groupbys.
+
+``Dataset.groupby(key).aggregate(...)`` in this Ray version sort-shuffles on
+the raw key; with 10^5+ distinct keys the sort dominates (measured 29s vs
+2s at sf0.1 for 15k groups, 32 CPUs).  The classic fix — and the layout
+that scales to 10^12 keys on a real cluster — is an explicit partitioned
+hash aggregation (ray_guide "Joins and lookups" / "Aggregation at scale"):
+
+1. per-batch partial aggregation (combiner) inside ``map_batches``;
+2. attach ``bucket = stable_hash(key) % B`` — the shuffle key is a SMALL
+   int domain, so the exchange is a cheap B-way partition, and hot keys
+   spread across *batch partials* cannot skew a reducer beyond its bucket;
+3. ``groupby(bucket).map_groups(local_merge)`` — each reducer does an
+   in-memory pandas merge of its bucket's partials.
+
+``n_buckets`` is the cluster-parallelism knob: ~2-4x the worker count.
+Correct for any commutative partial/merge pair (same algebra as the
+checkpoint sketches)."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+BUCKET_COL = "_bucket"
+
+
+def stable_bucket(keys: pd.Series | pd.DataFrame, n_buckets: int) -> np.ndarray:
+    """Deterministic bucket ids from one or more key columns."""
+    if isinstance(keys, pd.DataFrame):
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+    else:
+        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def bucketed_groupby(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    batch_partial: Callable[[pd.DataFrame], pd.DataFrame],
+    local_merge: Callable[[pd.DataFrame], pd.DataFrame],
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Two-phase grouped aggregation.
+
+    ``batch_partial``: pandas batch -> partial rows (must carry key_cols).
+    ``local_merge``: all partial rows of one bucket -> final rows for every
+    key in that bucket.  Output excludes the bucket column.
+    """
+
+    def partial_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        part = batch_partial(batch)
+        part[BUCKET_COL] = stable_bucket(part[key_cols] if len(key_cols) > 1 else part[key_cols[0]], n_buckets)
+        return part
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        out = local_merge(group.drop(columns=[BUCKET_COL]))
+        return out
+
+    return ds.map_batches(partial_with_bucket, batch_format="pandas").groupby(BUCKET_COL).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+def sum_by_key(
+    ds: "ray.data.Dataset", key_cols: list[str], value_cols: list[str], n_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Convenience: SUM(value_cols) GROUP BY key_cols, bucketed."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(key_cols, as_index=False)[value_cols].sum()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(key_cols, as_index=False)[value_cols].sum()
+
+    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)
+
+
+def count_by_key(ds: "ray.data.Dataset", key_cols: list[str], n_buckets: int = 64, count_col: str = "cnt") -> "ray.data.Dataset":
+    """Convenience: COUNT(*) GROUP BY key_cols, bucketed."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key_cols, as_index=False).size()
+        return g.rename(columns={"size": count_col})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(key_cols, as_index=False)[count_col].sum()
+
+    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)

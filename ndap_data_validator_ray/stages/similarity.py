@@ -198,12 +198,16 @@ def embedding_near_duplicates(
                     out_s.append(float(sims[i, j]))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
 
-    pairs = (
-        ds.map_batches(sig_batch, batch_format="pandas", concurrency=concurrency)
-        .groupby("sig")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        frames = [verify(g) for _, g in group.groupby("sig", sort=False)]
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.concat(frames, ignore_index=True)
+
+    sigs = ds.map_batches(sig_batch, batch_format="pandas", concurrency=concurrency)
+    pairs = bucketed_groupby(sigs, ["sig"], lambda b: b, verify_bucket).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

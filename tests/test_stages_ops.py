@@ -1,0 +1,210 @@
+"""Operator-level tests: exact/near dedup, similarity search, multimodal
+plumbing, and folder-mode role validation."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_keeps_min_id():
+    from ndap_data_validator_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 2, 3, 4, 6],
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    kept = exact_dedup(ds, ["text"], "doc_id").to_pandas().sort_values("doc_id")
+    assert sorted(kept["doc_id"]) == [1, 2, 3]
+    assert set(kept["text"]) == {"aaa", "bbb", "ccc"}
+
+
+def test_key_counts_matches_pandas():
+    from ndap_data_validator_ray.stages.dedup import duplicate_keys
+
+    rng = np.random.default_rng(2)
+    keys = rng.integers(0, 50, 400)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys}))
+    dup = duplicate_keys(ds, "k").to_pandas()
+    exp = pd.Series(keys).value_counts()
+    exp = exp[exp > 1]
+    assert dict(zip(dup["k"], dup["cnt"])) == exp.to_dict()
+
+
+# ---------------------------------------------------------------------------
+# near-dup
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def near_dup_docs():
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods "
+    rows = []
+    for i in range(30):
+        rows.append((i, f"unique document number {i} about topic {i * 7} " * 4 + "x" * (i % 5)))
+    rows.append((100, base * 3))
+    rows.append((101, (base * 3).replace("lazy", "sleepy")))  # near-dup of 100
+    rows.append((102, base * 3))  # exact dup of 100
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_planted_pairs(near_dup_docs):
+    from ndap_data_validator_ray.stages.dedup_near import connected_components, minhash_lsh_pairs
+
+    ds = ray.data.from_pandas(near_dup_docs)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.6, concurrency=2)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (100, 102) in found  # exact dup
+    assert (100, 101) in found or (101, 102) in found  # near dup
+    clusters = connected_components(pairs)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert cl[100] == cl[101] == cl[102]
+
+
+def test_simhash_finds_planted_pairs(near_dup_docs):
+    from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
+
+    ds = ray.data.from_pandas(near_dup_docs)
+    pairs = simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=2)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (100, 102) in found
+    # hamming of the exact pair is 0
+    row = pairs[(pairs["id_a"] == 100) & (pairs["id_b"] == 102)]
+    assert int(row["hamming"].iloc[0]) == 0
+
+
+def test_ngram_jaccard_verifies(near_dup_docs):
+    from ndap_data_validator_ray.stages.dedup_near import ngram_jaccard_pairs
+
+    ds = ray.data.from_pandas(near_dup_docs)
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.5)
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].to_numpy()}
+    assert (100, 102) in found
+    exact = pairs[(pairs["id_a"] == 100) & (pairs["id_b"] == 102)]
+    assert float(exact["jaccard"].iloc[0]) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb_dataset():
+    rng = np.random.default_rng(4)
+    mat = rng.standard_normal((300, 16)).astype(np.float64)
+    mat[250] = mat[10] * 1.5 + rng.standard_normal(16) * 0.01  # near-dup direction of 10
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": [list(v) for v in mat]})
+    return df, mat
+
+
+def test_brute_force_topk_matches_numpy(emb_dataset):
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk
+
+    df, mat = emb_dataset
+    ds = ray.data.from_pandas(df)
+    qids = np.array([0, 1, 2])
+    out = brute_force_topk(ds, qids, mat[:3], k=5, concurrency=2)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        sims = norm @ norm[qi]
+        order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"].tolist()
+        assert got == list(order), (qi, got, list(order))
+
+
+def test_lsh_topk_recall(emb_dataset):
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    df, mat = emb_dataset
+    ds = ray.data.from_pandas(df)
+    qids = np.array([0, 1, 2, 3, 4])
+    exact = brute_force_topk(ds, qids, mat[:5], k=5, concurrency=2)
+    approx = lsh_topk(ds, qids, mat[:5], k=5, n_planes=6, n_tables=12, concurrency=2)
+    # each query must at least find itself, and recall@5 should be decent
+    hits, total = 0, 0
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        assert qi in a  # identical vector always collides with itself
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.4, hits / total
+
+
+def test_embedding_near_duplicates(emb_dataset):
+    from ndap_data_validator_ray.stages.similarity import embedding_near_duplicates
+
+    df, _ = emb_dataset
+    ds = ray.data.from_pandas(df)
+    pairs = embedding_near_duplicates(ds, threshold=0.95, n_planes=8, concurrency=2)
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (10, 250) in found
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed codecs, real stages)
+# ---------------------------------------------------------------------------
+
+def test_image_decode_stage():
+    from ndap_data_validator_ray.stages.multimodal import ImageDecodeStage, encode_fake_image, _decode_image
+
+    rng = np.random.default_rng(6)
+    imgs = [rng.integers(0, 255, (32, 48, 3), dtype=np.uint8) for _ in range(5)]
+    blobs = [encode_fake_image(im) for im in imgs] + [b"corrupt"]
+    batch = pa.table({"image": pa.array(blobs, pa.binary())})
+    out = ImageDecodeStage(resize_to=(8, 8))(batch)
+    assert out["_img_ok"].to_pylist() == [True] * 5 + [False]
+    assert out["_img_h"].to_pylist()[:5] == [32] * 5
+    thumb = _decode_image(out["_img_thumb"].to_pylist()[0])
+    assert thumb.shape == (8, 8, 3)
+
+
+def test_frame_sample_stage():
+    from ndap_data_validator_ray.stages.multimodal import FrameSampleStage, encode_fake_video, _decode_image
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 255, (25, 16, 16, 3), dtype=np.uint8)
+    batch = pa.table(
+        {
+            "clip_id": pa.array(["v1", "v2"], pa.string()),
+            "video": pa.array([encode_fake_video(frames), b"junk"], pa.binary()),
+        }
+    )
+    out = FrameSampleStage(stride=10)(batch)
+    assert out["clip_id"].to_pylist() == ["v1", "v1", "v1"]
+    assert out["frame_idx"].to_pylist() == [0, 10, 20]
+    f0 = _decode_image(out["frame"].to_pylist()[0])
+    assert np.array_equal(f0, frames[0])
+
+
+# ---------------------------------------------------------------------------
+# folder-mode role validation (reference main.py:880-936 fold semantics)
+# ---------------------------------------------------------------------------
+
+def test_validate_files_fold(tmp_path):
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.role_validation import validate_files
+
+    good = pa.table({"period": ["2020", "2021"], "val": ["1", "2"]})
+    bad = pa.table({"period": ["2020", "nope"], "val": ["1", "x"]})
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(good, f1)
+    pq.write_table(bad, f2)
+    roles = {"period": "Time", "val": "Measures"}
+    rep = validate_files([f1, f2], roles, {"val": "integer"})
+    assert rep["passed"] is False
+    by_file = {r["file"]: r for r in rep["files"]}
+    assert by_file[f1]["passed"] is True
+    assert by_file[f2]["passed"] is False
+    assert by_file[f2]["failed_columns"] == ["period", "val"]
+    # reference reason strings surface per file
+    assert "Non-numeric values detected" in by_file[f2]["per_column"]["val"]["reasons"]
