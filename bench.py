@@ -32,11 +32,17 @@ def _headline_clips(num_cpus: int) -> dict:
     from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
 
     n_rows = int(os.environ.get("NDAP_BENCH_CLIPS", "20000"))
+    # the scaling run uses a much larger table (default 1M clips,
+    # FIXTURES.md "bench") so compute dominates the per-run fixed costs
+    # (actor-pool startup, read task fan-out) that would otherwise mask
+    # scaling; violations kept rare so the run measures the validation
+    # path, not violation materialization
     spec = ClipTableSpec(
         n_rows=n_rows,
-        n_files=max(16, num_cpus * 2),
+        n_files=max(16, min(256, n_rows // 4000 or 16)),
         dur_ms_lo=200,
         dur_ms_hi=800,
+        violation_rate=0.01 if n_rows <= 100_000 else 0.001,
         hot_dup_copies=n_rows // 100,
     )
     data_dir = os.path.join("/tmp/ndap_clips_cache", spec.cache_key())
@@ -129,9 +135,15 @@ def run_scaling() -> dict:
     """North-rule evidence: same job, same input, fresh processes at N and
     4N CPUs; report clips/sec at both + scaling efficiency."""
     lo, hi = 8, 32
+    scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "1000000")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), NDAP_BENCH_ONLY_HEADLINE="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            NDAP_BENCH_ONLY_HEADLINE="1",
+            NDAP_BENCH_CLIPS=scaling_rows,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True
         ).stdout

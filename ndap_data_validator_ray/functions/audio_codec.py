@@ -236,3 +236,59 @@ def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
     if p_noise == 0.0:
         return float("inf")
     return 10.0 * np.log10(p_sig / p_noise)
+
+
+# ---------------------------------------------------------------------------
+# Audio QA features (vectorized numpy; used by the decode-validation stage)
+# ---------------------------------------------------------------------------
+
+_FRAME = 512
+_HOP = 128
+_EPS = 1e-12
+
+SILENCE_RMS_DB = -50.0  # clip-level silence threshold
+CLIPPING_RATIO_MAX = 0.01  # fraction of near-full-scale samples allowed
+
+
+def audio_features(pcm: np.ndarray, sr_hz: int) -> dict:
+    """Quality features of one decoded clip: RMS level, peak, clipping
+    ratio, framed silence ratio, zero-crossing rate, dominant frequency and
+    spectral flatness (framed Hann FFT).  All deterministic numpy — this is
+    the compute body of the actor-pool validation stage (silence /
+    clipping / tone sanity checks on every clip)."""
+    n = len(pcm)
+    if n == 0:
+        return {
+            "rms_db": float("-inf"), "peak": 0.0, "clipping_ratio": 0.0,
+            "silence_ratio": 1.0, "zcr": 0.0, "dominant_freq_hz": 0.0,
+            "spectral_flatness": 1.0,
+        }
+    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    peak = float(np.max(np.abs(pcm)))
+    clipping = float(np.mean(np.abs(pcm) >= 0.985))
+    zcr = float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
+
+    if n >= _FRAME:
+        n_frames = 1 + (n - _FRAME) // _HOP
+        idx = np.arange(_FRAME)[None, :] + _HOP * np.arange(n_frames)[:, None]
+        frames = pcm[idx]
+        frame_rms = np.sqrt(np.mean(frames * frames, axis=1))
+        silence_ratio = float(np.mean(20 * np.log10(frame_rms + _EPS) < SILENCE_RMS_DB))
+        spec = np.abs(np.fft.rfft(frames * np.hanning(_FRAME), axis=1))
+        mean_spec = spec.mean(axis=0) + _EPS
+        dominant = float(np.argmax(mean_spec[1:]) + 1) * sr_hz / _FRAME
+        flatness = float(np.exp(np.mean(np.log(mean_spec))) / np.mean(mean_spec))
+    else:
+        silence_ratio = 1.0 if 20 * np.log10(rms + _EPS) < SILENCE_RMS_DB else 0.0
+        dominant = 0.0
+        flatness = 1.0
+
+    return {
+        "rms_db": 20 * np.log10(rms + _EPS),
+        "peak": peak,
+        "clipping_ratio": clipping,
+        "silence_ratio": silence_ratio,
+        "zcr": zcr,
+        "dominant_freq_hz": dominant,
+        "spectral_flatness": flatness,
+    }

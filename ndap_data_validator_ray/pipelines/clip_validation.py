@@ -132,7 +132,11 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     n_dup_keys = 0
     if cfg.check_unique:
-        key_ds = ray.data.read_parquet(files, columns=["clip_id"])
+        # single-column projection; coalesce tiny files into ~32MB read
+        # blocks so the key scan isn't dominated by per-task overhead
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_blocks = int(min(len(files), max(8, total_bytes // (32 << 20))))
+        key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
         dup_tbl = duplicate_keys(key_ds, "clip_id")
         n_dup_keys = dup_tbl.num_rows
         import pyarrow.parquet as pq
@@ -168,24 +172,22 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
 def _write_partition_manifests(
     union: pa.Table, pending: dict[int, list[str]], ckpt_dir: str, run_id: str, schema: TableSchema
 ) -> None:
-    pid_col = union["partition_id"].to_numpy(zero_copy_only=False)
-    rec_type = union["record_type"].to_pylist()
+    # vectorized fold: group the (small) union output once with pandas —
+    # never a per-row Python loop over all partitions x rows
+    df = union.select(["record_type", "partition_id", "check", "stats_blob"]).to_pandas()
+    stats_df = df[df["record_type"] == "stats"]
+    viol_df = df[df["record_type"] == "violation"]
+    blobs_by_pid = {int(pid): sorted(g["stats_blob"].tolist()) for pid, g in stats_df.groupby("partition_id")}
+    vcounts_by_pid = {
+        int(pid): g["check"].value_counts().to_dict() for pid, g in viol_df.groupby("partition_id")
+    }
     for pid, files in pending.items():
-        mask = pid_col == pid
         stats = TableStats()
-        vcounts: collections.Counter = collections.Counter()
         # deterministic fold: sort stats blobs bytewise so merge order does
         # not depend on task completion order (resume determinism)
-        blobs = []
-        for i in range(union.num_rows):
-            if not mask[i]:
-                continue
-            if rec_type[i] == "stats":
-                blobs.append(union["stats_blob"][i].as_py())
-            else:
-                vcounts[union["check"][i].as_py()] += 1
-        for blob in sorted(blobs):
+        for blob in blobs_by_pid.get(pid, []):
             stats = stats.merge(deserialize(blob))
+        vcounts = collections.Counter({k: int(v) for k, v in vcounts_by_pid.get(pid, {}).items()})
         # violation ROWS are capped per batch; exact counts come from stats
         exact = _exact_violation_counts(stats, schema)
         for check, cnt in exact.items():
@@ -234,6 +236,8 @@ def _exact_violation_counts(stats: TableStats, schema: TableSchema) -> dict[str,
             (rpt.CHECK_SR_CONSISTENCY, a.sr_mismatches),
             (rpt.CHECK_DUR_CONSISTENCY, a.dur_mismatches),
             (rpt.CHECK_CODEC_CONSISTENCY, a.codec_mismatches),
+            (rpt.CHECK_AUDIO_SILENCE, a.silent_clips),
+            (rpt.CHECK_AUDIO_CLIPPING, a.clipped_clips),
         ):
             if v:
                 out[check] = v

@@ -43,6 +43,8 @@ CHECK_DECODE = "audio_decode"
 CHECK_SR_CONSISTENCY = "audio_sr_consistency"
 CHECK_DUR_CONSISTENCY = "audio_dur_consistency"
 CHECK_CODEC_CONSISTENCY = "audio_codec_consistency"
+CHECK_AUDIO_SILENCE = "audio_silence"
+CHECK_AUDIO_CLIPPING = "audio_clipping"
 CHECK_REFERENTIAL = "referential"
 CHECK_DRIFT = "drift"
 
@@ -98,6 +100,8 @@ class AudioStats:
     sr_mismatches: int = 0
     dur_mismatches: int = 0
     codec_mismatches: int = 0
+    silent_clips: int = 0
+    clipped_clips: int = 0
 
     def merge(self, other: "AudioStats") -> "AudioStats":
         return AudioStats(
@@ -106,6 +110,8 @@ class AudioStats:
             sr_mismatches=self.sr_mismatches + other.sr_mismatches,
             dur_mismatches=self.dur_mismatches + other.dur_mismatches,
             codec_mismatches=self.codec_mismatches + other.codec_mismatches,
+            silent_clips=self.silent_clips + other.silent_clips,
+            clipped_clips=self.clipped_clips + other.clipped_clips,
         )
 
 
@@ -237,7 +243,8 @@ def finalize_report(
     if stats.audio is not None:
         a = stats.audio
         audio_passed = (
-            a.decode_failures == 0 and a.sr_mismatches == 0 and a.dur_mismatches == 0 and a.codec_mismatches == 0
+            a.decode_failures == 0 and a.sr_mismatches == 0 and a.dur_mismatches == 0
+            and a.codec_mismatches == 0 and a.silent_clips == 0 and a.clipped_clips == 0
         )
         report["audio"] = {
             "rows_checked": a.rows,
@@ -245,6 +252,8 @@ def finalize_report(
             "sr_mismatches": a.sr_mismatches,
             "dur_mismatches": a.dur_mismatches,
             "codec_mismatches": a.codec_mismatches,
+            "silent_clips": a.silent_clips,
+            "clipped_clips": a.clipped_clips,
             "passed": audio_passed,
         }
         if not audio_passed:

@@ -62,6 +62,8 @@ V_SR_MISMATCH = "V4_sr_mismatch"
 V_DUR_MISMATCH = "V5_dur_mismatch"
 V_BAD_CODEC = "V6_codec_domain"
 V_BAD_MEASURE = "V7_bad_measures"
+V_SILENT = "V8_silent_audio"
+V_CLIPPED = "V9_clipped_audio"
 
 
 @dataclass(frozen=True)
@@ -94,7 +96,7 @@ class ClipGoldens:
 
 def _plan_violations(spec: ClipTableSpec) -> dict[str, np.ndarray]:
     """Pick disjoint, seed-determined row indices per violation kind."""
-    kinds = [V_DUP, V_NULL_TRANSCRIPT, V_CORRUPT_BYTES, V_SR_MISMATCH, V_DUR_MISMATCH, V_BAD_CODEC, V_BAD_MEASURE]
+    kinds = [V_DUP, V_NULL_TRANSCRIPT, V_CORRUPT_BYTES, V_SR_MISMATCH, V_DUR_MISMATCH, V_BAD_CODEC, V_BAD_MEASURE, V_SILENT, V_CLIPPED]
     if not spec.inject_violations:
         return {k: np.empty(0, dtype=np.int64) for k in kinds}
     rng = np.random.default_rng(spec.seed + 1_000_003)
@@ -204,6 +206,10 @@ def generate_shard(spec: ClipTableSpec, shard: int) -> pa.Table:
                 declared_dur = -dur
             else:
                 declared_sr = None  # null sr_hz
+        if in_kind[V_SILENT][j]:
+            pcm = pcm * 1e-5  # near-digital-silence (trips rms_db < -50)
+        if in_kind[V_CLIPPED][j]:
+            pcm = np.clip(pcm * 4.0, -0.999, 0.999)  # hard clipping
         blob = ac.encode(pcm, sr, enc_codec)
         if in_kind[V_CORRUPT_BYTES][j]:
             blob = blob[: max(10, len(blob) // 3)] if i % 2 == 0 else b"JUNK" + blob[4:]
@@ -258,7 +264,7 @@ def compute_goldens(spec: ClipTableSpec) -> ClipGoldens:
     if spec.hot_dup_copies:
         dup_ids = sorted(set(dup_ids) | {f"clip-{0:012d}"})
     g.violations[V_DUP] = dup_ids
-    for kind in (V_NULL_TRANSCRIPT, V_CORRUPT_BYTES, V_SR_MISMATCH, V_DUR_MISMATCH, V_BAD_CODEC, V_BAD_MEASURE):
+    for kind in (V_NULL_TRANSCRIPT, V_CORRUPT_BYTES, V_SR_MISMATCH, V_DUR_MISMATCH, V_BAD_CODEC, V_BAD_MEASURE, V_SILENT, V_CLIPPED):
         g.violations[kind] = sorted(f"clip-{int(i):012d}" for i in plan[kind])
     return g
 

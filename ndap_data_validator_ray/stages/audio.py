@@ -15,6 +15,12 @@ selection happens downstream in the stats/verdict kernel):
     _audio_sr:int32       container sample rate
     _audio_dur_ms:float64 decoded duration in ms (n_samples / sr * 1000)
 
+and, in full-decode mode, per-clip QA features (the audio-quality checks a
+speech-data pipeline runs on every clip — silence and clipping detection
+from framed RMS/spectral analysis, functions/audio_codec.audio_features):
+
+    _audio_rms_db, _audio_clipping_ratio, _audio_silence_ratio: float64
+
 Modes:
 - header mode (default): O(header) container parse per row — validates
   magic, chunk structure, payload length, sample rate, duration.
@@ -57,6 +63,10 @@ class AudioDecodeValidator:
         dur_ms = np.full(n, np.nan, dtype=np.float64)
         valid_sr = np.zeros(n, dtype=bool)
 
+        rms_db = np.full(n, np.nan, dtype=np.float64)
+        clipping = np.full(n, np.nan, dtype=np.float64)
+        silence = np.full(n, np.nan, dtype=np.float64)
+
         blobs = col.to_pylist()
         for i, blob in enumerate(blobs):
             if blob is None:
@@ -69,6 +79,10 @@ class AudioDecodeValidator:
                 if not np.all(np.isfinite(pcm)):
                     continue
                 n_samples = len(pcm)
+                feats = ac.audio_features(pcm, sr)
+                rms_db[i] = feats["rms_db"]
+                clipping[i] = feats["clipping_ratio"]
+                silence[i] = feats["silence_ratio"]
             else:
                 hdr = self._sniff(blob)
                 if hdr is None:
@@ -80,7 +94,12 @@ class AudioDecodeValidator:
             valid_sr[i] = True
             dur_ms[i] = n_samples / sr * 1000.0 if sr else float("nan")
 
-        return batch.append_column("_audio_ok", pa.array(ok)) \
+        out = batch.append_column("_audio_ok", pa.array(ok)) \
             .append_column("_audio_codec", pa.array(codecs, pa.string())) \
             .append_column("_audio_sr", pa.array(srs, pa.int32(), mask=~valid_sr)) \
             .append_column("_audio_dur_ms", pa.array(dur_ms, pa.float64(), mask=np.isnan(dur_ms)))
+        if self.full_decode:
+            out = out.append_column("_audio_rms_db", pa.array(rms_db, pa.float64(), mask=np.isnan(rms_db))) \
+                .append_column("_audio_clipping_ratio", pa.array(clipping, pa.float64(), mask=np.isnan(clipping))) \
+                .append_column("_audio_silence_ratio", pa.array(silence, pa.float64(), mask=np.isnan(silence)))
+        return out

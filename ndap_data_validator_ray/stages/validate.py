@@ -202,6 +202,19 @@ class ValidateBatch:
                 m = ok & np.array([d is not None and g is not None and d != g for d, g in zip(decl_codec, dec_codec)], dtype=bool)
                 a.codec_mismatches = int(m.sum())
                 self._emit(violations, m, keys, rpt.CHECK_CODEC_CONSISTENCY, "codec", decl_codec)
+            if "_audio_rms_db" in batch.column_names:
+                from ndap_data_validator_ray.functions.audio_codec import CLIPPING_RATIO_MAX, SILENCE_RMS_DB
+
+                rms = _np(pc.cast(batch["_audio_rms_db"], pa.float64()))
+                clip_ratio = _np(pc.cast(batch["_audio_clipping_ratio"], pa.float64()))
+                with np.errstate(invalid="ignore"):
+                    m = ok & ~np.isnan(rms) & (rms < SILENCE_RMS_DB)
+                a.silent_clips = int(m.sum())
+                self._emit(violations, m, keys, rpt.CHECK_AUDIO_SILENCE, "bytes", rms)
+                with np.errstate(invalid="ignore"):
+                    m = ok & ~np.isnan(clip_ratio) & (clip_ratio > CLIPPING_RATIO_MAX)
+                a.clipped_clips = int(m.sum())
+                self._emit(violations, m, keys, rpt.CHECK_AUDIO_CLIPPING, "bytes", clip_ratio)
             stats.audio = a
 
         for check, column, key, detail in violations:

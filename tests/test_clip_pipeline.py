@@ -58,6 +58,9 @@ def test_violation_row_sets_match_goldens(tiny_run):
     dur = _violation_keys(out, "T1", "audio_dur_consistency")
     assert set(goldens.violations[syn.V_DUR_MISMATCH]) <= dur
     assert dur - set(goldens.violations[syn.V_DUR_MISMATCH]) <= set(goldens.violations[syn.V_BAD_MEASURE])
+    # audio QA features: silent and clipped clips
+    assert _violation_keys(out, "T1", "audio_silence") == set(goldens.violations[syn.V_SILENT])
+    assert _violation_keys(out, "T1", "audio_clipping") == set(goldens.violations[syn.V_CLIPPED])
 
 
 def test_uniqueness_matches_goldens(tiny_run):
