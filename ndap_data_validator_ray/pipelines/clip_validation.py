@@ -95,6 +95,25 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     done = ckpt.completed_partitions(ckpt_dir, partitions) if cfg.resume else set()
     pending = {pid: fs for pid, fs in partitions.items() if pid not in done}
 
+    # launch the uniqueness key-scan CONCURRENTLY with the heavy pass: it
+    # reads one pruned column and shares the cluster; the streaming
+    # executors interleave, so its wall time hides under the decode stage
+    uniq_future = None
+    if cfg.check_unique:
+        import concurrent.futures
+
+        # single-column projection; coalesce small files so the key scan is
+        # not dominated by per-task overhead (~256MB of file footprint per
+        # read block; only the key column is read).  The Dataset (and its
+        # filesystem/path resolution) is built on the MAIN thread — lazy
+        # imports inside Ray's path utils are not thread-safe — and only
+        # EXECUTED in the worker thread.
+        total_bytes = sum(os.path.getsize(f) for f in files)
+        n_blocks = int(min(len(files), max(8, total_bytes // (256 << 20))))
+        key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
+        _uniq_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
+
     if pending:
         pending_files = [f for fs in pending.values() for f in fs]
         path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
@@ -131,13 +150,9 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
 
     dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     n_dup_keys = 0
-    if cfg.check_unique:
-        # single-column projection; coalesce tiny files into ~32MB read
-        # blocks so the key scan isn't dominated by per-task overhead
-        total_bytes = sum(os.path.getsize(f) for f in files)
-        n_blocks = int(min(len(files), max(8, total_bytes // (32 << 20))))
-        key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
-        dup_tbl = duplicate_keys(key_ds, "clip_id")
+    if uniq_future is not None:
+        dup_tbl = uniq_future.result()
+        _uniq_pool.shutdown(wait=False)
         n_dup_keys = dup_tbl.num_rows
         import pyarrow.parquet as pq
 

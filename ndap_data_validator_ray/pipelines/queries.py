@@ -774,6 +774,120 @@ FROM unn GROUP BY label ORDER BY label
 """
 
 
+
+
+def events_sessionization(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user — the stateful
+    ordered-window operator Ray Data lacks natively, expressed as a
+    bucketed groupby with per-user in-memory ordering (documented
+    partitioning assumption: one user's events fit one reducer)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts"], kind="stable")
+        gap = part["ts"].diff() > pd.Timedelta(minutes=30)
+        new_user = part["user_id"].ne(part["user_id"].shift())
+        sid = (gap | new_user).cumsum()
+        g = part.groupby(sid, sort=False).agg(
+            user_id=("user_id", "first"), session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        g["session_start"] = g["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        return g[["user_id", "session_start", "n_events"]]
+
+    out = bucketed_groupby(ds, ["user_id"], lambda b: b[["user_id", "ts"]], sessions).to_pandas()
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+
+
+_SESSIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary image/video columns; stubbed codecs, real Ray stages)
+# ---------------------------------------------------------------------------
+
+def _images_dir(n_rows: int = 240) -> str:
+    """Deterministic fake-image table cached under /tmp (no image libs in
+    this sandbox; containers are the documented deterministic fakes)."""
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.stages.multimodal import encode_fake_image, encode_fake_video
+
+    d = f"/tmp/ndap_mm_cache/images_{n_rows}"
+    if not os.path.exists(os.path.join(d, "part-00000.parquet")):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(42)
+        ids, blobs, vids = [], [], []
+        for i in range(n_rows):
+            h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            blob = encode_fake_image(img) if i % 10 else b"CORRUPT"
+            ids.append(f"img-{i:06d}")
+            blobs.append(blob)
+            frames = rng.integers(0, 255, (12, 8, 8, 3), dtype=np.uint8)
+            vids.append(encode_fake_video(frames))
+        tbl = pa.table(
+            {
+                "img_id": pa.array(ids, pa.string()),
+                "image": pa.array(blobs, pa.binary()),
+                "video": pa.array(vids, pa.binary()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "part-00000.parquet.tmp"))
+        os.replace(os.path.join(d, "part-00000.parquet.tmp"), os.path.join(d, "part-00000.parquet"))
+    return d
+
+
+def image_decode_features(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool image decode + feature extraction + thumbnail resize over
+    a binary image column (rows-only; codecs are deterministic fakes)."""
+    from ndap_data_validator_ray.stages.multimodal import ImageDecodeStage
+
+    d = _images_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "part-00000.parquet"), columns=["img_id", "image"])
+    out = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"bytes_col": "image", "resize_to": (8, 8)},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).to_pandas()
+    out = out[["img_id", "_img_ok", "_img_h", "_img_w", "_img_mean"]]
+    out["_img_mean"] = np.round(out["_img_mean"].astype(float), 4)
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def video_frame_samples(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool frame sampling: one output row per sampled frame
+    (rows-only; flat-map-shaped stage over binary video blobs)."""
+    from ndap_data_validator_ray.stages.multimodal import FrameSampleStage
+
+    d = _images_dir()
+    ds = ray.data.read_parquet(os.path.join(d, "part-00000.parquet"), columns=["img_id", "video"])
+    out = ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"bytes_col": "video", "id_col": "img_id", "stride": 5},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    ).to_pandas()
+    return out[["img_id", "frame_idx"]].sort_values(["img_id", "frame_idx"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -787,6 +901,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "orders_priority_stats": (orders_priority_stats, _ORDERS_PRIORITY_SQL),
     "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
+    "events_sessionization": (events_sessionization, _SESSIONS_SQL),
     "top_revenue_customers": (top_revenue_customers, _TOP_REVENUE_SQL),
     "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
     "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),
@@ -810,4 +925,6 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),
+    "image_decode_features": (image_decode_features, None),
+    "video_frame_samples": (video_frame_samples, None),
 }

@@ -62,6 +62,7 @@ class ColumnStats:
     domain_violations: int = 0
     range_violations: int = 0
     empty_strings: int = 0  # for not_empty (referential pairing) columns
+    custom_counts: dict = field(default_factory=dict)  # check name -> count
     hll: HyperLogLog | None = None
     tdigest: TDigest | None = None
 
@@ -76,6 +77,8 @@ class ColumnStats:
             range_violations=self.range_violations + other.range_violations,
             empty_strings=self.empty_strings + other.empty_strings,
         )
+        for k in set(self.custom_counts) | set(other.custom_counts):
+            out.custom_counts[k] = self.custom_counts.get(k, 0) + other.custom_counts.get(k, 0)
         if self.time_hist is not None or other.time_hist is not None:
             a = self.time_hist if self.time_hist is not None else np.zeros(timefmt.HIST_SIZE, dtype=np.int64)
             b = other.time_hist if other.time_hist is not None else np.zeros(timefmt.HIST_SIZE, dtype=np.int64)
@@ -191,6 +194,11 @@ def finalize_report(
         if spec.not_empty and cs.empty_strings > 0:
             passed = False
             reasons.append(f"Empty values detected ({cs.empty_strings} rows)")
+        for check in getattr(spec, "custom", ()):
+            n_bad = cs.custom_counts.get(check.name, 0)
+            if n_bad > 0:
+                passed = False
+                reasons.append(check.reason.format(n=n_bad))
 
         entry: dict[str, Any] = {
             "role": spec.role,

@@ -15,7 +15,7 @@ range, referential, audio consistency, drift) that the reference lacks.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 ROLE_OPTIONS = ["Location", "Time", "Measures", "Others"]
 MEASURE_TYPES = ["integer", "float"]
@@ -49,6 +49,20 @@ REASON_INCONSISTENT_TIME = "Inconsistent time formats across rows"
 
 
 @dataclass(frozen=True)
+class CustomCheck:
+    """User-extension point (SURVEY.md §2.11): a check is a vectorized
+    batch kernel returning a per-row violation mask; counting, violation-row
+    emission, merging and verdict assembly are handled by the engine (the
+    AggregateFnV2-shaped partial/merge/finalize contract).  ``kernel`` must
+    be a module-level callable (it is shipped to workers inside the schema
+    closure)."""
+
+    name: str
+    kernel: Callable  # (pyarrow.Array) -> np.ndarray[bool] violation mask
+    reason: str  # verdict reason template; "{n}" formats the count
+
+
+@dataclass(frozen=True)
 class ColumnSpec:
     """One column's logical type + constraints.
 
@@ -69,6 +83,7 @@ class ColumnSpec:
     drift: bool = False  # compare t-digest vs baseline snapshot
     track_cardinality: bool = False  # HLL sketch
     track_quantiles: bool = False  # t-digest sketch
+    custom: tuple = ()  # tuple[CustomCheck, ...] plugin checks
 
 
 @dataclass(frozen=True)
@@ -156,6 +171,31 @@ def schema_from_roles(
         for name, role in role_selection.items()
     )
     return TableSchema(columns=cols, rule_schema=rule_schema or DEFAULT_RULE_SCHEMA)
+
+
+def load_rule_schemas(path: str) -> str:
+    """Load named rule-schema bundles from a JSON file with the reference's
+    layout (``utils/validation_rules.json``: {version, defaultSchema,
+    schemas: {name: {role: {notNull, mandatory, numericOnly}}}}) into the
+    process-wide registry.  Unlike the reference — which re-reads the file
+    on every validate call (validation.py:234-237) — this is loaded once on
+    the driver and shipped to workers inside the TableSchema closure.
+    Returns the default schema name."""
+    import json as _json
+
+    with open(path) as f:
+        raw = _json.load(f)
+    for name, roles in (raw.get("schemas") or {}).items():
+        RULE_SCHEMAS[name] = {
+            role: {
+                "notNull": bool(flags.get("notNull", False)),
+                "mandatory": bool(flags.get("mandatory", False)),
+                "numericOnly": bool(flags.get("numericOnly", False)),
+            }
+            for role, flags in roles.items()
+            if isinstance(flags, dict)
+        }
+    return raw.get("defaultSchema") or DEFAULT_RULE_SCHEMA
 
 
 def to_json(schema: TableSchema) -> dict[str, Any]:

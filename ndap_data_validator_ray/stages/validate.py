@@ -162,6 +162,11 @@ class ValidateBatch:
                 cs.empty_strings = int(empty.sum())
                 self._emit(violations, empty, keys, rpt.CHECK_REFERENTIAL, spec.name)
 
+            for check in getattr(spec, "custom", ()):
+                bad = np.asarray(check.kernel(arr), dtype=bool)
+                cs.custom_counts[check.name] = int(bad.sum())
+                self._emit(violations, bad, keys, f"custom:{check.name}", spec.name)
+
             if spec.track_cardinality:
                 cs.hll = sk.HyperLogLog()
                 nn = arr.drop_null()

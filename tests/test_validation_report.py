@@ -115,3 +115,48 @@ def test_row_order_invariance():
     (a,) = _engine_report(df)
     (b,) = _engine_report(shuffled)
     assert a == b
+
+
+def _even_only_kernel(arr):
+    """Module-level custom kernel: odd values are violations."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    vals = pc.cast(arr, "float64").to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore"):
+        return ~np.isnan(vals) & (np.mod(vals, 2) != 0)
+
+
+def test_custom_check_plugin():
+    """SURVEY.md §2.11: plugin check = batch kernel -> mask; engine handles
+    counting, merge, verdict and violation rows."""
+    import pandas as pd
+
+    from ndap_data_validator_ray.schema import ColumnSpec, CustomCheck, TableSchema
+
+    schema = TableSchema(
+        columns=(
+            ColumnSpec(
+                "v",
+                role="Measures",
+                measure_type="integer",
+                custom=(CustomCheck("even_only", _even_only_kernel, "Odd values detected ({n} rows)"),),
+            ),
+        ),
+        enforce_role_coverage=False,
+    )
+    df = pd.DataFrame({"v": ["2", "4", "5", "7", "8"]})
+    # run through the real batch path, split into batches of 2
+    vb = ValidateBatch(schema, key_column=None)
+    total = TableStats()
+    blobs = []
+    for i in range(0, len(df), 2):
+        out = vb(pa.Table.from_pandas(df.iloc[i : i + 2], preserve_index=False))
+        for row in out.to_pylist():
+            if row["record_type"] == "stats":
+                blobs.append(row["stats_blob"])
+    for b in sorted(blobs):
+        total = total.merge(deserialize(b))
+    rep = finalize_report(schema, total)
+    assert rep["per_column"]["v"]["passed"] is False
+    assert "Odd values detected (2 rows)" in rep["per_column"]["v"]["reasons"]
