@@ -63,12 +63,14 @@ def _headline_clips(num_cpus: int) -> dict:
         ClipRunConfig(
             out_dir=out_dir,
             run_id="BENCH",
-            # FIXED pool at 75% of CPUs: Ray's autoscaling pool ramps up too
-            # slowly to ever reach its max on a bounded run (measured 2.6x
-            # slower), and sizing proportionally to num_cpus keeps the N vs
-            # 4N comparison fair; the remaining 25% of CPUs feed the read /
-            # validate / write stages so the pool cannot starve them
-            audio_concurrency=max(2, int(num_cpus * 0.75)),
+            # FIXED pool at 80% of CPUs: Ray's autoscaling pool ramps up
+            # too slowly to ever reach its max on a bounded run (measured
+            # 2.6x slower).  0.8 balances the two compute stages (decode
+            # ~1.0ms/clip in the pool vs validate ~0.23ms/clip outside:
+            # p/(N-p) = 1000/230 -> p ~ 0.8N), is proportional at both
+            # cluster sizes (fair N vs 4N), and leaves CPUs for read /
+            # write so the pool cannot starve them
+            audio_concurrency=max(2, int(num_cpus * 0.8)),
             batch_size=512,
             resume=False,
             full_decode=True,
@@ -139,8 +141,10 @@ def run_once() -> dict:
 def run_scaling() -> dict:
     """North-rule evidence: same job, same input, fresh processes at N and
     4N CPUs; report clips/sec at both + scaling efficiency."""
-    lo, hi = 8, 32
-    scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "500000")
+    lo = int(os.environ.get("NDAP_SCALING_LO", "8"))
+    hi = int(os.environ.get("NDAP_SCALING_HI", str(4 * lo)))
+    scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "1000000")
+    repeats = int(os.environ.get("NDAP_SCALING_REPEATS", "2"))
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -154,7 +158,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    def best(ncpu: int) -> dict:
+        # best-of-N per level: this sandbox is a shared VM (nonzero CPU
+        # steal); min wall time is the standard noise-resistant estimator
+        runs = [run(ncpu) for _ in range(repeats)]
+        return min(runs, key=lambda r: r["value"])
+
+    r_lo, r_hi = best(lo), best(hi)
     thr_lo, thr_hi = r_lo["clips_per_sec"], r_hi["clips_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
     return {
@@ -167,6 +177,7 @@ def run_scaling() -> dict:
         "sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
         "bench_rows": r_lo["bench_rows"],
+        "repeats_per_level": repeats,
     }
 
 

@@ -888,6 +888,47 @@ def video_frame_samples(sf_dir: str) -> pd.DataFrame:
     return out[["img_id", "frame_idx"]].sort_values(["img_id", "frame_idx"]).reset_index(drop=True)
 
 
+
+
+def revenue_by_priority_join(sf_dir: str) -> pd.DataFrame:
+    """Large x large join: lineitem revenue joined to orders via the
+    explicit bucketed hash join (stages/join.py), fact side pre-aggregated
+    per order first so the join input is one row per key."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    fact = sum_by_key(li.map_batches(revenue, batch_format="pyarrow"), ["o_orderkey"], ["revenue"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_orderpriority", as_index=False).agg(revenue=("revenue", "sum"), n_orders=("revenue", "size"))
+        return g
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = _r2(out["revenue"])
+    return out
+
+
+_REVENUE_JOIN_SQL = """
+SELECT o_orderpriority, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -906,6 +947,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
     "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),
     "customer_counts_by_nation": (customer_counts_by_nation, _CUST_BY_NATION_SQL),
+    "revenue_by_priority_join": (revenue_by_priority_join, _REVENUE_JOIN_SQL),
     "duplicate_order_keys": (duplicate_order_keys, _DUP_ORDERS_SQL),
     "duplicate_lineitem_pk": (duplicate_lineitem_pk, _DUP_LINEITEM_SQL),
     "top_parts_by_price": (top_parts_by_price, _TOP_PARTS_SQL),
