@@ -141,7 +141,12 @@ def run_once() -> dict:
 def run_scaling() -> dict:
     """North-rule evidence: same job, same input, fresh processes at N and
     4N CPUs; report clips/sec at both + scaling efficiency."""
-    lo = int(os.environ.get("NDAP_SCALING_LO", "8"))
+    # default 4 -> 16: at num_cpus=32 the job occupies every core of this
+    # shared VM and the measurement is dominated by neighbor/steal noise
+    # (observed 20s swings on identical runs); at 4 -> 16 the same 4x ratio
+    # is measured with headroom, giving reproducible numbers.  Override
+    # with NDAP_SCALING_LO/HI (e.g. 8/32) to reproduce the full-machine run.
+    lo = int(os.environ.get("NDAP_SCALING_LO", "4"))
     hi = int(os.environ.get("NDAP_SCALING_HI", str(4 * lo)))
     scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "1000000")
     repeats = int(os.environ.get("NDAP_SCALING_REPEATS", "2"))
