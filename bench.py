@@ -87,6 +87,8 @@ def _headline_clips(num_cpus: int) -> dict:
 _QUERY_NAMES = [
     "profile_lineitem",
     "tpch_q1",
+    "revenue_by_priority_join",
+    "events_sessionization",
     "events_hourly_activity",
     "top_revenue_customers",
     "duplicate_lineitem_pk",
