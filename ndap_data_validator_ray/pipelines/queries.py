@@ -929,6 +929,56 @@ GROUP BY o_orderpriority
 """
 
 
+
+
+def knn_embeddings_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer
+    trained on a driver sample, centroids broadcast, nprobe-cell search
+    (rows-only; the cluster-pruned ANN scale path)."""
+    from ndap_data_validator_ray.stages.similarity import ivf_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, qids, qmat, k=10, n_clusters=16, nprobe=6, concurrency=2)[
+        ["query_id", "neighbor_id", "rank"]
+    ]
+
+
+def subword_token_counts(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish sub-word token counts (word/number/punct regex splitter;
+    rows-only — the splitter is engine-defined)."""
+    from ndap_data_validator_ray.functions.text import bpe_ish_token_count
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"], "n_subword_tokens": bpe_ish_token_count(batch["text"])})
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def coerce_events_props(sf_dir: str) -> pd.DataFrame:
+    """Dtype-coercion transform as a standalone operator (reference
+    coerce_dataframe_to_selected_types): cast events columns to selected
+    logical dtypes and count resulting nulls per column."""
+    from ndap_data_validator_ray.pipelines.transform import coerce_table
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value", "props"])
+    coerced = coerce_table(
+        ds, {"event_id": "integer", "event_type": "category", "value": "float", "props": "string"}
+    )
+
+    def nulls(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pa.array([batch[c].null_count], pa.int64()) for c in batch.column_names})
+
+    parts = coerced.map_batches(nulls, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({f"{c}_nulls": [int(parts[c].sum())] for c in parts.columns})
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -964,9 +1014,16 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "ngram_jaccard_documents": (ngram_jaccard_documents, None),
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
+    "knn_embeddings_ivf": (knn_embeddings_ivf, None),
+    "subword_token_counts": (subword_token_counts, None),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),
     "image_decode_features": (image_decode_features, None),
     "video_frame_samples": (video_frame_samples, None),
+    "coerce_events_props": (coerce_events_props,
+        "SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls, "
+        "SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls, "
+        "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls, "
+        "SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls FROM events"),
 }

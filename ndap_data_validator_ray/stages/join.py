@@ -53,7 +53,8 @@ def bucketed_join(
         fields = []
         for name, typ in zip(sch.names, sch.types):
             if not isinstance(typ, pa.DataType):
-                typ = pa.from_numpy_dtype(np.dtype(typ))
+                npt = np.dtype(typ)
+                typ = pa.string() if npt == np.dtype(object) else pa.from_numpy_dtype(npt)
             fields.append(pa.field(name, typ))
         return fields
 

@@ -211,3 +211,94 @@ def embedding_near_duplicates(
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 31) -> np.ndarray:
+    """Tiny deterministic k-means (numpy) for the coarse quantizer."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(_normalize(sample) @ _normalize(centroids).T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+class IvfScorer:
+    """IVF probe: score only vectors whose nearest coarse centroid is one
+    of the query's ``nprobe`` closest centroids — the classic
+    inverted-file ANN layout (cluster-pruned search)."""
+
+    def __init__(self, queries_ref, centroids_ref, id_col: str, vec_col: str, k: int, nprobe: int):
+        q = ray.get(queries_ref)
+        self.q_ids = q["ids"]
+        self.q_mat = _normalize(q["matrix"])
+        self.centroids = _normalize(ray.get(centroids_ref))
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+        # per-query probe set: nprobe closest centroids
+        sims = self.q_mat @ self.centroids.T
+        self.probe = np.argsort(-sims, axis=1)[:, :nprobe]  # (n_queries, nprobe)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy()
+        assign = np.argmax(m @ self.centroids.T, axis=1)  # coarse cell per vector
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.q_ids):
+            rows = np.flatnonzero(np.isin(assign, self.probe[qi]))
+            if len(rows) == 0:
+                continue
+            sims = m[rows] @ self.q_mat[qi]
+            keep = rows[np.argsort(-sims)[: self.k]]
+            for r in keep:
+                out_q.append(qid)
+                out_v.append(ids[r])
+                out_s.append(float(m[r] @ self.q_mat[qi]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "sim": out_s})
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    concurrency: int | tuple = 4,
+) -> pd.DataFrame:
+    """IVF approximate top-k: train the coarse quantizer on a driver-side
+    sample, broadcast centroids once, probe only ``nprobe`` of
+    ``n_clusters`` cells per query (~nprobe/n_clusters of the corpus is
+    ever scored)."""
+    sample_rows = ds.limit(train_sample).to_pandas()
+    sample = _batch_matrix(sample_rows, vec_col)
+    centroids = _kmeans(sample, n_clusters)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    q_ref = ray.put({"ids": np.asarray(query_ids), "matrix": qm})
+    c_ref = ray.put(centroids)
+    partials = ds.map_batches(
+        IvfScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=q_ref, centroids_ref=c_ref, id_col=id_col, vec_col=vec_col, k=k, nprobe=nprobe
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        best = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.sim, -int(r.neighbor_id)))
+        for rank, r in enumerate(best, 1):
+            out.append((qid, r.neighbor_id, r.sim, rank))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim", "rank"]).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)

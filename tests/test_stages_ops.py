@@ -208,3 +208,52 @@ def test_validate_files_fold(tmp_path):
     assert by_file[f2]["failed_columns"] == ["period", "val"]
     # reference reason strings surface per file
     assert "Non-numeric values detected" in by_file[f2]["per_column"]["val"]["reasons"]
+
+
+def test_ivf_topk_recall(emb_dataset):
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    df, mat = emb_dataset
+    ds = ray.data.from_pandas(df)
+    qids = np.array([0, 1, 2, 3, 4])
+    exact = brute_force_topk(ds, qids, mat[:5], k=5, concurrency=2)
+    approx = ivf_topk(ds, qids, mat[:5], k=5, n_clusters=8, nprobe=3, concurrency=2)
+    hits, total = 0, 0
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        assert qi in a  # the query vector's own cell is always probed
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5, hits / total
+
+
+def test_bucketed_join_matches_pandas():
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(8)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 200), "x": rng.integers(0, 9, 200)})
+    right = pd.DataFrame({"k": np.arange(0, 50, 2), "name": [f"n{v}" for v in range(0, 50, 2)]})
+    got = (
+        bucketed_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on=["k"], how="inner", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "x"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right, on="k", how="inner").sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "x", "name"]].astype({"k": "int64", "x": "int64"}),
+        exp[["k", "x", "name"]].astype({"k": "int64", "x": "int64"}),
+    )
+
+
+def test_coerce_table_transform():
+    from ndap_data_validator_ray.pipelines.transform import coerce_table
+
+    df = pd.DataFrame({"a": ["1", "2.5", "x"], "b": ["yes", "no", "?"], "d": ["2020-01-01", "bad", None]})
+    out = coerce_table(
+        ray.data.from_pandas(df), {"a": "integer", "b": "boolean", "d": "date"}
+    ).to_pandas()
+    assert out["a"].tolist()[0] == 1 and pd.isna(out["a"]).tolist() == [False, True, True]
+    assert out["b"].tolist()[:2] == [True, False] and pd.isna(out["b"][2])
+    assert out["d"][0] == pd.Timestamp("2020-01-01") and pd.isna(out["d"][1])
