@@ -36,7 +36,14 @@ def _clips_rows_for(sf_dir: str) -> int:
     return {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 20000}.get(name, 2000)
 
 
+_RUN_CACHE: dict[str, dict] = {}
+
+
 def _run_clip_validation(sf_dir: str) -> dict:
+    """Flagship run, cached per sf_dir (several queries() entries view the
+    same run's report/violations; the driver calls them in one process)."""
+    if sf_dir in _RUN_CACHE:
+        return _RUN_CACHE[sf_dir]
     import tempfile
 
     from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
@@ -48,6 +55,7 @@ def _run_clip_validation(sf_dir: str) -> dict:
         ClipRunConfig(out_dir=out_dir, run_id="DRIVER", audio_concurrency=4, resume=False),
     )
     report["_out_dir"] = out_dir
+    _RUN_CACHE[sf_dir] = report
     return report
 
 

@@ -645,7 +645,7 @@ def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2)
+    out = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=(2, 8))
     return out
 
 
@@ -654,7 +654,7 @@ def simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
     from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=2)
+    return simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=(2, 8))
 
 
 def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
