@@ -110,48 +110,47 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
         # EXECUTED in the worker thread.
         total_bytes = sum(os.path.getsize(f) for f in files)
         n_blocks = int(min(len(files), max(8, total_bytes // (256 << 20))))
-        key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
         _uniq_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
+        try:
+            key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
+            uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
+        except Exception:
+            uniq_future = None  # corrupt shard: retried over healthy files below
 
+    failed_partitions: dict[int, str] = {}
     if pending:
-        pending_files = [f for fs in pending.values() for f in fs]
-        path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
-        ds = ray.data.read_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
-        ds = ds.map_batches(_attach_partition_id(path_to_pid), batch_format="pyarrow")
-        ds = ds.map_batches(
-            AudioDecodeValidator,
-            fn_constructor_kwargs={"full_decode": cfg.full_decode},
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.audio_concurrency,
-            num_cpus=1,
-        )
-        ds = ds.map_batches(
-            ValidateBatch(
-                schema,
-                key_column="clip_id",
-                violation_cap=cfg.violation_cap,
-                dur_tolerance_ms=cfg.dur_tolerance_ms,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-        )
-        union_dir = os.path.join(run_dir, "union")
-        ds.write_parquet(union_dir)
-
-        # union output is SMALL (violations + one stats row per batch):
-        # read it back, fold per partition, write manifests
-        union = pads.dataset(union_dir, format="parquet").to_table()
-        _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
+        try:
+            _run_validation_pass(pending, run_dir, ckpt_dir, cfg, schema, subdir="union")
+        except Exception:
+            # a corrupt shard aborts the whole streaming pass; fall back to
+            # per-partition execution so every healthy partition completes
+            # and only the broken ones are recorded as failed — the
+            # reference's per-file semantics (main.py:928-936): a failing
+            # file yields a failed record, never a job abort.  Failed
+            # partitions get NO manifest, so a later resume retries them.
+            for pid, fs in pending.items():
+                try:
+                    _run_validation_pass({pid: fs}, run_dir, ckpt_dir, cfg, schema, subdir=f"union-p{pid:05d}")
+                except Exception as exc:  # noqa: BLE001 - recorded, not raised
+                    failed_partitions[pid] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
     manifests = ckpt.load_manifests(ckpt_dir)
     total = ckpt.merged_stats(manifests)
 
     dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     n_dup_keys = 0
-    if uniq_future is not None:
-        dup_tbl = uniq_future.result()
+    if cfg.check_unique:
+        try:
+            if uniq_future is None:
+                raise RuntimeError("key scan not started (corrupt shard)")
+            dup_tbl = uniq_future.result()
+        except Exception:
+            # key scan hit the corrupt shard: retry over healthy files only
+            healthy = [
+                f for pid, fs in partitions.items() if pid not in failed_partitions for f in fs
+            ]
+            key_ds = ray.data.read_parquet(healthy, columns=["clip_id"])
+            dup_tbl = duplicate_keys(key_ds, "clip_id")
         _uniq_pool.shutdown(wait=False)
         n_dup_keys = dup_tbl.num_rows
         import pyarrow.parquet as pq
@@ -171,8 +170,11 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     report["partitions"] = {
         "total": len(partitions),
         "resumed_from_checkpoint": sorted(done),
-        "validated_this_run": sorted(pending),
+        "validated_this_run": sorted(pid for pid in pending if pid not in failed_partitions),
+        "failed": {str(pid): msg for pid, msg in sorted(failed_partitions.items())},
     }
+    if failed_partitions:
+        report["passed"] = False  # per-file fold: any failed file fails the run (main.py:926-936)
     report["violation_counts"] = _violation_counts_from_manifests(manifests)
     if cfg.check_unique:
         report["violation_counts"][rpt.CHECK_UNIQUE] = n_dup_keys
@@ -182,6 +184,47 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
         json.dump(report, f, indent=1, default=str)
     os.replace(os.path.join(run_dir, "report.json.tmp"), os.path.join(run_dir, "report.json"))
     return report
+
+
+def _run_validation_pass(
+    pending: dict[int, list[str]],
+    run_dir: str,
+    ckpt_dir: str,
+    cfg: ClipRunConfig,
+    schema: TableSchema,
+    subdir: str,
+) -> None:
+    """One streaming pass over ``pending`` partitions -> union output +
+    per-partition manifests."""
+    pending_files = [f for fs in pending.values() for f in fs]
+    path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
+    ds = ray.data.read_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
+    ds = ds.map_batches(_attach_partition_id(path_to_pid), batch_format="pyarrow")
+    ds = ds.map_batches(
+        AudioDecodeValidator,
+        fn_constructor_kwargs={"full_decode": cfg.full_decode},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.audio_concurrency,
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        ValidateBatch(
+            schema,
+            key_column="clip_id",
+            violation_cap=cfg.violation_cap,
+            dur_tolerance_ms=cfg.dur_tolerance_ms,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    union_dir = os.path.join(run_dir, subdir)
+    ds.write_parquet(union_dir)
+
+    # union output is SMALL (violations + one stats row per batch):
+    # read it back, fold per partition, write manifests
+    union = pads.dataset(union_dir, format="parquet").to_table()
+    _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
 
 
 def _write_partition_manifests(

@@ -85,6 +85,7 @@ def validate_files(
 
     results: list[dict[str, Any]] = []
     passed_all = True
+    file_errors: dict[int, str] = {}
     try:
         ds = ray.data.read_parquet(files, include_paths=True)
         union = ds.map_batches(attach, batch_format="pyarrow").map_batches(
@@ -92,17 +93,36 @@ def validate_files(
         )
         rows = pa.Table.from_pandas(union.to_pandas(), preserve_index=False)
         stats = _collect_stats(rows)
-    except Exception as exc:  # whole-read failure -> every file gets a failed record
-        for f in files:
-            results.append({"file": f, "passed": False, "error": str(exc), "failed_columns": [], "rows": 0})
-        return {"files": results, "passed": False}
+    except Exception:
+        # a broken file aborts the fused pass: fall back to per-file
+        # validation so healthy files still verdict and only broken ones
+        # get failed records (reference main.py:928-936 semantics)
+        stats = {}
+        for pid, f in enumerate(files):
+            try:
+                ds = ray.data.read_parquet([f], include_paths=True)
+                union = ds.map_batches(attach, batch_format="pyarrow").map_batches(
+                    ValidateBatch(tschema), batch_format="pyarrow"
+                )
+                rows = pa.Table.from_pandas(union.to_pandas(), preserve_index=False)
+                stats.update(_collect_stats(rows))
+            except Exception as exc:  # noqa: BLE001 - per-file failed record
+                file_errors[pid] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
     for pid, f in enumerate(files):
         st = stats.get(pid)
         if st is None:
             # file produced no batches (empty/unreadable): failed record,
             # run continues (reference main.py:928-936 semantics)
-            results.append({"file": f, "passed": False, "error": "no data", "failed_columns": [], "rows": 0})
+            results.append(
+                {
+                    "file": f,
+                    "passed": False,
+                    "error": file_errors.get(pid, "no data"),
+                    "failed_columns": [],
+                    "rows": 0,
+                }
+            )
             passed_all = False
             continue
         rep = finalize_report(tschema, st)

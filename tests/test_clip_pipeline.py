@@ -187,3 +187,42 @@ def test_drift_detection(clips_clean, tmp_path):
     )
     assert rep_same["per_column"]["dur_ms"]["drift"]["ks"] < 0.15
     assert rep_same["passed"] is True
+
+
+def test_corrupt_shard_fails_partition_not_job(clips_clean, tmp_path):
+    """A corrupt input shard yields a failed-partition record; every other
+    partition still completes (reference per-file semantics,
+    main.py:928-936), and a later resume retries only the broken one."""
+    import shutil
+
+    data_dir, spec, _ = clips_clean
+    broken_dir = str(tmp_path / "data")
+    os.makedirs(broken_dir)
+    for f in syn.clip_files(data_dir):
+        shutil.copy(f, broken_dir)
+    files = syn.clip_files(broken_dir)
+    with open(files[1], "wb") as f:
+        f.write(b"NOT A PARQUET FILE")
+
+    out = str(tmp_path / "run")
+    rep = validate_clips(broken_dir, ClipRunConfig(out_dir=out, run_id="FT", audio_concurrency=2))
+    assert rep["passed"] is False
+    assert list(rep["partitions"]["failed"].keys()) == ["1"]
+    assert rep["partitions"]["validated_this_run"] == [0, 2, 3]
+    # healthy partitions produced manifests; the broken one did not
+    assert sorted(os.listdir(os.path.join(out, "checkpoints"))) == [
+        "partition-00000.json",
+        "partition-00002.json",
+        "partition-00003.json",
+    ]
+    # rows scanned = the three healthy shards
+    healthy_rows = sum(pq.read_metadata(files[i]).num_rows for i in (0, 2, 3))
+    assert rep["rows"] == healthy_rows
+
+    # repair the shard; resume validates ONLY partition 1
+    shutil.copy(syn.clip_files(data_dir)[1], files[1])
+    rep2 = validate_clips(broken_dir, ClipRunConfig(out_dir=out, run_id="FT2", audio_concurrency=2))
+    assert rep2["partitions"]["resumed_from_checkpoint"] == [0, 2, 3]
+    assert rep2["partitions"]["validated_this_run"] == [1]
+    assert rep2["passed"] is True
+    assert rep2["rows"] == spec.n_rows

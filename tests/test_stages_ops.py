@@ -257,3 +257,22 @@ def test_coerce_table_transform():
     assert out["a"].tolist()[0] == 1 and pd.isna(out["a"]).tolist() == [False, True, True]
     assert out["b"].tolist()[:2] == [True, False] and pd.isna(out["b"][2])
     assert out["d"][0] == pd.Timestamp("2020-01-01") and pd.isna(out["d"][1])
+
+
+def test_validate_files_corrupt_file_fallback(tmp_path):
+    """A broken file in folder mode gets a failed record; healthy files
+    still produce real verdicts (main.py:928-936)."""
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.role_validation import validate_files
+
+    good = pa.table({"period": ["2020", "2021"], "val": ["1", "2"]})
+    f1, f2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(good, f1)
+    with open(f2, "wb") as f:
+        f.write(b"JUNK")
+    rep = validate_files([f1, f2], {"period": "Time", "val": "Measures"}, {"val": "integer"})
+    assert rep["passed"] is False
+    by_file = {r["file"]: r for r in rep["files"]}
+    assert by_file[f1]["passed"] is True and by_file[f1]["per_column"]["val"]["passed"] is True
+    assert by_file[f2]["passed"] is False and "error" in by_file[f2]
