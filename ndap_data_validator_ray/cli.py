@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     _ensure_ray(getattr(args, "num_cpus", None))
 
+    if args.cmd in ("validate", "baseline") and not os.path.isdir(args.data):
+        print(f"error: --data directory not found: {args.data}", file=sys.stderr)
+        return 2
+
     if args.cmd == "synth":
         from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
 

@@ -73,7 +73,11 @@ def coerce_integer(arr: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, int]:
         # inf % 1 -> nan != 0 -> counted fractional, matching pandas' inf
         # behavior in the reference expression (validation.py:43)
         fractional = ~np.isnan(vals) & (np.mod(vals, 1.0) != 0)
-    vals[fractional] = np.nan
+        # values outside int64 range: the reference CRASHES here
+        # (astype("Int64") raises on e.g. 9.2e18); the engine treats them
+        # as conversion errors instead — documented intentional deviation
+        out_of_range = ~np.isnan(vals) & ((vals < -(2.0**63)) | (vals >= 2.0**63))
+    vals[fractional | out_of_range] = np.nan
     mask = np.isnan(vals)
     out = pa.array(np.where(mask, 0, vals).astype(np.int64), pa.int64(), mask=mask)
     return out, int(mask.sum()) - int(before)

@@ -87,3 +87,54 @@ def test_batch_split_invariance():
         _, e = co.coerce_integer(pa.array(vals[i : i + 61], pa.string()))
         split_errs += e
     assert split_errs == whole_errs
+
+
+# ---------------------------------------------------------------------------
+# property-based conformance vs the pandas oracle
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_messy_value = st.one_of(
+    st.none(),
+    st.text(max_size=8),
+    st.integers(-10**6, 10**6).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda v: f"{v:.4g}"),
+    st.sampled_from(["", " ", "1.5", "-0.0", "1e3", "nan", "inf", "-inf", "0x10", "1_000", "+7", ".5", "5."]),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_messy_value, max_size=30), st.sampled_from(["integer", "float"]))
+def test_numeric_coercion_property(vals, mtype):
+    """Arbitrary messy strings: error counts and values match the pandas
+    reference semantics exactly (validation.py:40-57)."""
+    ser = pd.Series(vals, dtype=object)
+    try:
+        exp, exp_errs = oracle_coerce(ser, "Measures", mtype)
+    except TypeError:
+        # reference behavior: integer coercion CRASHES on values beyond
+        # int64 range; the engine nulls-and-counts them instead
+        # (documented deviation) — just require it not to crash
+        got, _ = co.coerce_by_role(pa.array(vals, pa.string()), "Measures", mtype)
+        assert len(got) == len(vals)
+        return
+    got, got_errs = co.coerce_by_role(pa.array(vals, pa.string()), "Measures", mtype)
+    assert got_errs == exp_errs
+    assert [None if v is None else float(v) for v in got.to_pylist()] == [
+        None if pd.isna(v) else float(v) for v in exp.tolist()
+    ]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=10)), max_size=25))
+def test_boolean_coercion_property(vals):
+    ser = pd.Series(vals, dtype=object).astype("string").str.strip().str.lower()
+    exp = ser.map(
+        lambda v: True if v in {"true", "t", "yes", "y", "1"} else (False if v in {"false", "f", "no", "n", "0"} else pd.NA)
+    )
+    exp_errs = max(int(exp.isna().sum()) - int(pd.Series(vals).isna().sum()), 0)
+    got, got_errs = co.coerce_boolean(pa.array(vals, pa.string()))
+    assert got_errs == exp_errs
+    assert got.to_pylist() == [None if pd.isna(v) else bool(v) for v in exp.tolist()]

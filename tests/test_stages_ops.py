@@ -276,3 +276,18 @@ def test_validate_files_corrupt_file_fallback(tmp_path):
     by_file = {r["file"]: r for r in rep["files"]}
     assert by_file[f1]["passed"] is True and by_file[f1]["per_column"]["val"]["passed"] is True
     assert by_file[f2]["passed"] is False and "error" in by_file[f2]
+
+
+def test_key_counts_extreme_hot_key_skew():
+    """A key with 50k copies (99% of rows) must neither skew a reducer
+    beyond its bucket nor miscount: batch partials mean the hot key ships
+    as one row per batch, not one per occurrence."""
+    from ndap_data_validator_ray.stages.dedup import duplicate_keys
+
+    hot = np.full(50_000, 7, dtype=np.int64)
+    cold = np.arange(100, 600, dtype=np.int64)
+    keys = np.concatenate([hot, cold, [100]])  # 100 duplicated once too
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(16)
+    dup = duplicate_keys(ds, "k").to_pandas()
+    got = dict(zip(dup["k"], dup["cnt"]))
+    assert got == {7: 50_000, 100: 2}
