@@ -979,6 +979,63 @@ def coerce_events_props(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({f"{c}_nulls": [int(parts[c].sum())] for c in parts.columns})
 
 
+
+
+def time_format_events(sf_dir: str) -> pd.DataFrame:
+    """Time-format kernel (M8, the 6 reference patterns) over a derived
+    period-string column: per-format counts + invalid count, computed with
+    the vectorized regex kernel and checked against DuckDB regexes."""
+    from ndap_data_validator_ray.functions import timefmt
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def derive_and_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        # deterministic mix of valid/invalid period spellings
+        year = batch["ts"].dt.strftime("%Y")
+        mon = batch["ts"].dt.strftime("%b-%Y")
+        mod = (batch["event_id"] % 10).to_numpy()
+        period = year.where(mod < 6, mon)
+        period = period.mask(mod == 9, "period-" + batch["event_id"].astype(str))
+        hist = timefmt.batch_histogram(pa.array(period.tolist(), pa.string()))
+        cols = {"n_invalid": [int(hist[0])]}
+        for k, (label, _p, _i) in enumerate(timefmt.TIME_PATTERNS):
+            cols[f"n_fmt{k}"] = [int(hist[1 + k])]
+        return pd.DataFrame(cols)
+
+    parts = ds.map_batches(derive_and_hist, batch_format="pandas").to_pandas()
+    return pd.DataFrame({c: [int(parts[c].sum())] for c in parts.columns})
+
+
+_TIME_FORMAT_SQL = r"""
+WITH derived AS (
+  SELECT CASE
+           WHEN event_id % 10 = 9 THEN 'period-' || CAST(event_id AS VARCHAR)
+           WHEN event_id % 10 < 6 THEN strftime(ts, '%Y')
+           ELSE strftime(ts, '%b-%Y')
+         END AS period
+  FROM events
+)
+SELECT
+  SUM(CASE WHEN NOT (
+        regexp_matches(trim(period), '^\d{4}$')
+        OR regexp_matches(trim(period), '^\d{4}-\d{2}$')
+        OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
+        OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$')
+        OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) - (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$')
+        OR regexp_matches(trim(period), '^(?i)(?:0?[1-9]|[12][0-9]|3[01])-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
+      ) THEN 1 ELSE 0 END) AS n_invalid,
+  SUM(CASE WHEN regexp_matches(trim(period), '^\d{4}$') THEN 1 ELSE 0 END) AS n_fmt0,
+  SUM(CASE WHEN NOT regexp_matches(trim(period), '^\d{4}$')
+            AND regexp_matches(trim(period), '^\d{4}-\d{2}$') THEN 1 ELSE 0 END) AS n_fmt1,
+  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS n_fmt2,
+  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS n_fmt3,
+  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) - (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS n_fmt4,
+  SUM(CASE WHEN NOT regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
+            AND regexp_matches(trim(period), '^(?i)(?:0?[1-9]|[12][0-9]|3[01])-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS n_fmt5
+FROM derived
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -993,6 +1050,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
     "events_sessionization": (events_sessionization, _SESSIONS_SQL),
+    "time_format_events": (time_format_events, _TIME_FORMAT_SQL),
     "top_revenue_customers": (top_revenue_customers, _TOP_REVENUE_SQL),
     "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
     "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),

@@ -14,8 +14,9 @@ tasks when a Ray session exists.
 Storage: Lance is the nominal target format (BASELINE.json:6); the ``lance``
 package is not available in this sandbox, so shards are written as Parquet
 (same columnar, fragment-per-file streaming read model via
-``ray.data.read_parquet``).  ``write_clips_dataset`` writes Lance when the
-package is importable.
+``ray.data.read_parquet``).  Swapping the shard writer/reader for Lance
+(``lance.write_dataset`` / ``ray.data.read_lance``) is a two-line change
+gated on the package being importable.
 """
 
 from __future__ import annotations
