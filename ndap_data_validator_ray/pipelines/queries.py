@@ -1036,6 +1036,80 @@ FROM derived
 """
 
 
+
+
+def supplier_stats_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Supplier account-balance stats per nation (broadcast dim join)."""
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
+
+    class Attach:
+        def __init__(self):
+            self.names = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["n_name"] = batch["s_nationkey"].astype(int).map(self.names)
+            return batch[["n_name", "s_acctbal"]]
+
+    out = (
+        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="sum_acctbal"),
+            Min("s_acctbal", alias_name="min_acctbal"),
+            Max("s_acctbal", alias_name="max_acctbal"),
+        )
+        .to_pandas()
+    )
+    out["sum_acctbal"] = _r2(out["sum_acctbal"])
+    return out
+
+
+_SUPPLIER_STATS_SQL = """
+SELECT n_name, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 2) AS sum_acctbal,
+       MIN(s_acctbal) AS min_acctbal, MAX(s_acctbal) AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def customers_by_region(sf_dir: str) -> pd.DataFrame:
+    """Two-level dimension chain (region <- nation <- customer) collapsed
+    into one broadcast lookup: a star-schema rollup with no shuffle of the
+    fact side beyond the tiny groupby."""
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    n_to_region = {
+        int(nk): region.set_index("r_regionkey")["r_name"].get(int(rk))
+        for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
+    }
+    ref = ray.put(n_to_region)
+
+    class Attach:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"r_name": batch["c_nationkey"].astype(int).map(self.lookup)})
+
+    return (
+        _read(sf_dir, "customer", columns=["c_nationkey"])
+        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+
+
+_CUST_BY_REGION_SQL = """
+SELECT r_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1055,6 +1129,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
     "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),
     "customer_counts_by_nation": (customer_counts_by_nation, _CUST_BY_NATION_SQL),
+    "supplier_stats_by_nation": (supplier_stats_by_nation, _SUPPLIER_STATS_SQL),
+    "customers_by_region": (customers_by_region, _CUST_BY_REGION_SQL),
     "revenue_by_priority_join": (revenue_by_priority_join, _REVENUE_JOIN_SQL),
     "duplicate_order_keys": (duplicate_order_keys, _DUP_ORDERS_SQL),
     "duplicate_lineitem_pk": (duplicate_lineitem_pk, _DUP_LINEITEM_SQL),
