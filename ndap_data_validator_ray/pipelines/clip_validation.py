@@ -218,13 +218,37 @@ def _run_validation_pass(
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
+    # merge the per-BATCH stats partials into one row per PARTITION inside
+    # the cluster: the driver fold then scales with partition count, never
+    # with batch count (at 10^12 rows, per-batch blobs would be billions)
+    ds = ds.groupby("partition_id").map_groups(_merge_partition_stats_group, batch_format="pandas")
     union_dir = os.path.join(run_dir, subdir)
     ds.write_parquet(union_dir)
 
-    # union output is SMALL (violations + one stats row per batch):
+    # union output is SMALL (violations + ONE stats row per partition):
     # read it back, fold per partition, write manifests
     union = pads.dataset(union_dir, format="parquet").to_table()
     _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
+
+
+def _merge_partition_stats_group(group: "pd.DataFrame") -> "pd.DataFrame":
+    """Reducer for one partition's union rows: violations pass through,
+    stats blobs fold into a single blob (deterministic bytewise order)."""
+    import pandas as pd
+
+    stats_mask = group["record_type"] == "stats"
+    blobs = sorted(group.loc[stats_mask, "stats_blob"].tolist())
+    if len(blobs) <= 1:
+        return group
+    total = TableStats()
+    for blob in blobs:
+        total = total.merge(deserialize(blob))
+    from ndap_data_validator_ray.functions.sketches import serialize
+
+    merged = group.loc[stats_mask].iloc[:1].copy()
+    merged["rows"] = int(total.rows)
+    merged["stats_blob"] = [serialize(total)]
+    return pd.concat([group.loc[~stats_mask], merged], ignore_index=True)
 
 
 def _write_partition_manifests(
