@@ -14,7 +14,7 @@ range, referential, audio consistency, drift) that the reference lacks.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 ROLE_OPTIONS = ["Location", "Time", "Measures", "Others"]

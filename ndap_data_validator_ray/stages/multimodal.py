@@ -14,7 +14,6 @@ from __future__ import annotations
 import struct
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _IMG_MAGIC = b"NDAPIMG\x00"
