@@ -13,7 +13,7 @@ Also times a set of representative query pipelines over ``$GRAFT_SF_DIR``
                                   # scaling efficiency (north rule evidence)
 
 Env: RAY_GRAFT_CPUS (default 32), GRAFT_SF_DIR, NDAP_BENCH_CLIPS (rows,
-default 20000).
+default 50000), NDAP_SCALING_CLIPS/LO/HI/REPEATS for --scaling.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def _headline_clips(num_cpus: int) -> dict:
     from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
     from ndap_data_validator_ray.sources.synthetic import ClipTableSpec, write_clips_dataset
 
-    n_rows = int(os.environ.get("NDAP_BENCH_CLIPS", "20000"))
+    n_rows = int(os.environ.get("NDAP_BENCH_CLIPS", "50000"))
     # the scaling run uses a much larger table (default 1M clips,
     # FIXTURES.md "bench") so compute dominates the per-run fixed costs
     # (actor-pool startup, read task fan-out) that would otherwise mask

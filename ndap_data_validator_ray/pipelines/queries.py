@@ -122,32 +122,37 @@ def tpch_q1(sf_dir: str) -> pd.DataFrame:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
     )
 
-    def derive(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("2000-01-01"))))
-        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
-        return batch.append_column("disc_price", disc).append_column("charge", charge)
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
-    out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Sum("charge", alias_name="sum_charge"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Mean("l_extendedprice", alias_name="avg_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-batch combiner: derive + pre-aggregate sums/counts (means
+        # are finalized from sums so the partial algebra stays additive)
+        b = b[b["l_shipdate"] < pd.Timestamp("2000-01-01")].copy()
+        b["disc_price"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        b["charge"] = b["disc_price"] * (1 + b["l_tax"])
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
         )
-        .to_pandas()
-    )
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    out = bucketed_groupby(ds, ["l_returnflag", "l_linestatus"], partial, merge, n_buckets=8).to_pandas()
+    out["avg_qty"] = _r6(out["sum_qty"] / out["count_order"])
+    out["avg_price"] = _r6(out["sum_base_price"] / out["count_order"])
+    out["avg_disc"] = _r6(out["sum_disc"] / out["count_order"])
+    out = out.drop(columns=["sum_disc"])
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
         out[c] = _r2(out[c])
-    for c in ("avg_qty", "avg_price", "avg_disc"):
-        out[c] = _r6(out[c])
-    return out
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+         "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order"]
+    ]
 
 
 _TPCH_Q1_SQL = """
