@@ -1115,6 +1115,71 @@ GROUP BY r_name
 """
 
 
+
+
+def events_props_json(sf_dir: str) -> pd.DataFrame:
+    """JSON scalar extraction (reference uses json loads for rules/state,
+    SURVEY §2.9): parse the ``props`` JSON column per batch, aggregate the
+    extracted field per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        ks = batch["props"].map(lambda v: _json.loads(v).get("k") if v else None)
+        g = pd.DataFrame({"event_type": batch["event_type"], "k": ks}).groupby(
+            "event_type", as_index=False
+        ).agg(sum_k=("k", "sum"), n=("k", "size"))
+        return g
+
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("event_type", as_index=False).sum()
+
+    out = bucketed_groupby(ds, ["event_type"], extract, merge, n_buckets=8).to_pandas()
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out[["event_type", "sum_k", "n"]]
+
+
+_PROPS_JSON_SQL = """
+SELECT event_type, CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def quantity_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact percentiles of a bounded discrete column via a distributed
+    counts histogram (the exact twin of the t-digest path): per-batch
+    bincount partials -> driver interpolation identical to SQL
+    quantile_cont."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(v, minlength=51)
+        return pa.table({"q": pa.array(np.arange(len(counts)), pa.int64()), "cnt": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("q")["cnt"].sum().sort_index()
+    values = np.repeat(counts.index.to_numpy(dtype=np.float64), counts.to_numpy())  # bounded domain: tiny
+    out = {}
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)):
+        out[name] = [float(np.round(np.quantile(values, q), 6))]
+    return pd.DataFrame(out)
+
+
+_QUANTITY_PCT_SQL = """
+SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1130,6 +1195,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
     "events_sessionization": (events_sessionization, _SESSIONS_SQL),
     "time_format_events": (time_format_events, _TIME_FORMAT_SQL),
+    "events_props_json": (events_props_json, _PROPS_JSON_SQL),
+    "quantity_percentiles": (quantity_percentiles, _QUANTITY_PCT_SQL),
     "top_revenue_customers": (top_revenue_customers, _TOP_REVENUE_SQL),
     "customers_without_orders": (customers_without_orders, _CUST_WO_ORDERS_SQL),
     "lineitem_orphans": (lineitem_orphans, _LINEITEM_ORPHANS_SQL),
