@@ -75,10 +75,13 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# NOTE: every SUM(CASE ...) oracle must be CAST(... AS BIGINT) — DuckDB
+# sums integers into HUGEINT, which value-hashes differently from the
+# engine's int64 even when the numbers are identical (round-1 lesson).
 _PROFILE_SQL = (
     "SELECT COUNT(*) AS n_rows, "
     + ", ".join(
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}_nulls"
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls"
         for c in ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate"]
     )
     + ", "
@@ -1021,22 +1024,22 @@ WITH derived AS (
   FROM events
 )
 SELECT
-  SUM(CASE WHEN NOT (
+  CAST(SUM(CASE WHEN NOT (
         regexp_matches(trim(period), '^\d{4}$')
         OR regexp_matches(trim(period), '^\d{4}-\d{2}$')
         OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
         OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$')
         OR regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) - (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$')
         OR regexp_matches(trim(period), '^(?i)(?:0?[1-9]|[12][0-9]|3[01])-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
-      ) THEN 1 ELSE 0 END) AS n_invalid,
-  SUM(CASE WHEN regexp_matches(trim(period), '^\d{4}$') THEN 1 ELSE 0 END) AS n_fmt0,
-  SUM(CASE WHEN NOT regexp_matches(trim(period), '^\d{4}$')
-            AND regexp_matches(trim(period), '^\d{4}-\d{2}$') THEN 1 ELSE 0 END) AS n_fmt1,
-  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS n_fmt2,
-  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS n_fmt3,
-  SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) - (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS n_fmt4,
-  SUM(CASE WHEN NOT regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
-            AND regexp_matches(trim(period), '^(?i)(?:0?[1-9]|[12][0-9]|3[01])-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS n_fmt5
+      ) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+  CAST(SUM(CASE WHEN regexp_matches(trim(period), '^\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt0,
+  CAST(SUM(CASE WHEN NOT regexp_matches(trim(period), '^\d{4}$')
+            AND regexp_matches(trim(period), '^\d{4}-\d{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt1,
+  CAST(SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt2,
+  CAST(SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt3,
+  CAST(SUM(CASE WHEN regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) - (?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec),\s*\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt4,
+  CAST(SUM(CASE WHEN NOT regexp_matches(trim(period), '^(?i)(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$')
+            AND regexp_matches(trim(period), '^(?i)(?:0?[1-9]|[12][0-9]|3[01])-(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)-\d{4}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_fmt5
 FROM derived
 """
 
@@ -1228,8 +1231,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "image_decode_features": (image_decode_features, None),
     "video_frame_samples": (video_frame_samples, None),
     "coerce_events_props": (coerce_events_props,
-        "SELECT SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls, "
-        "SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls, "
-        "SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls, "
-        "SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls FROM events"),
+        "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
+        "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "
+        "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls, "
+        "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls FROM events"),
 }
