@@ -110,7 +110,9 @@ def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int =
     """Rolling (Rabin-Karp) hash fingerprints of character windows —
     the classic winnowing building block for near-dup document sketches."""
     if len(text) < window:
-        return np.array([hash(text) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        # stable short-text fallback: builtin hash() is salted per process
+        h = pd.util.hash_array(np.array([text], dtype=object), categorize=False)[0]
+        return np.array([h & np.uint64(0x7FFFFFFFFFFFFFFF)], dtype=np.uint64)
     vals = np.frombuffer(text.encode("utf-8", "replace")[: len(text)], dtype=np.uint8)
     n = len(vals)
     if n < window:

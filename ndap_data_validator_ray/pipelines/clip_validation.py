@@ -223,6 +223,12 @@ def _run_validation_pass(
     # with batch count (at 10^12 rows, per-batch blobs would be billions)
     ds = ds.groupby("partition_id").map_groups(_merge_partition_stats_group, batch_format="pandas")
     union_dir = os.path.join(run_dir, subdir)
+    # write_parquet appends; a prior attempt that died between its union
+    # write and its manifest writes would leave files this read-back fold
+    # would double-count on resume — each attempt owns the subdir exclusively
+    import shutil
+
+    shutil.rmtree(union_dir, ignore_errors=True)
     ds.write_parquet(union_dir)
 
     # union output is SMALL (violations + ONE stats row per partition):

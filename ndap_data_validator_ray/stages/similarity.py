@@ -49,9 +49,11 @@ class BruteForceScorer:
         ids = batch[self.id_col].to_numpy()
         k = min(self.k, len(ids))
         out_q, out_v, out_s = [], [], []
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # per-query local top-k
         for qi, qid in enumerate(self.q_ids):
-            rows = top[:, qi]
+            # deterministic local top-k on the composite (sim desc, id asc):
+            # exact-duplicate embeddings tying at the k-th similarity keep
+            # the lowest ids, matching the driver merge / SQL tie-break
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             for r in rows:
                 out_q.append(qid)
                 out_v.append(ids[r])

@@ -53,14 +53,25 @@ class PartitionManifest:
 
 def lineage_id_for(files: list[str]) -> str:
     """Content address of a partition: hash of its sorted file basenames +
-    sizes (deterministic for resume; SURVEY.md §4.1 'determinism of run ids')."""
+    sizes + a first/last-4KB content sample (deterministic for resume;
+    SURVEY.md §4.1 'determinism of run ids').  The sample makes this a real
+    content address — an in-place rewrite that preserves the byte size
+    still invalidates the manifest — while staying O(8KB) per file and
+    stable across copies/moves (mtime is deliberately NOT included)."""
     h = hashlib.sha256()
     for f in sorted(files):
         try:
             size = os.path.getsize(f)
+            with open(f, "rb") as fh:
+                head = fh.read(4096)
+                if size > 8192:
+                    fh.seek(-4096, os.SEEK_END)
+                tail = fh.read(4096) if size > 4096 else b""
         except OSError:
-            size = -1
+            size, head, tail = -1, b"", b""
         h.update(f"{os.path.basename(f)}:{size};".encode())
+        h.update(head)
+        h.update(tail)
     return h.hexdigest()[:16]
 
 

@@ -149,6 +149,25 @@ def test_resume_from_checkpoints(clips_tiny, tmp_path):
             assert r[k] == e[k], (col, k)
 
 
+def test_resume_never_double_counts_stale_union(clips_tiny, tmp_path):
+    """A run that dies between its union write and its manifest writes
+    leaves union files behind; resuming with the SAME run_id must not fold
+    those stale files into the rebuilt manifest (each attempt owns the
+    union subdir exclusively — counts stay identical, never doubled)."""
+    data_dir, spec, goldens = clips_tiny
+    out = str(tmp_path)
+    rep1 = validate_clips(data_dir, ClipRunConfig(out_dir=out, run_id="R", audio_concurrency=2))
+    # simulate the mid-write death: manifest gone, union files still present
+    ck = os.path.join(out, "checkpoints")
+    os.remove(os.path.join(ck, sorted(os.listdir(ck))[0]))
+    rep2 = validate_clips(data_dir, ClipRunConfig(out_dir=out, run_id="R", audio_concurrency=2))
+    assert rep2["partitions"]["validated_this_run"] == [0]
+    assert rep2["rows"] == rep1["rows"]
+    assert rep2["violation_counts"] == rep1["violation_counts"]
+    for col, e in rep1["per_column"].items():
+        assert rep2["per_column"][col]["nulls"] == e["nulls"]
+
+
 def test_rerun_is_noop_and_stable(clips_tiny, tmp_path):
     """Re-validating with checkpoints present re-validates nothing and
     reproduces the same report (idempotent merge, no double-counting)."""
