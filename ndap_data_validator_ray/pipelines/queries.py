@@ -94,20 +94,28 @@ _PROFILE_SQL = (
 
 
 def distinct_counts_lineitem(sf_dir: str) -> pd.DataFrame:
-    """Exact distinct counts via per-batch unique partials merged on the
-    driver (scale path is the HLL sketch — see clips report)."""
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    """Exact distinct counts, scale-safe: per-batch unique (col, val)
+    pairs -> bucketed per-bucket nunique -> sum of bucket partials.  Each
+    distinct value lands in exactly ONE bucket, so per-bucket nunique sums
+    exactly; the driver only ever sees <= n_buckets x n_cols partial rows,
+    never the distinct values themselves (the approximate twin is the HLL
+    sketch in the clips report)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
-    def uniq(batch: pa.Table) -> pa.Table:
-        names, vals = [], []
-        for c in batch.column_names:
-            u = pc.unique(batch[c])
-            names.extend([c] * len(u))
-            vals.append(u)
-        return pa.table({"col": pa.array(names, pa.string()), "val": pa.concat_arrays([v.cast(pa.int64()) for v in vals])})
+    cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
 
-    parts = ds.map_batches(uniq, batch_format="pyarrow").to_pandas()
-    n = parts.groupby("col")["val"].nunique()
+    def uniq(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [pd.DataFrame({"col": c, "val": batch[c].unique()}) for c in cols], ignore_index=True
+        )
+
+    def bucket_nunique(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("col")["val"].nunique()
+        return pd.DataFrame({"col": g.index.to_numpy(), "n": g.to_numpy().astype(np.int64)})
+
+    parts = bucketed_groupby(ds, ["col", "val"], uniq, bucket_nunique).to_pandas()
+    n = parts.groupby("col")["n"].sum()
     return pd.DataFrame(
         {"orderkeys": [int(n["l_orderkey"])], "partkeys": [int(n["l_partkey"])], "suppkeys": [int(n["l_suppkey"])]}
     )
@@ -295,26 +303,18 @@ ORDER BY revenue DESC, o_custkey ASC LIMIT 10
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Anti-join via broadcast key set (referential orphan check J1)."""
-    keys = set(
-        _read(sf_dir, "orders", columns=["o_custkey"])
-        .map_batches(lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}), batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
-    )
-    ref = ray.put(keys)
+    """Referential orphan check (J1) as a bounded-memory Bloom anti-join:
+    bloom-miss rows are definite orphans (no shuffle), bloom-hit rows are
+    verified by the exact bucketed anti join — never an O(keys) driver
+    set (stages/bloom.py)."""
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
 
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["c_custkey"].isin(self.keys)]
-
-    out = (
-        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
-        .map_batches(AntiFilter, batch_format="pandas", concurrency=2)
-        .to_pandas()
-    )
+    out = bloom_anti_join(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        probe_on="c_custkey",
+        build_on="o_custkey",
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"), "c_name": pd.Series([], dtype=object)})
     return out.sort_values("c_custkey").reset_index(drop=True)
@@ -329,26 +329,15 @@ ORDER BY c_custkey
 
 def lineitem_orphans(sf_dir: str) -> pd.DataFrame:
     """Referential check: lineitems whose order key has no orders row
-    (broadcast Bloom-style key set; exact set here)."""
-    keys = set(
-        _read(sf_dir, "orders", columns=["o_orderkey"])
-        .map_batches(lambda t: pa.table({"k": pc.unique(t["o_orderkey"])}), batch_format="pyarrow")
-        .to_pandas()["k"]
-    )
-    ref = ray.put(keys)
+    (Bloom prefilter + exact bucketed anti-join verify — stages/bloom.py)."""
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
 
-    class AntiFilter:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch[~batch["l_orderkey"].isin(self.keys)]
-
-    out = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
-        .map_batches(AntiFilter, batch_format="pandas", concurrency=2)
-        .to_pandas()
-    )
+    out = bloom_anti_join(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]),
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        probe_on="l_orderkey",
+        build_on="o_orderkey",
+    ).to_pandas()
     if out.empty:
         return pd.DataFrame(
             {"l_orderkey": pd.Series([], dtype="int64"), "l_linenumber": pd.Series([], dtype="int32")}
@@ -465,25 +454,14 @@ ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 20
 # ---------------------------------------------------------------------------
 
 def dedup_exact_documents(sf_dir: str) -> pd.DataFrame:
-    """Exact content dedup groups: min doc_id + copy count per distinct text
-    (hash-partition groupby; content kept to make collisions harmless)."""
+    """Exact content dedup groups: min doc_id + copy count per distinct
+    text, through the bucketed two-phase stage (stages/dedup.py — the
+    shuffle key is a B-way bucket, never one raw key per document)."""
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["_h"] = pd.util.hash_array(batch["text"].to_numpy(dtype=object), categorize=False).astype(np.int64)
-        return batch
-
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
-        return g[["doc_id", "n_copies"]]
-
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("_h")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-    )
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = exact_dedup_counts(ds, ["text"], "doc_id", count_col="n_copies").to_pandas()
+    return out[["doc_id", "n_copies"]].sort_values("doc_id").reset_index(drop=True)
 
 
 _DEDUP_EXACT_SQL = """

@@ -73,3 +73,34 @@ def exact_dedup(ds: "ray.data.Dataset", content_cols: list[str], keep_col: str) 
         )
 
     return bucketed_groupby(ds, content_cols, partial, first_per_content, n_buckets=64)
+
+
+def exact_dedup_counts(
+    ds: "ray.data.Dataset",
+    content_cols: list[str],
+    keep_col: str,
+    count_col: str = "n_copies",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Exact dedup GROUPS: min-``keep_col`` + copy count per distinct
+    content, via the bucketed two-phase path (the shuffle key is the B-way
+    bucket, never the raw per-document content hash — raw-key
+    ``Dataset.groupby`` is 10-15x slower at high cardinality, BASELINE.md).
+
+    Shuffles (content, min_keep, partial_count) batch partials; content
+    rides along so hash-bucket collisions can never merge distinct
+    documents.  100TB note: at extreme scale shuffle (hash, id) pairs and
+    verify colliding hashes in a second pass instead of shipping content."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(content_cols, as_index=False, sort=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (keep_col, "size")}
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(content_cols, as_index=False, sort=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (count_col, "sum")}
+        )
+
+    return bucketed_groupby(ds, content_cols, partial, merge, n_buckets)

@@ -40,7 +40,9 @@ def bucketed_join(
     """Hash-partitioned join of two Datasets on ``on`` columns.
 
     Returns a Dataset of merged rows (pandas-merge semantics per bucket).
-    ``how`` supports inner/left/right (outer would need null-bucket care).
+    ``how`` supports inner/left/right plus "anti" (left rows with no right
+    match, left columns only — the exact verify leg of
+    ``stages/bloom.bloom_anti_join``); outer would need null-bucket care.
     """
 
     import pyarrow as pa
@@ -93,6 +95,9 @@ def bucketed_join(
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group[_SIDE_COL] == 0][left_cols]
         r = group[group[_SIDE_COL] == 1][right_cols]
+        if how == "anti":
+            flagged = l.merge(r[on].drop_duplicates(), on=on, how="left", indicator=True)
+            return flagged[flagged["_merge"] == "left_only"][left_cols]
         return l.merge(r, on=on, how=how, suffixes=suffixes)
 
     return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")

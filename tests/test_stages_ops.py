@@ -291,3 +291,99 @@ def test_key_counts_extreme_hot_key_skew():
     dup = duplicate_keys(ds, "k").to_pandas()
     got = dict(zip(dup["k"], dup["cnt"]))
     assert got == {7: 50_000, 100: 2}
+
+
+# ---------------------------------------------------------------------------
+# Bloom anti-join + counted exact dedup (round-2 scale paths)
+# ---------------------------------------------------------------------------
+
+def test_bloom_filter_no_false_negatives():
+    from ndap_data_validator_ray.stages.bloom import BloomFilter
+
+    rng = np.random.default_rng(3)
+    present = rng.integers(0, 1 << 40, 5000)
+    absent = rng.integers(1 << 41, 1 << 42, 5000)
+    bf = BloomFilter.sized_for(len(present), fp_rate=0.01)
+    bf.add(present)
+    assert bf.contains(present).all()  # never a false negative
+    assert bf.contains(absent).mean() < 0.05  # fp rate in the right ballpark
+    assert len(bf.contains(np.array([], dtype=np.int64))) == 0
+
+
+def test_bloom_filter_string_keys():
+    from ndap_data_validator_ray.stages.bloom import BloomFilter
+
+    keys = np.array([f"clip-{i:08d}" for i in range(2000)], dtype=object)
+    bf = BloomFilter.sized_for(len(keys))
+    bf.add(keys)
+    assert bf.contains(keys).all()
+    other = np.array([f"other-{i}" for i in range(2000)], dtype=object)
+    assert bf.contains(other).mean() < 0.05
+
+
+def test_bucketed_join_anti_matches_pandas():
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 60, 300), "x": np.arange(300)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 3)})
+    got = (
+        bucketed_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on=["k"], how="anti", n_buckets=8)
+        .to_pandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    exp = left[~left["k"].isin(right["k"])].sort_values("x").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "x"]].astype("int64"), exp[["k", "x"]].astype("int64")
+    )
+
+
+def test_bloom_anti_join_finds_exact_orphans():
+    """End-to-end: definite (bloom-miss) and verified (bloom-hit false
+    positives) legs together return exactly the orphan set."""
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
+
+    rng = np.random.default_rng(11)
+    build_keys = rng.choice(np.arange(0, 20_000), size=8000, replace=False)
+    probe_keys = np.arange(0, 25_000)  # 5000+ guaranteed orphans
+    probe = pd.DataFrame({"pk": probe_keys, "payload": probe_keys * 2})
+    build = pd.DataFrame({"bk": build_keys})
+    got = (
+        bloom_anti_join(
+            ray.data.from_pandas(probe).repartition(8),
+            ray.data.from_pandas(build).repartition(4),
+            probe_on="pk",
+            build_on="bk",
+            fp_rate=0.05,
+        )
+        .to_pandas()
+        .sort_values("pk")
+        .reset_index(drop=True)
+    )
+    exp = probe[~probe["pk"].isin(build_keys)].sort_values("pk").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_exact_dedup_counts_matches_pandas():
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts
+
+    rng = np.random.default_rng(13)
+    texts = [f"doc body {i % 37}" for i in range(500)]
+    df = pd.DataFrame({"doc_id": rng.permutation(500), "text": texts})
+    got = (
+        exact_dedup_counts(ray.data.from_pandas(df).repartition(8), ["text"], "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["text", "doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"}),
+        exp[["text", "doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"}),
+    )
