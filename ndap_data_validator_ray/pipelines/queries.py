@@ -181,10 +181,9 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def orders_priority_stats(sf_dir: str) -> pd.DataFrame:
+def _orders_priority_agg(ds: "ray.data.Dataset") -> pd.DataFrame:
     out = (
-        _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
-        .groupby("o_orderpriority")
+        ds.groupby("o_orderpriority")
         .aggregate(
             Count(alias_name="n_orders"),
             Sum("o_totalprice", alias_name="sum_total"),
@@ -195,6 +194,35 @@ def orders_priority_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["sum_total"] = _r2(out["sum_total"])
     return out
+
+
+def orders_priority_stats(sf_dir: str) -> pd.DataFrame:
+    return _orders_priority_agg(_read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"]))
+
+
+def _csv_copy(sf_dir: str, table: str, columns: list[str]) -> str:
+    """CSV copy of a parquet table cached under /tmp — the reference's
+    native ingest format (main.py:120-125); atomic write, per-sf cache."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    d = os.path.join("/tmp/ndap_csv_cache", os.path.basename(os.path.normpath(sf_dir)))
+    path = os.path.join(d, f"{table}.csv")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tbl = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+        pacsv.write_csv(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def csv_orders_priority_stats(sf_dir: str) -> pd.DataFrame:
+    """S1 end-to-end through the CSV reader path (sources/readers.read_table
+    with format='csv'): same aggregate, same oracle, CSV ingest."""
+    from ndap_data_validator_ray.sources.readers import read_table
+
+    path = _csv_copy(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return _orders_priority_agg(read_table(path, format="csv"))
 
 
 _ORDERS_PRIORITY_SQL = """
@@ -353,19 +381,15 @@ ORDER BY l_orderkey, l_linenumber
 
 
 def customer_counts_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast dim join, Arrow-native (stages/broadcast.ArrowLookup)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
-
-    class Attach:
-        def __init__(self):
-            self.names = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"n_name": batch["c_nationkey"].astype(int).map(self.names)})
-
+    lookup = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     return (
-        _read(sf_dir, "customer", columns=["c_nationkey"])
-        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        attach_lookup(
+            _read(sf_dir, "customer", columns=["c_nationkey"]), lookup, "c_nationkey", "n_name", keep=["n_name"]
+        )
         .groupby("n_name")
         .aggregate(Count(alias_name="n_customers"))
         .to_pandas()
@@ -967,6 +991,78 @@ def coerce_events_props(sf_dir: str) -> pd.DataFrame:
 
 
 
+_BOOL_TOKEN_CYCLE = np.array(
+    ["true", "T", " yes ", "Y", "1", "false", "No", "0", "", "maybe"], dtype=object
+)
+
+
+def coerce_bool_dates_events(sf_dir: str) -> pd.DataFrame:
+    """Boolean + date coercion kernels (M4/M5, reference
+    ``_coerce_to_boolean``/``_coerce_to_datetime`` validation.py:60-85)
+    over deterministically derived string columns: token-table booleans
+    (strip+lower) and date parsing with coerce-to-null, aggregated as
+    additive per-batch partials."""
+    from ndap_data_validator_ray.functions.coercion import coerce_boolean, coerce_datetime
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tok = _BOOL_TOKEN_CYCLE[(batch["event_id"] % 10).to_numpy()]
+        b, _ = coerce_boolean(pa.array(tok, pa.string()))
+        bs = b.to_pandas()
+        dmod = (batch["event_id"] % 5).to_numpy()
+        dstr = batch["ts"].dt.strftime("%Y-%m-%d").where(pd.Series(dmod < 4, index=batch.index), "not-a-date")
+        d, _ = coerce_datetime(pa.array(dstr.to_numpy(), pa.string()), date_only=True)
+        dser = d.to_pandas()
+        return pd.DataFrame(
+            {
+                "b_true": [int((bs == True).sum())],  # noqa: E712 - nullable bool
+                "b_false": [int((bs == False).sum())],  # noqa: E712
+                "b_nulls": [int(bs.isna().sum())],
+                "d_nulls": [int(dser.isna().sum())],
+                "d_min": [dser.min()],
+                "d_max": [dser.max()],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "b_true": [int(parts["b_true"].sum())],
+            "b_false": [int(parts["b_false"].sum())],
+            "b_nulls": [int(parts["b_nulls"].sum())],
+            "d_nulls": [int(parts["d_nulls"].sum())],
+            "d_min": [pd.to_datetime(parts["d_min"]).min().strftime("%Y-%m-%d")],
+            "d_max": [pd.to_datetime(parts["d_max"]).max().strftime("%Y-%m-%d")],
+        }
+    )
+
+
+_COERCE_BOOL_DATES_SQL = """
+WITH derived AS (
+  SELECT CASE event_id % 10
+           WHEN 0 THEN 'true' WHEN 1 THEN 'T' WHEN 2 THEN ' yes ' WHEN 3 THEN 'Y'
+           WHEN 4 THEN '1' WHEN 5 THEN 'false' WHEN 6 THEN 'No' WHEN 7 THEN '0'
+           WHEN 8 THEN '' ELSE 'maybe' END AS tok,
+         CASE WHEN event_id % 5 < 4 THEN strftime(ts, '%Y-%m-%d') ELSE 'not-a-date' END AS dstr
+  FROM events
+), coerced AS (
+  SELECT CASE WHEN lower(trim(tok)) IN ('true','t','yes','y','1') THEN TRUE
+              WHEN lower(trim(tok)) IN ('false','f','no','n','0') THEN FALSE
+              ELSE NULL END AS b,
+         TRY_CAST(dstr AS DATE) AS d
+  FROM derived
+)
+SELECT CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_true,
+       CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b_false,
+       CAST(SUM(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_nulls,
+       CAST(SUM(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d_nulls,
+       strftime(MIN(d), '%Y-%m-%d') AS d_min,
+       strftime(MAX(d), '%Y-%m-%d') AS d_max
+FROM coerced
+"""
+
+
 def time_format_events(sf_dir: str) -> pd.DataFrame:
     """Time-format kernel (M8, the 6 reference patterns) over a derived
     period-string column: per-format counts + invalid count, computed with
@@ -1025,21 +1121,20 @@ FROM derived
 
 
 def supplier_stats_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Supplier account-balance stats per nation (broadcast dim join)."""
+    """Supplier account-balance stats per nation (Arrow-native broadcast
+    dim join — stages/broadcast.ArrowLookup)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    ref = ray.put(dict(zip(nat["n_nationkey"].astype(int), nat["n_name"])))
-
-    class Attach:
-        def __init__(self):
-            self.names = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["n_name"] = batch["s_nationkey"].astype(int).map(self.names)
-            return batch[["n_name", "s_acctbal"]]
-
+    lookup = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     out = (
-        _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        attach_lookup(
+            _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]),
+            lookup,
+            "s_nationkey",
+            "n_name",
+            keep=["n_name", "s_acctbal"],
+        )
         .groupby("n_name")
         .aggregate(
             Count(alias_name="n_suppliers"),
@@ -1065,24 +1160,18 @@ def customers_by_region(sf_dir: str) -> pd.DataFrame:
     """Two-level dimension chain (region <- nation <- customer) collapsed
     into one broadcast lookup: a star-schema rollup with no shuffle of the
     fact side beyond the tiny groupby."""
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+
     region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
     n_to_region = {
         int(nk): region.set_index("r_regionkey")["r_name"].get(int(rk))
         for nk, rk in zip(nation["n_nationkey"], nation["n_regionkey"])
     }
-    ref = ray.put(n_to_region)
-
-    class Attach:
-        def __init__(self):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"r_name": batch["c_nationkey"].astype(int).map(self.lookup)})
-
     return (
-        _read(sf_dir, "customer", columns=["c_nationkey"])
-        .map_batches(Attach, batch_format="pandas", concurrency=2)
+        attach_lookup(
+            _read(sf_dir, "customer", columns=["c_nationkey"]), n_to_region, "c_nationkey", "r_name", keep=["r_name"]
+        )
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"))
         .to_pandas()
@@ -1172,6 +1261,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         "COUNT(DISTINCT l_suppkey) AS suppkeys FROM lineitem"),
     "tpch_q1": (tpch_q1, _TPCH_Q1_SQL),
     "orders_priority_stats": (orders_priority_stats, _ORDERS_PRIORITY_SQL),
+    "csv_orders_priority_stats": (csv_orders_priority_stats, _ORDERS_PRIORITY_SQL),
+    "coerce_bool_dates_events": (coerce_bool_dates_events, _COERCE_BOOL_DATES_SQL),
     "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
     "events_sessionization": (events_sessionization, _SESSIONS_SQL),

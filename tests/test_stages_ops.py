@@ -387,3 +387,46 @@ def test_exact_dedup_counts_matches_pandas():
         got[["text", "doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"}),
         exp[["text", "doc_id", "n_copies"]].astype({"doc_id": "int64", "n_copies": "int64"}),
     )
+
+
+def test_native_join_matches_bucketed_join():
+    """Keeps BASELINE.md's bucketed-vs-native join equivalence claim from
+    rotting: both joins produce identical rows on the revenue-join shape
+    (fact pre-aggregated per key >< dimension)."""
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(21)
+    fact = pd.DataFrame({"o_orderkey": rng.integers(0, 500, 2000)})
+    fact["revenue"] = rng.random(2000) * 100
+    fact = fact.groupby("o_orderkey", as_index=False)["revenue"].sum()
+    orders = pd.DataFrame({"o_orderkey": np.arange(0, 600), "o_orderpriority": [f"P{v % 5}" for v in range(600)]})
+
+    bucketed = (
+        bucketed_join(ray.data.from_pandas(fact), ray.data.from_pandas(orders), on=["o_orderkey"], how="inner")
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    native = (
+        ray.data.from_pandas(fact)
+        .join(ray.data.from_pandas(orders), join_type="inner", num_partitions=4, on=("o_orderkey",))
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    cols = ["o_orderkey", "revenue", "o_orderpriority"]
+    pd.testing.assert_frame_equal(bucketed[cols], native[cols], check_dtype=False)
+
+
+def test_arrow_lookup_attach():
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+
+    df = pd.DataFrame({"k": [1, 2, 3, 99], "x": [10, 20, 30, 40]})
+    out = (
+        attach_lookup(ray.data.from_pandas(df), {1: "a", 2: "b", 3: "c"}, "k", "name")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["name"].tolist()[:3] == ["a", "b", "c"]
+    assert pd.isna(out["name"].iloc[3])  # unmatched key -> null, .map semantics
