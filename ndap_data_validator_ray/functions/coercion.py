@@ -33,6 +33,57 @@ import pyarrow.compute as pc
 _TRUE_TOKENS = ["true", "t", "yes", "y", "1"]
 _FALSE_TOKENS = ["false", "f", "no", "n", "0"]
 
+DATATYPE_OPTIONS = ["string", "integer", "float", "boolean", "date", "datetime", "category"]
+
+_TIME_NAME_TOKENS = ("date", "time", "year", "month")
+
+
+def guess_datatype_option(t: pa.DataType) -> str:
+    """Reference ``guess_datatype_option_for_series`` (validation.py:22-31),
+    dtype-driven on the Arrow type: anything not numeric/bool/temporal
+    falls back to string.  Schema-only — never scans data."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    return "string"
+
+
+def guess_role(t: pa.DataType, column_name: str = "") -> tuple[str, str | None]:
+    """Reference ``guess_role_for_series`` (validation.py:189-197): Time by
+    temporal dtype or name token (date/time/year/month), Measures by
+    numeric dtype (with measure type), else Others."""
+    name = (column_name or "").lower()
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or any(tok in name for tok in _TIME_NAME_TOKENS):
+        return "Time", None
+    if pa.types.is_integer(t):
+        return "Measures", "integer"
+    if pa.types.is_floating(t):
+        return "Measures", "float"
+    return "Others", None
+
+
+def infer_dataset_roles(ds) -> dict[str, tuple[str, str | None]]:
+    """Role/measure-type inference for every column of a Dataset from its
+    schema alone (no data scan — parquet metadata carries the types; the
+    reference did this per-series on a loaded DataFrame).  Handles both
+    Arrow-backed and pandas-backed (PandasBlockSchema) datasets."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: guess_role(f.type, f.name) for f in base}
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            npt = np.dtype(typ)
+            typ = pa.string() if npt == np.dtype(object) else pa.from_numpy_dtype(npt)
+        out[name] = guess_role(typ, name)
+    return out
+
 
 def _as_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     if isinstance(arr, pa.ChunkedArray):

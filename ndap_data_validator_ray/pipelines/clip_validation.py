@@ -28,6 +28,7 @@ import os
 from dataclasses import dataclass, field
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.dataset as pads
 
@@ -74,11 +75,27 @@ def _partition_assignment(files: list[str], files_per_partition: int) -> dict[in
 
 def _attach_partition_id(path_to_pid: dict[str, int]):
     def fn(batch: pa.Table) -> pa.Table:
-        paths = batch["path"].to_pylist()
-        pids = pa.array([path_to_pid.get(p, -1) for p in paths], pa.int64())
+        # dictionary-encode first: the Python dict lookup runs once per
+        # DISTINCT path (~1 per block), not once per row
+        enc = batch["path"].combine_chunks().dictionary_encode()
+        mapped = np.array([path_to_pid.get(p, -1) for p in enc.dictionary.to_pylist()], dtype=np.int64)
+        pids = pa.array(mapped[enc.indices.to_numpy(zero_copy_only=False)], pa.int64())
         return batch.drop_columns(["path"]).append_column(PARTITION_COL, pids)
 
     return fn
+
+
+class _DecodeValidateStage:
+    """Fused actor stage: audio decode (ST5 stateful pool) + the stateless
+    validation kernel in one ``__call__`` — the decoded batch dies inside
+    the actor instead of riding the object store to a second stage."""
+
+    def __init__(self, full_decode: bool, validator: ValidateBatch):
+        self.decode = AudioDecodeValidator(full_decode=full_decode)
+        self.validate = validator
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.validate(self.decode(batch))
 
 
 def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None = None) -> dict[str, Any]:
@@ -200,23 +217,27 @@ def _run_validation_pass(
     path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
     ds = ray.data.read_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
     ds = ds.map_batches(_attach_partition_id(path_to_pid), batch_format="pyarrow")
+    # decode + validation FUSED into one actor stage: an actor (decode)
+    # stage and a task (validate) stage cannot be fused by Ray, so split
+    # stages would push the full decoded stream (~15GB/1M clips) through
+    # the object store a second time just to shrink it to violation/stats
+    # rows; fused, the actor emits only the tiny union records and one
+    # pool serves both compute bodies (better CPU balance at any size)
     ds = ds.map_batches(
-        AudioDecodeValidator,
-        fn_constructor_kwargs={"full_decode": cfg.full_decode},
+        _DecodeValidateStage,
+        fn_constructor_kwargs={
+            "full_decode": cfg.full_decode,
+            "validator": ValidateBatch(
+                schema,
+                key_column="clip_id",
+                violation_cap=cfg.violation_cap,
+                dur_tolerance_ms=cfg.dur_tolerance_ms,
+            ),
+        },
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.audio_concurrency,
         num_cpus=1,
-    )
-    ds = ds.map_batches(
-        ValidateBatch(
-            schema,
-            key_column="clip_id",
-            violation_cap=cfg.violation_cap,
-            dur_tolerance_ms=cfg.dur_tolerance_ms,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
     )
     # merge the per-BATCH stats partials into one row per PARTITION inside
     # the cluster: the driver fold then scales with partition count, never

@@ -1063,6 +1063,27 @@ FROM coerced
 """
 
 
+def infer_roles_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Schema-only role/dtype inference (reference guess_role_for_series /
+    guess_datatype_option_for_series, validation.py:22-31,189-197): one row
+    per column, no data scan (rows-only: engine-defined labels)."""
+    from ndap_data_validator_ray.functions.coercion import guess_datatype_option, infer_dataset_roles
+
+    ds = _read(sf_dir, "lineitem")
+    roles = infer_dataset_roles(ds)
+    sch = ds.schema().base_schema
+    rows = [
+        {
+            "column": f.name,
+            "role": roles[f.name][0],
+            "measure_type": roles[f.name][1] or "",
+            "datatype": guess_datatype_option(f.type),
+        }
+        for f in sch
+    ]
+    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
 def time_format_events(sf_dir: str) -> pd.DataFrame:
     """Time-format kernel (M8, the 6 reference patterns) over a derived
     period-string column: per-format counts + invalid count, computed with
@@ -1263,6 +1284,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "orders_priority_stats": (orders_priority_stats, _ORDERS_PRIORITY_SQL),
     "csv_orders_priority_stats": (csv_orders_priority_stats, _ORDERS_PRIORITY_SQL),
     "coerce_bool_dates_events": (coerce_bool_dates_events, _COERCE_BOOL_DATES_SQL),
+    "infer_roles_lineitem": (infer_roles_lineitem, None),
     "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
     "events_sessionization": (events_sessionization, _SESSIONS_SQL),

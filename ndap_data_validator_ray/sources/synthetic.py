@@ -80,6 +80,12 @@ class ClipTableSpec:
     hot_dup_copies: int = 0  # extra copies of one hot clip_id (skew); 0=off
     drift_tail: bool = False  # last 5% of rows: shifted dur_ms distribution
     inject_violations: bool = True
+    # parquet row-group size (rows).  One row group per shard (the pyarrow
+    # default) makes shards unsplittable: Ray Data cannot parallelize
+    # within a file or split blocks without re-reading the whole shard.
+    # ~2048 rows x ~15KB = ~30MB row groups give the reader real split
+    # points (Lance fragments have the same sub-file granularity).
+    row_group_size: int = 2048
 
     def cache_key(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()
@@ -289,7 +295,7 @@ def write_clips_dataset(out_dir: str, spec: ClipTableSpec, overwrite: bool = Fal
     def _write_one(shard: int) -> None:
         tbl = generate_shard(spec, shard)
         tmp = os.path.join(out_dir, f".part-{shard:05d}.parquet.tmp")
-        pq.write_table(tbl, tmp, compression="zstd")
+        pq.write_table(tbl, tmp, compression="zstd", row_group_size=spec.row_group_size)
         os.replace(tmp, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
 
     import ray

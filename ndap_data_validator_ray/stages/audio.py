@@ -79,7 +79,9 @@ class AudioDecodeValidator:
                 if not np.all(np.isfinite(pcm)):
                     continue
                 n_samples = len(pcm)
-                feats = ac.audio_features(pcm, sr)
+                # spectral=False: the verdict only consumes rms/clipping/
+                # silence; skipping the per-clip FFT halves stage CPU
+                feats = ac.audio_features(pcm, sr, spectral=False)
                 rms_db[i] = feats["rms_db"]
                 clipping[i] = feats["clipping_ratio"]
                 silence[i] = feats["silence_ratio"]

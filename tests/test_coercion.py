@@ -138,3 +138,55 @@ def test_boolean_coercion_property(vals):
     got, got_errs = co.coerce_boolean(pa.array(vals, pa.string()))
     assert got_errs == exp_errs
     assert got.to_pylist() == [None if pd.isna(v) else bool(v) for v in exp.tolist()]
+
+
+def test_guess_datatype_option_matches_reference_semantics():
+    """Reference guess_datatype_option_for_series (validation.py:22-31) on
+    Arrow types: int->integer, float->float, bool->boolean,
+    timestamp->datetime, everything else->string."""
+    import pyarrow as pa
+
+    from ndap_data_validator_ray.functions.coercion import guess_datatype_option
+
+    assert guess_datatype_option(pa.int64()) == "integer"
+    assert guess_datatype_option(pa.int32()) == "integer"
+    assert guess_datatype_option(pa.float64()) == "float"
+    assert guess_datatype_option(pa.bool_()) == "boolean"
+    assert guess_datatype_option(pa.timestamp("us")) == "datetime"
+    assert guess_datatype_option(pa.string()) == "string"
+    assert guess_datatype_option(pa.binary()) == "string"
+
+
+def test_guess_role_matches_reference_semantics():
+    """Reference guess_role_for_series (validation.py:189-197): temporal
+    dtype OR name token -> Time; numeric -> Measures(+type); else Others.
+    Name tokens win over numeric dtype, as in the reference's ordering."""
+    import pyarrow as pa
+
+    from ndap_data_validator_ray.functions.coercion import guess_role
+
+    assert guess_role(pa.timestamp("us"), "ts") == ("Time", None)
+    assert guess_role(pa.string(), "order_date") == ("Time", None)
+    assert guess_role(pa.int64(), "birth_year") == ("Time", None)  # name token beats dtype
+    assert guess_role(pa.int64(), "qty") == ("Measures", "integer")
+    assert guess_role(pa.float64(), "price") == ("Measures", "float")
+    assert guess_role(pa.string(), "name") == ("Others", None)
+
+
+def test_infer_dataset_roles_schema_only():
+    import pandas as pd
+
+    import ray.data
+
+    from ndap_data_validator_ray.functions.coercion import infer_dataset_roles
+
+    df = pd.DataFrame(
+        {"ship_date": pd.to_datetime(["2020-01-01"]), "qty": [1], "price": [1.5], "flag": ["A"]}
+    )
+    roles = infer_dataset_roles(ray.data.from_pandas(df))
+    assert roles == {
+        "ship_date": ("Time", None),
+        "qty": ("Measures", "integer"),
+        "price": ("Measures", "float"),
+        "flag": ("Others", None),
+    }
