@@ -597,7 +597,10 @@ FROM documents ORDER BY doc_id
 
 
 def lang_id_documents(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language ID (rows-only: not SQL-expressible)."""
+    """Heuristic language ID, oracled: the DuckDB twin counts per-language
+    stopword hits with list_filter over the same word regex and applies
+    the same first-max-wins tie-break (SQL generated from the very profile
+    tables the engine uses, so they cannot drift apart)."""
     from ndap_data_validator_ray.functions.text import detect_language
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -612,14 +615,48 @@ def lang_id_documents(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _lang_id_sql() -> str:
+    from ndap_data_validator_ray.functions.text import _LANG_PROFILES
+
+    hit_exprs = []
+    for lang, words in _LANG_PROFILES.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        hit_exprs.append(
+            f"COALESCE(array_length(list_filter(ws, x -> list_contains([{lst}], x))), 0) AS h_{lang}"
+        )
+    langs = list(_LANG_PROFILES)
+    greatest = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN 'und' "
+    # first-max-wins in profile declaration order == the engine's strict->
+    case += " ".join(f"WHEN h_{l} = {greatest} THEN '{l}'" for l in langs)
+    case += " ELSE 'und' END"
+    return f"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ws FROM documents
+), hits AS (
+  SELECT doc_id, {', '.join(hit_exprs)} FROM words
+)
+SELECT doc_id, {case} AS detected_lang FROM hits ORDER BY doc_id
+"""
+
+
 def quality_scores_documents(sf_dir: str) -> pd.DataFrame:
-    """Quality features + scalar score (rows-only)."""
+    """Quality features + scalar score, oracled: every feature ratio and
+    the clipped score formula have an exact DuckDB twin (floats rounded
+    to 6 on both sides per the module convention)."""
     from ndap_data_validator_ray.functions.text import quality_features, quality_score
+
+    float_cols = [
+        "mean_token_len", "punct_ratio", "digit_ratio", "upper_ratio",
+        "stopword_ratio", "repetition_ratio", "quality",
+    ]
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         f = quality_features(batch["text"])
         f.insert(0, "doc_id", batch["doc_id"].to_numpy())
         f["quality"] = quality_score(batch["text"])
+        for c in float_cols:
+            f[c] = _r6(f[c])
         return f
 
     return (
@@ -629,6 +666,50 @@ def quality_scores_documents(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def _quality_sql() -> str:
+    from ndap_data_validator_ray.functions.text import _LANG_PROFILES
+
+    en = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    return rf"""
+WITH base AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+    length(t) AS n_chars,
+    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> x <> '') AS toks,
+    COALESCE(array_length(regexp_extract_all(t, '[^\w\s]')), 0) AS punct,
+    COALESCE(array_length(regexp_extract_all(t, '\d')), 0) AS digits,
+    COALESCE(array_length(regexp_extract_all(t, '[A-Z]')), 0) AS uppr,
+    regexp_extract_all(lower(t), '[a-z'']+') AS ws
+  FROM base
+), r AS (
+  SELECT doc_id, n_chars,
+    COALESCE(array_length(toks), 0) AS n_tokens,
+    CAST(GREATEST(n_chars, 1) AS DOUBLE) / GREATEST(COALESCE(array_length(toks), 0), 1) AS mean_token_len,
+    CAST(punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+    CAST(digits AS DOUBLE) / GREATEST(n_chars, 1) AS digit_ratio,
+    CAST(uppr AS DOUBLE) / GREATEST(n_chars, 1) AS upper_ratio,
+    CAST(COALESCE(array_length(list_filter(ws, x -> list_contains([{en}], x))), 0) AS DOUBLE)
+      / GREATEST(COALESCE(array_length(ws), 0), 1) AS stopword_ratio,
+    1.0 - CAST(COALESCE(array_length(list_distinct(toks)), 0) AS DOUBLE)
+      / GREATEST(COALESCE(array_length(toks), 0), 1) AS repetition_ratio
+  FROM feat
+)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND(mean_token_len, 6) AS mean_token_len,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(digit_ratio, 6) AS digit_ratio,
+  ROUND(upper_ratio, 6) AS upper_ratio,
+  ROUND(stopword_ratio, 6) AS stopword_ratio,
+  ROUND(repetition_ratio, 6) AS repetition_ratio,
+  ROUND(0.4 * LEAST(GREATEST(n_tokens / 20.0, 0), 1)
+      + 0.2 * (1.0 - LEAST(GREATEST(punct_ratio * 3, 0), 1))
+      + 0.2 * (1.0 - LEAST(GREATEST(digit_ratio * 3, 0), 1))
+      + 0.2 * (1.0 - LEAST(GREATEST((repetition_ratio - 0.3) * 2, 0), 1)), 6) AS quality
+FROM r ORDER BY doc_id
+"""
 
 
 def fingerprints_documents(sf_dir: str) -> pd.DataFrame:
@@ -954,9 +1035,50 @@ def knn_embeddings_ivf(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def drift_ks_quantity(sf_dir: str) -> pd.DataFrame:
+    """Exact KS statistic between two halves of lineitem (split by
+    l_orderkey parity) — the DuckDB-oracled exact twin of the drift
+    check's t-digest KS (A12, state/baseline.py): distributed bincount
+    partials per group -> exact CDFs -> max |F0 - F1| on the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = (batch["l_orderkey"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        out_g, out_q, out_c = [], [], []
+        for g in (0, 1):
+            counts = np.bincount(q[grp == g], minlength=51)
+            nz = np.flatnonzero(counts)
+            out_g.extend([g] * len(nz))
+            out_q.extend(nz.tolist())
+            out_c.extend(counts[nz].tolist())
+        return pa.table(
+            {"grp": pa.array(out_g, pa.int64()), "q": pa.array(out_q, pa.int64()), "c": pa.array(out_c, pa.int64())}
+        )
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    pivot = parts.groupby(["grp", "q"])["c"].sum().unstack(fill_value=0)  # bounded domain: tiny
+    domain = sorted(pivot.columns)
+    f0 = np.cumsum([pivot.loc[0].get(q, 0) for q in domain]) / pivot.loc[0].sum()
+    f1 = np.cumsum([pivot.loc[1].get(q, 0) for q in domain]) / pivot.loc[1].sum()
+    return pd.DataFrame({"ks": [float(np.round(np.max(np.abs(f0 - f1)), 6))]})
+
+
+_DRIFT_KS_SQL = """
+WITH qs AS (SELECT DISTINCT l_quantity AS q FROM lineitem),
+g0 AS (SELECT l_quantity AS q, COUNT(*) AS c FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+g1 AS (SELECT l_quantity AS q, COUNT(*) AS c FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+c0 AS (SELECT qs.q, SUM(COALESCE(g0.c, 0)) OVER (ORDER BY qs.q)
+         / (SELECT CAST(SUM(c) AS DOUBLE) FROM g0) AS f FROM qs LEFT JOIN g0 ON qs.q = g0.q),
+c1 AS (SELECT qs.q, SUM(COALESCE(g1.c, 0)) OVER (ORDER BY qs.q)
+         / (SELECT CAST(SUM(c) AS DOUBLE) FROM g1) AS f FROM qs LEFT JOIN g1 ON qs.q = g1.q)
+SELECT ROUND(MAX(ABS(c0.f - c1.f)), 6) AS ks FROM c0 JOIN c1 ON c0.q = c1.q
+"""
+
+
 def subword_token_counts(sf_dir: str) -> pd.DataFrame:
-    """BPE-ish sub-word token counts (word/number/punct regex splitter;
-    rows-only — the splitter is engine-defined)."""
+    """BPE-ish sub-word token counts (word/number/punct regex splitter),
+    oracled via DuckDB ``regexp_extract_all`` with the same pattern."""
     from ndap_data_validator_ray.functions.text import bpe_ish_token_count
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1306,8 +1428,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "doc_stats_by_lang": (doc_stats_by_lang, _DOC_STATS_SQL),
     "token_counts_documents": (token_counts_documents, _TOKEN_COUNTS_SQL),
     "char_stats_documents": (char_stats_documents, _CHAR_STATS_SQL),
-    "lang_id_documents": (lang_id_documents, None),
-    "quality_scores_documents": (quality_scores_documents, None),
+    "lang_id_documents": (lang_id_documents, _lang_id_sql()),
+    "quality_scores_documents": (quality_scores_documents, _quality_sql()),
     "fingerprints_documents": (fingerprints_documents, None),
     "minhash_pairs_documents": (minhash_pairs_documents, None),
     "simhash_pairs_documents": (simhash_pairs_documents, None),
@@ -1315,7 +1437,11 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
-    "subword_token_counts": (subword_token_counts, None),
+    "subword_token_counts": (subword_token_counts,
+        r"SELECT doc_id, COALESCE(array_length(regexp_extract_all(text, "
+        r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]')), 0) AS n_subword_tokens "
+        r"FROM documents ORDER BY doc_id"),
+    "drift_ks_quantity": (drift_ks_quantity, _DRIFT_KS_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),
