@@ -1022,6 +1022,40 @@ GROUP BY o_orderpriority
 
 
 
+def events_last_order_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (point-in-time lookup): for every event, the most recent
+    order date <= the event's timestamp for the same key — the
+    ordered-inequality join Ray Data lacks natively, via the bucketed
+    merge_asof stage (stages/asof.py); oracled by DuckDB ASOF LEFT JOIN."""
+    from ndap_data_validator_ray.stages.asof import bucketed_asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    joined = bucketed_asof_join(
+        events, orders, on="ts", by="user_id", right_on="o_orderdate", right_by="o_custkey"
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "last_order_date": pd.to_datetime(batch["o_orderdate"]).dt.strftime("%Y-%m-%d"),
+            }
+        )
+
+    out = joined.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+ORDER BY event_id
+"""
+
+
 def knn_embeddings_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer
     trained on a driver sample, centroids broadcast, nprobe-cell search
@@ -1442,6 +1476,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]')), 0) AS n_subword_tokens "
         r"FROM documents ORDER BY doc_id"),
     "drift_ks_quantity": (drift_ks_quantity, _DRIFT_KS_SQL),
+    "events_last_order_asof": (events_last_order_asof, _ASOF_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),

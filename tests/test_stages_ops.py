@@ -430,3 +430,44 @@ def test_arrow_lookup_attach():
     )
     assert out["name"].tolist()[:3] == ["a", "b", "c"]
     assert pd.isna(out["name"].iloc[3])  # unmatched key -> null, .map semantics
+
+
+def test_bucketed_asof_join_matches_pandas():
+    """As-of join stage vs a global pandas merge_asof oracle (backward
+    direction, per-key, unmatched lefts survive with nulls)."""
+    from ndap_data_validator_ray.stages.asof import bucketed_asof_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {
+            "eid": np.arange(400),
+            "uid": rng.integers(0, 30, 400),
+            "ts": rng.integers(0, 10_000, 400).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "uid2": rng.integers(0, 35, 150),
+            "t2": rng.integers(0, 10_000, 150).astype("int64"),
+            "payload": np.arange(150),
+        }
+    )
+    got = (
+        bucketed_asof_join(
+            ray.data.from_pandas(left).repartition(6),
+            ray.data.from_pandas(right).repartition(3),
+            on="ts", by="uid", right_on="t2", right_by="uid2", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.rename(columns={"uid2": "uid", "t2": "ts"}).sort_values("ts", kind="stable"),
+        on="ts", by="uid", direction="backward",
+    ).sort_values("eid").reset_index(drop=True)
+    assert got["eid"].tolist() == exp["eid"].tolist()
+    # payload matches where defined; as-of ts value carried through as t2
+    pd.testing.assert_series_equal(got["payload"], exp["payload"], check_dtype=False)
+    assert len(got) == len(left)
