@@ -1056,6 +1056,92 @@ ORDER BY event_id
 """
 
 
+def early_shipments_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (band) join: lineitems shipped within 30 days after their
+    order's date, counted per order — the interval join expressed via
+    stages/rangejoin.bucketed_range_join + a bucketed count; oracled by
+    the equivalent SQL inequality join."""
+    import pyarrow.compute as _pc
+
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+    from ndap_data_validator_ray.stages.rangejoin import bucketed_range_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        end = _pc.add(d, pa.scalar(30 * 86400 * 1_000_000, pa.duration("us")))
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_start": d, "o_end": end})
+
+    joined = bucketed_range_join(
+        li,
+        orders.map_batches(widen, batch_format="pyarrow"),
+        on="l_shipdate",
+        by="l_orderkey",
+        right_by="o_orderkey",
+        right_start="o_start",
+        right_end="o_end",
+    )
+    pairs = joined.map_batches(lambda b: b[["l_orderkey"]], batch_format="pandas")
+    out = count_by_key(pairs, ["l_orderkey"], count_col="n_early_ship").to_pandas()
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+_RANGE_JOIN_SQL = """
+SELECT l_orderkey, COUNT(*) AS n_early_ship
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+ AND l_shipdate > o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def drift_psi_quantity(sf_dir: str) -> pd.DataFrame:
+    """Exact PSI between the two lineitem halves (parity split) — the
+    oracled exact twin of the drift check's PSI (functions/sketches.psi);
+    bins with a zero count in either half are excluded identically on
+    both sides."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = (batch["l_orderkey"].to_numpy(zero_copy_only=False) % 2).astype(np.int64)
+        out_g, out_q, out_c = [], [], []
+        for g in (0, 1):
+            counts = np.bincount(q[grp == g], minlength=51)
+            nz = np.flatnonzero(counts)
+            out_g.extend([g] * len(nz))
+            out_q.extend(nz.tolist())
+            out_c.extend(counts[nz].tolist())
+        return pa.table(
+            {"grp": pa.array(out_g, pa.int64()), "q": pa.array(out_q, pa.int64()), "c": pa.array(out_c, pa.int64())}
+        )
+
+    parts = ds.map_batches(hist, batch_format="pyarrow").to_pandas()
+    pivot = parts.groupby(["grp", "q"])["c"].sum().unstack(fill_value=0)
+    c0 = pivot.loc[0].to_numpy(dtype=np.float64)
+    c1 = pivot.loc[1].to_numpy(dtype=np.float64)
+    p = c0 / c0.sum()
+    qq = c1 / c1.sum()
+    mask = (c0 > 0) & (c1 > 0)
+    psi = float(np.sum((p[mask] - qq[mask]) * np.log(p[mask] / qq[mask])))
+    return pd.DataFrame({"psi": [float(np.round(psi, 6))]})
+
+
+_DRIFT_PSI_SQL = """
+WITH h AS (SELECT l_quantity AS q, l_orderkey % 2 AS grp, COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+t AS (SELECT grp, SUM(c) AS tt FROM h GROUP BY 1),
+p AS (SELECT q,
+        SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS c0,
+        SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS c1
+      FROM h GROUP BY 1),
+n AS (SELECT (SELECT CAST(tt AS DOUBLE) FROM t WHERE grp = 0) AS n0,
+             (SELECT CAST(tt AS DOUBLE) FROM t WHERE grp = 1) AS n1)
+SELECT ROUND(SUM((c0 / n0 - c1 / n1) * ln((c0 / n0) / (c1 / n1))), 6) AS psi
+FROM p, n WHERE c0 > 0 AND c1 > 0
+"""
+
+
 def knn_embeddings_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer
     trained on a driver sample, centroids broadcast, nprobe-cell search
@@ -1477,6 +1563,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
         r"FROM documents ORDER BY doc_id"),
     "drift_ks_quantity": (drift_ks_quantity, _DRIFT_KS_SQL),
     "events_last_order_asof": (events_last_order_asof, _ASOF_SQL),
+    "early_shipments_range_join": (early_shipments_range_join, _RANGE_JOIN_SQL),
+    "drift_psi_quantity": (drift_psi_quantity, _DRIFT_PSI_SQL),
     "embedding_near_dup_pairs": (embedding_near_dup_pairs, None),
     "embedding_norms": (embedding_norms, _EMB_NORMS_SQL),
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),

@@ -471,3 +471,32 @@ def test_bucketed_asof_join_matches_pandas():
     # payload matches where defined; as-of ts value carried through as t2
     pd.testing.assert_series_equal(got["payload"], exp["payload"], check_dtype=False)
     assert len(got) == len(left)
+
+
+def test_bucketed_range_join_matches_pandas():
+    from ndap_data_validator_ray.stages.rangejoin import bucketed_range_join
+
+    rng = np.random.default_rng(19)
+    left = pd.DataFrame(
+        {"lid": np.arange(300), "k": rng.integers(0, 20, 300), "v": rng.integers(0, 1000, 300).astype("int64")}
+    )
+    right = pd.DataFrame(
+        {"k2": rng.integers(0, 25, 80), "lo": rng.integers(0, 900, 80).astype("int64")}
+    )
+    right["hi"] = right["lo"] + 100
+    got = (
+        bucketed_range_join(
+            ray.data.from_pandas(left).repartition(5),
+            ray.data.from_pandas(right).repartition(2),
+            on="v", by="k", right_by="k2", right_start="lo", right_end="hi", n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["lid", "lo"])
+        .reset_index(drop=True)
+    )
+    exp = left.merge(right.rename(columns={"k2": "k"}), on="k")
+    exp = exp[(exp["v"] > exp["lo"]) & (exp["v"] <= exp["hi"])].sort_values(["lid", "lo"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lid", "k", "v", "lo", "hi"]].astype("int64"),
+        exp[["lid", "k", "v", "lo", "hi"]].astype("int64"),
+    )
