@@ -95,6 +95,8 @@ _QUERY_NAMES = [
     "dedup_exact_documents",
     "minhash_pairs_documents",
     "knn_embeddings",
+    "events_last_order_asof",
+    "early_shipments_range_join",
 ]
 
 
