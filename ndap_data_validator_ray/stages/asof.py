@@ -15,11 +15,17 @@ reducer (guaranteed by the key-hash bucketing) and one BUCKET's rows fit
 that reducer's memory — size ``n_buckets`` to the cluster.  Skewed hot
 keys cost sort time within their bucket, never a wrong answer.
 
-Tie caveat: when several right rows share the same (by, on) value,
-``merge_asof`` keeps the last one in sort order, which here depends on
-shuffle arrival order — the matched ``on`` value is deterministic, other
-payload columns of tied rows are not.  Pre-dedup the right side on
-(by, on) if full determinism is needed.
+Determinism: when several right rows share the same (by, on) value the
+stage keeps exactly one — the last under a stable sort of ALL right
+payload columns — so the output is independent of shuffle arrival order
+(round-2 verdict item 7; previously documented-but-not-enforced).
+
+Dtype contract: each per-bucket group is consumed as an Arrow table and
+split into its two sides BEFORE any pandas conversion, so left int64
+columns never travel through a null-padded pandas frame (which upcasts
+to float64 and corrupts keys above 2^53); the merged output is rebuilt
+against an explicit Arrow schema (left fields + right payload fields),
+restoring nullable-int payloads that pandas floats during the merge.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -87,6 +94,9 @@ def bucketed_asof_join(
         pa.field(_SIDE_COL, pa.int8()),
         pa.field(BUCKET_COL, pa.int64()),
     ]
+    out_schema = pa.schema(
+        [pa.field(c, lf[c]) for c in left_cols] + [pa.field(c, rf[c]) for c in right_value_cols]
+    )
 
     def tag(side: int, on_c: str, by_c: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -111,14 +121,25 @@ def bucketed_asof_join(
         right.map_batches(tag(1, right_on, right_by), batch_format="pyarrow")
     )
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE_COL] == 0]
-        r = group[group[_SIDE_COL] == 1]
-        l = l[left_cols + [_ON_COL, _BY_COL]].sort_values(_ON_COL, kind="stable")
-        r = r[right_value_cols + [_ON_COL, _BY_COL]].sort_values(_ON_COL, kind="stable")
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # split sides on the ARROW table so neither side's columns pass
+        # through a null-padded pandas frame (float64 upcast)
+        side = group[_SIDE_COL]
+        l = (
+            group.filter(pc.equal(side, 0))
+            .select(left_cols + [_ON_COL, _BY_COL])
+            .to_pandas()
+            .sort_values(_ON_COL, kind="stable")
+        )
         if l.empty:
-            return pd.DataFrame(columns=left_cols + right_value_cols)
+            return out_schema.empty_table()
+        r = group.filter(pc.equal(side, 1)).select(right_value_cols + [_ON_COL, _BY_COL]).to_pandas()
+        # deterministic tie-break: one right row per (by, on), the last
+        # under a stable full-payload sort (arrival-order independent)
+        r = r.sort_values([_BY_COL, _ON_COL] + right_value_cols, kind="stable")
+        r = r.drop_duplicates(subset=[_BY_COL, _ON_COL], keep="last")
+        r = r.sort_values(_ON_COL, kind="stable")
         merged = pd.merge_asof(l, r, on=_ON_COL, by=_BY_COL, direction=direction)
-        return merged[left_cols + right_value_cols]
+        return pa.Table.from_pandas(merged[left_cols + right_value_cols], schema=out_schema, preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")
+    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")

@@ -68,6 +68,24 @@ def bucketed_join(
     # the missing side so Dataset.union type-checks)
     all_fields: list[pa.Field] = list(left_fields)
     all_fields += [f for f in right_fields if f.name not in left_cols]
+    union_types = {f.name: f.type for f in all_fields}
+
+    # explicit output schema (pandas-merge column layout, Arrow types from
+    # the union schema) so int64 keys survive the per-bucket pandas merge —
+    # unmatched-side nulls would otherwise upcast whole columns to float64
+    overlap = [c for c in left_cols if c in right_cols and c not in on]
+    if how == "anti":
+        out_schema = pa.schema([pa.field(c, union_types[c]) for c in left_cols])
+    else:
+        out_fields = [
+            pa.field(c + suffixes[0] if c in overlap else c, union_types[c]) for c in left_cols
+        ]
+        out_fields += [
+            pa.field(c + suffixes[1] if c in overlap else c, union_types[c])
+            for c in right_cols
+            if c not in on
+        ]
+        out_schema = pa.schema(out_fields)
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -92,12 +110,26 @@ def bucketed_join(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE_COL] == 0][left_cols]
-        r = group[group[_SIDE_COL] == 1][right_cols]
-        if how == "anti":
-            flagged = l.merge(r[on].drop_duplicates(), on=on, how="left", indicator=True)
-            return flagged[flagged["_merge"] == "left_only"][left_cols]
-        return l.merge(r, on=on, how=how, suffixes=suffixes)
+    import pyarrow.compute as pc
 
-    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        # split sides while still Arrow so real values never share a pandas
+        # column with the other side's typed-null padding (float64 upcast)
+        side = group[_SIDE_COL]
+        l = group.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+        r = group.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+        if how == "anti":
+            # SQL NOT EXISTS semantics: NULL never equals NULL, so a
+            # null-keyed probe row has no match and is KEPT (pandas merge
+            # would pair NaN with NaN and wrongly drop it)
+            null_key = l[on].isna().any(axis=1)
+            flagged = l[~null_key].merge(
+                r[on].dropna().drop_duplicates(), on=on, how="left", indicator=True
+            )
+            anti = flagged[flagged["_merge"] == "left_only"][left_cols]
+            merged = pd.concat([anti, l.loc[null_key, left_cols]]) if null_key.any() else anti
+        else:
+            merged = l.merge(r, on=on, how=how, suffixes=suffixes)
+        return pa.Table.from_pandas(merged[out_schema.names], schema=out_schema, preserve_index=False).replace_schema_metadata(None)
+
+    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")

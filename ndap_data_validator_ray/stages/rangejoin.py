@@ -12,6 +12,14 @@ Partitioning assumptions (documented): one ``by`` key's rows co-locate in
 one reducer; per-key match multiplicity is bounded (the per-bucket merge
 is equality-on-key then interval filter — at extreme per-key fan-out an
 interval-tree per key is the scale path).
+
+Dtype contract: per-bucket groups are consumed as Arrow and split into
+sides before any pandas conversion; output is rebuilt against an explicit
+Arrow schema so int64 keys survive (no float64 upcast, no silent
+precision loss above 2^53).  ``right_start``/``right_end``/``right_by``
+must NOT collide with a left column name — the band filter resolves them
+by name post-merge, so a collision would silently read the wrong column;
+the stage raises ``ValueError`` instead.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -45,11 +54,22 @@ def bucketed_range_join(
     lf = _fields(left)
     rf = _fields(right)
     left_cols = list(lf)
+    colliding = [c for c in (right_start, right_end) if c in left_cols]
+    if right_by in left_cols and right_by != by:
+        colliding.append(right_by)
+    if colliding:
+        raise ValueError(
+            f"right column(s) {colliding} collide with left column names; "
+            "rename them on the right side before the range join"
+        )
     right_value_cols = [c for c in rf if c != right_by and c not in left_cols]
 
     union_fields: list[pa.Field] = [pa.field(c, lf[c]) for c in left_cols]
     union_fields += [pa.field(c, rf[c]) for c in right_value_cols]
     union_fields += [pa.field(_BY_COL, lf[by]), pa.field(_SIDE_COL, pa.int8()), pa.field(BUCKET_COL, pa.int64())]
+    out_schema = pa.schema(
+        [pa.field(c, lf[c]) for c in left_cols] + [pa.field(c, rf[c]) for c in right_value_cols]
+    )
 
     def tag(side: int, by_c: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -72,13 +92,14 @@ def bucketed_range_join(
         right.map_batches(tag(1, right_by), batch_format="pyarrow")
     )
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE_COL] == 0][left_cols + [_BY_COL]]
-        r = group[group[_SIDE_COL] == 1][right_value_cols + [_BY_COL]]
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        side = group[_SIDE_COL]
+        l = group.filter(pc.equal(side, 0)).select(left_cols + [_BY_COL]).to_pandas()
+        r = group.filter(pc.equal(side, 1)).select(right_value_cols + [_BY_COL]).to_pandas()
         if l.empty or r.empty:
-            return pd.DataFrame(columns=left_cols + right_value_cols)
+            return out_schema.empty_table()
         merged = l.merge(r, on=_BY_COL, how="inner")
         keep = (merged[on] > merged[right_start]) & (merged[on] <= merged[right_end])
-        return merged.loc[keep, left_cols + right_value_cols]
+        return pa.Table.from_pandas(merged.loc[keep, left_cols + right_value_cols], schema=out_schema, preserve_index=False).replace_schema_metadata(None)
 
-    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")
+    return tagged.groupby(BUCKET_COL).map_groups(merge_bucket, batch_format="pyarrow")
