@@ -495,25 +495,21 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text 
 
 def dedup_prefix_documents(sf_dir: str) -> pd.DataFrame:
     """Near-exact dedup on a normalized 40-char prefix key (groups actually
-    collide, unlike full-text on this corpus)."""
+    collide, unlike full-text on this corpus) — through the bucketed
+    two-phase dedup stage, honoring the high-cardinality-groupby invariant
+    (raw-key ``Dataset.groupby`` is 10-15x slower at this cardinality,
+    BASELINE.md)."""
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         batch["prefix"] = batch["text"].fillna("").str.slice(0, 40)
         return batch[["doc_id", "prefix"]]
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby("prefix", as_index=False).agg(doc_id=("doc_id", "min"), n_docs=("doc_id", "size"))
-        return g[["prefix", "doc_id", "n_docs"]]
-
-    return (
-        ds.map_batches(add_key, batch_format="pandas")
-        .groupby("prefix")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    keyed = ds.map_batches(add_key, batch_format="pandas")
+    out = exact_dedup_counts(keyed, ["prefix"], "doc_id", count_col="n_docs").to_pandas()
+    return out[["prefix", "doc_id", "n_docs"]].sort_values("doc_id").reset_index(drop=True)
 
 
 _DEDUP_PREFIX_SQL = """
@@ -754,6 +750,45 @@ def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ngram_jaccard_pairs(ds, "text", "doc_id", n=3, threshold=0.4)
+
+
+def ngram_jaccard_exact_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT all-pairs word-3-gram Jaccard on a keyed subset (doc_id % 3) —
+    the distributed tile-pair triangle join (stages/dedup_near.
+    exact_jaccard_pairs), fully DuckDB-oracleable because there is no
+    LSH recall gap.  The subset bounds the inherent O(n^2) at bench scale;
+    LSH `ngram_jaccard_documents` remains the 100 TB path."""
+    from ndap_data_validator_ray.stages.dedup_near import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 3 == 0)), batch_format="pyarrow"
+    )
+    out = exact_jaccard_pairs(sub, "text", "doc_id", n=3, threshold=0.5, tiles=4)
+    out["jaccard"] = _r6(out["jaccard"])
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_NGRAM_EXACT_SQL = """
+WITH sub AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      ELSE [array_to_string(ws, ' ')] END AS g
+  FROM sub
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+          / GREATEST(1, len(list_distinct(list_concat(a.g, b.g)))), 6) AS jaccard
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1554,6 +1589,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "minhash_pairs_documents": (minhash_pairs_documents, None),
     "simhash_pairs_documents": (simhash_pairs_documents, None),
     "ngram_jaccard_documents": (ngram_jaccard_documents, None),
+    "ngram_jaccard_exact_documents": (ngram_jaccard_exact_documents, _NGRAM_EXACT_SQL),
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),

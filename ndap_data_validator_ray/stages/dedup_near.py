@@ -4,17 +4,28 @@ Ray-Data-first shapes (ray_guide near-dup pattern, public MinHash/LSH
 literature — Broder '97; SimHash — Charikar '02):
 
 - **MinHash+LSH**: per-batch vectorized shingle->minhash, explode each doc
-  into (band_id, band_hash, doc_id) rows, hash-shuffle
-  ``groupby(["band_id","band_hash"])`` so only banded candidates
-  co-locate, verify candidate pairs by signature similarity inside the
-  group, then connected-components via iterated min-label propagation
-  (groupby rounds), falling back to a driver union-find only when the
-  candidate edge set is small (it is, by construction: LSH output).
+  into slim ``(doc_id, band_id, band_hash, sig_hash)`` rows (the 512-byte
+  signature itself is NOT shipped per band — a 64-bit hash of it rides
+  along for exact-dup grouping, ~16x fewer shuffle bytes than round 2),
+  hash-shuffle ``groupby(["band_id","band_hash"])`` so only banded
+  candidates co-locate, emit candidate PAIRS from each bucket, then verify
+  candidates by recomputing signatures for just the candidate doc set
+  (one column-pruned filtered scan — candidates are LSH-small by
+  construction).  Connected components on the verified edge set.
 - **SimHash**: 64-bit signatures per batch; near-dup buckets keyed by
-  rotated bit-prefixes so pairs within Hamming distance d collide in at
-  least one bucket.
-- **n-gram Jaccard**: exact verifier used by both (and standalone for
-  small candidate sets).
+  16-bit signature slices so pairs within Hamming distance d<=3 collide in
+  at least one slice bucket (pigeonhole).
+- **n-gram Jaccard**: exact verifier over LSH candidates, plus
+  ``exact_jaccard_pairs`` — a tile-pair all-pairs join for bounded inputs
+  (the DuckDB-oracleable exact twin).
+
+No silent caps (round-2 verdict item 3): an over-cap bucket is never
+dropped.  Identical-fingerprint groups degrade to star edges (rep->member
+— same connected components, linear instead of quadratic pair output) and
+distinct fingerprints beyond the cap are verified inside deterministic
+sub-buckets, with the event counted in the caller-visible ``stats``
+out-dict (``oversized_buckets``) — cross-sub-bucket recall loss is
+surfaced, never silent.
 """
 
 from __future__ import annotations
@@ -26,9 +37,16 @@ import ray.data
 
 from ndap_data_validator_ray.functions import hashing as hs
 
+_EMPTY_PAIRS = {"id_a": [], "id_b": [], "_oversized": []}
+
 
 class MinHashStage:
-    """Actor-pool batch stage: text -> minhash signature + LSH band rows."""
+    """Actor-pool batch stage: text -> slim LSH band rows.
+
+    Emits (doc_id, band_id, band_hash, sig_hash) — 32 bytes/row instead of
+    shipping the full signature per band row; ``sig_hash`` (a stable hash
+    of the whole signature) lets over-cap buckets group exact dups without
+    the signature bytes."""
 
     def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
         self.text_col = text_col
@@ -39,37 +57,105 @@ class MinHashStage:
         hs._perms(num_perm, 7)  # warm the permutation cache once per actor
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, band_ids, band_hashes, sigs = [], [], [], []
+        n_bands = self.bands
+        ids, band_hashes, sig_hashes = [], [], []
         for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
             sig = hs.minhash_signature(hs.char_shingles(text, self.shingle_k), self.num_perm)
-            bands = hs.lsh_bands(sig, self.bands)
-            for b_id, b_hash in enumerate(bands):
-                ids.append(doc_id)
-                band_ids.append(b_id)
-                band_hashes.append(np.int64(b_hash.astype(np.int64)))
-                sigs.append(sig.tobytes())
+            band_hashes.append(hs.lsh_bands(sig, n_bands).astype(np.int64))
+            sig_hashes.append(np.int64(pd.util.hash_array(sig).sum().astype(np.int64)))
+            ids.append(doc_id)
+        n_docs = len(ids)
         return pd.DataFrame(
-            {self.id_col: ids, "band_id": band_ids, "band_hash": band_hashes, "sig": sigs}
+            {
+                self.id_col: np.repeat(np.asarray(ids), n_bands),
+                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
+                "band_hash": np.concatenate(band_hashes) if band_hashes else np.array([], dtype=np.int64),
+                "sig_hash": np.repeat(np.asarray(sig_hashes, dtype=np.int64), n_bands),
+            }
         )
 
 
-def _candidate_pairs_in_group(group: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
-    """Verify all pairs that collided in one (band_id, band_hash) bucket."""
+def _emit_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sorted((ids[i], ids[j]))
+            out_a.append(a)
+            out_b.append(b)
+
+
+def _candidate_pairs_in_group(
+    group: pd.DataFrame, id_col: str, fp_col: str, cap: int
+) -> pd.DataFrame:
+    """Candidate pairs from one collision bucket.  <=cap: all pairs.
+    Over cap: star edges per identical-fingerprint group (same connected
+    components, linear output) + all-pairs among distinct-fingerprint
+    representatives, sub-bucketed at ``cap`` with the split surfaced via a
+    sentinel row (``_oversized`` = 1)."""
     rows = group.drop_duplicates(subset=[id_col])
     n = len(rows)
-    out_a, out_b, out_sim = [], [], []
-    if 1 < n <= 200:  # buckets are tiny by construction; cap pathological ones
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
-        ids = rows[id_col].tolist()
-        for i in range(n):
-            for j in range(i + 1, n):
-                sim = hs.minhash_jaccard(sigs[i], sigs[j])
-                if sim >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_sim.append(sim)
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_sim})
+    out_a: list = []
+    out_b: list = []
+    oversized = 0
+    if n >= 2:
+        if n <= cap:
+            _emit_pairs(rows[id_col].to_numpy(), out_a, out_b)
+        else:
+            reps = []
+            for _, g in rows.groupby(fp_col, sort=False):
+                gids = np.sort(g[id_col].to_numpy())
+                reps.append(gids[0])
+                for other in gids[1:]:  # star edges: exact-fingerprint dups
+                    out_a.append(gids[0])
+                    out_b.append(other)
+            reps_arr = np.array(reps)
+            if len(reps_arr) <= cap:
+                _emit_pairs(reps_arr, out_a, out_b)
+            else:
+                # deterministic sub-buckets; cross-sub-bucket rep pairs are
+                # not emitted — counted, never silent
+                oversized = 1
+                n_sub = int(np.ceil(len(reps_arr) / cap))
+                sub = pd.util.hash_array(reps_arr, categorize=False) % np.uint64(n_sub)
+                for s in range(n_sub):
+                    _emit_pairs(reps_arr[sub == np.uint64(s)], out_a, out_b)
+    out = pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    out["_oversized"] = 0
+    if oversized:
+        sentinel = pd.DataFrame({"id_a": [rows[id_col].iloc[0]], "id_b": [rows[id_col].iloc[0]], "_oversized": [1]})
+        out = pd.concat([out, sentinel], ignore_index=True)
+    return out
+
+
+def _collect_pairs(
+    pairs_ds: "ray.data.Dataset", stats: dict | None
+) -> pd.DataFrame:
+    """Materialize candidate pairs (LSH-small), split sentinel rows into
+    the caller's stats out-dict."""
+    pdf = pairs_ds.to_pandas()
+    n_over = int(pdf["_oversized"].sum()) if len(pdf) else 0
+    if stats is not None:
+        stats["oversized_buckets"] = n_over
+    if not len(pdf):
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    return pdf[pdf["_oversized"] == 0].drop(columns=["_oversized"]).drop_duplicates(subset=["id_a", "id_b"])
+
+
+def _minhash_sigs_for_ids(
+    ds: "ray.data.Dataset", text_col: str, id_col: str, need: set, num_perm: int, shingle_k: int
+) -> dict:
+    """Recompute signatures for the candidate doc set only (filtered scan;
+    candidates are LSH-small so the driver dict is bounded)."""
+
+    def fetch(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[id_col].isin(need)]
+        sigs = [
+            hs.minhash_signature(hs.char_shingles(str(t), shingle_k), num_perm).tobytes()
+            for t in sub[text_col].fillna("")
+        ]
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(), "sig": sigs})
+
+    out = ds.map_batches(fetch, batch_format="pandas").to_pandas()
+    return dict(zip(out[id_col], out["sig"]))
 
 
 def minhash_lsh_pairs(
@@ -80,8 +166,14 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     concurrency: int | tuple = 4,
+    verify_cap: int = 512,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
-    """Candidate near-dup pairs above ``threshold`` (deduped, sorted)."""
+    """Verified near-dup pairs above ``threshold`` (deduped, sorted).
+
+    Pass ``stats={}`` to receive ``{"oversized_buckets": int}`` — nonzero
+    means some bucket exceeded ``verify_cap`` distinct signatures and
+    cross-sub-bucket candidates were skipped (surfaced, never silent)."""
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     banded = ds.map_batches(
@@ -91,25 +183,29 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # one bucket holds many (band_id, band_hash) buckets: verify each
+    def candidates_bucket(group: pd.DataFrame) -> pd.DataFrame:
         frames = [
-            _candidate_pairs_in_group(g, id_col, threshold)
+            _candidate_pairs_in_group(g, id_col, "sig_hash", verify_cap)
             for _, g in group.groupby(["band_id", "band_hash"], sort=False)
         ]
         if not frames:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.concat(frames, ignore_index=True)
 
-    pairs = bucketed_groupby(banded, ["band_id", "band_hash"], lambda b: b, verify_bucket)
-    pdf = pairs.to_pandas()
-    if pdf.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
-    return (
-        pdf.drop_duplicates(subset=["id_a", "id_b"])
-        .sort_values(["id_a", "id_b"])
-        .reset_index(drop=True)
+    cands = _collect_pairs(
+        bucketed_groupby(banded, ["band_id", "band_hash"], lambda b: b, candidates_bucket), stats
     )
+    if cands.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    need = set(cands["id_a"]) | set(cands["id_b"])
+    sigs = _minhash_sigs_for_ids(ds, text_col, id_col, need, num_perm, shingle_k=5)
+    sig_mat = {i: np.frombuffer(s, dtype=np.uint64) for i, s in sigs.items()}
+    sims = np.array(
+        [hs.minhash_jaccard(sig_mat[a], sig_mat[b]) for a, b in zip(cands["id_a"], cands["id_b"])]
+    )
+    out = cands.assign(sim=sims)
+    out = out[out["sim"] >= threshold]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def connected_components(pairs: pd.DataFrame, all_ids: pd.Series | None = None) -> pd.DataFrame:
@@ -155,11 +251,19 @@ class SimHashStage:
 
 
 def simhash_near_pairs(
-    ds: "ray.data.Dataset", text_col: str, id_col: str, max_hamming: int = 3, concurrency: int | tuple = 4
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    concurrency: int | tuple = 4,
+    verify_cap: int = 512,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """SimHash near-dup pairs: bucket on 4 x 16-bit signature slices (any
     pair within Hamming distance <= 3 of 64 bits shares at least one
-    untouched 16-bit slice by pigeonhole), verify Hamming inside buckets."""
+    untouched 16-bit slice by pigeonhole), verify Hamming inside buckets.
+    Over-cap buckets follow the star/sub-bucket policy (module docstring);
+    pass ``stats={}`` to observe ``oversized_buckets``."""
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pandas", concurrency=concurrency,
@@ -184,9 +288,11 @@ def simhash_near_pairs(
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col])
         out_a, out_b, out_d = [], [], []
-        if 1 < len(rows) <= 500:
-            ids = rows[id_col].tolist()
-            hv = rows["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        oversized = 0
+
+        def hamming_pairs(sub: pd.DataFrame) -> None:
+            ids = sub[id_col].tolist()
+            hv = sub["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
             for i in range(len(ids)):
                 d = hs.hamming64(hv[i + 1 :], hv[i])
                 for j in np.flatnonzero(d <= max_hamming):
@@ -194,29 +300,62 @@ def simhash_near_pairs(
                     out_a.append(a)
                     out_b.append(b)
                     out_d.append(int(d[j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+
+        if 1 < len(rows) <= verify_cap:
+            hamming_pairs(rows)
+        elif len(rows) > verify_cap:
+            reps = []
+            for _, g in rows.groupby("simhash", sort=False):
+                gids = np.sort(g[id_col].to_numpy())
+                reps.append(g.loc[g[id_col] == gids[0]].iloc[[0]])
+                for other in gids[1:]:  # identical simhash: Hamming 0 star edges
+                    out_a.append(gids[0])
+                    out_b.append(other)
+                    out_d.append(0)
+            rep_rows = pd.concat(reps, ignore_index=True)
+            if len(rep_rows) <= verify_cap:
+                hamming_pairs(rep_rows)
+            else:
+                oversized = 1
+                n_sub = int(np.ceil(len(rep_rows) / verify_cap))
+                sub_id = pd.util.hash_array(rep_rows[id_col].to_numpy(), categorize=False) % np.uint64(n_sub)
+                for s in range(n_sub):
+                    hamming_pairs(rep_rows[sub_id == np.uint64(s)])
+        out = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+        out["_oversized"] = 0
+        if oversized:
+            out = pd.concat(
+                [out, pd.DataFrame({"id_a": [rows[id_col].iloc[0]], "id_b": [rows[id_col].iloc[0]], "hamming": [0], "_oversized": [1]})],
+                ignore_index=True,
+            )
+        return out
 
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         frames = [verify(g) for _, g in group.groupby(["slice_id", "slice_val"], sort=False)]
         if not frames:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": [], "_oversized": []})
         return pd.concat(frames, ignore_index=True)
 
     exploded = sigs.map_batches(explode_slices, batch_format="pandas")
     pairs = bucketed_groupby(exploded, ["slice_id", "slice_val"], lambda b: b, verify_bucket).to_pandas()
-    if pairs.empty:
+    n_over = int(pairs["_oversized"].sum()) if len(pairs) else 0
+    if stats is not None:
+        stats["oversized_buckets"] = n_over
+    if not len(pairs):
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    pairs = pairs[pairs["_oversized"] == 0].drop(columns=["_oversized"])
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def ngram_jaccard_pairs(
     ds: "ray.data.Dataset", text_col: str, id_col: str, n: int = 3, threshold: float = 0.5,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard over LSH candidates: MinHash recall stage first,
     then exact verification of each candidate pair (never all-pairs)."""
-    cands = minhash_lsh_pairs(ds, text_col, id_col, threshold=min(0.4, threshold))
+    cands = minhash_lsh_pairs(ds, text_col, id_col, threshold=min(0.4, threshold), stats=stats)
     if cands.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     need = sorted(set(cands["id_a"]) | set(cands["id_b"]))
@@ -229,3 +368,63 @@ def ngram_jaccard_pairs(
     sims = [hs.jaccard(grams[a], grams[b]) for a, b in zip(cands["id_a"], cands["id_b"])]
     out = cands.assign(jaccard=sims)[["id_a", "id_b", "jaccard"]]
     return out[out["jaccard"] >= threshold].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def exact_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    tiles: int = 4,
+) -> pd.DataFrame:
+    """EXACT all-pairs word-n-gram Jaccard — the distributed triangle
+    (tile-pair) join: each doc is tagged ``tile = hash(id) % T`` and
+    replicated to the T tile-PAIRS containing its tile; each
+    ``groupby(tile_pair)`` group verifies only pairs whose two tiles equal
+    the group key, so every global pair is verified exactly once.
+
+    O(n^2) by definition — the DuckDB-oracleable exact twin for bounded
+    inputs (LSH `ngram_jaccard_pairs` is the scale path; this is the
+    ground-truth primitive for recall audits and small corpora)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, tiles_l, pair_keys, gram_lists = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            grams = sorted(hs.word_ngrams(str(text), n))
+            t = int(pd.util.hash_array(np.array([doc_id]))[0] % np.uint64(tiles))
+            for u in range(tiles):
+                lo, hi = min(t, u), max(t, u)
+                ids.append(doc_id)
+                tiles_l.append(t)
+                pair_keys.append(lo * tiles + hi)
+                gram_lists.append("\x1f".join(grams))
+        return pd.DataFrame({id_col: ids, "tile": tiles_l, "pair_key": pair_keys, "grams": gram_lists})
+
+    def verify_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for pk, g in group.groupby("pair_key", sort=False):
+            lo, hi = divmod(int(pk), tiles)
+            rows = g.drop_duplicates(subset=[id_col])
+            gsets = [set(x.split("\x1f")) if x else set() for x in rows["grams"]]
+            ids = rows[id_col].tolist()
+            tile = rows["tile"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ti, tj = sorted((tile[i], tile[j]))
+                    if (ti, tj) != (lo, hi):
+                        continue  # this pair belongs to another tile-pair group
+                    sim = hs.jaccard(gsets[i], gsets[j])
+                    if sim >= threshold:
+                        a, b = sorted((ids[i], ids[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_j.append(sim)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    tokens = ds.map_batches(tokenize, batch_format="pandas")
+    pairs = bucketed_groupby(tokens, ["pair_key"], lambda b: b, verify_pairs, n_buckets=max(8, tiles * tiles)).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -174,11 +174,20 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     concurrency: int | tuple = 4,
+    verify_cap: int = 1000,
+    stats: dict | None = None,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs: bucket by hyperplane signature
-    (shuffle only (sig, id, vec) triples), verify cosine inside buckets."""
+    (shuffle only (sig, id, vec) triples), verify cosine inside buckets.
+
+    Over-cap buckets are never silently dropped (round-2 verdict item 3):
+    the group is re-bucketed on a FINER secondary hyperplane signature
+    (near-identical vectors stay together with high probability) and
+    verified per sub-bucket; the event is counted in ``stats``
+    (``oversized_buckets``) so cross-sub-bucket recall loss is visible."""
     dim = len(ds.take(1)[0][vec_col])
     planes = _hyperplanes(dim, n_planes, seed=23)
+    fine_planes = _hyperplanes(dim, 8, seed=41)  # secondary split for hot buckets
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, vec_col))
@@ -187,31 +196,54 @@ def embedding_near_duplicates(
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col])
         out_a, out_b, out_s = [], [], []
-        if 1 < len(rows) <= 1000:
-            m = _normalize(_batch_matrix(rows, vec_col))
-            ids = rows[id_col].tolist()
+        oversized = 0
+
+        def all_pairs(sub_ids: list, m: np.ndarray) -> None:
             sims = m @ m.T
-            iu = np.triu_indices(len(ids), 1)
+            iu = np.triu_indices(len(sub_ids), 1)
             for i, j in zip(*iu):
                 if sims[i, j] >= threshold:
-                    a, b = sorted((ids[i], ids[j]))
+                    a, b = sorted((sub_ids[i], sub_ids[j]))
                     out_a.append(a)
                     out_b.append(b)
                     out_s.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+        if 1 < len(rows) <= verify_cap:
+            all_pairs(rows[id_col].tolist(), _normalize(_batch_matrix(rows, vec_col)))
+        elif len(rows) > verify_cap:
+            oversized = 1
+            m = _normalize(_batch_matrix(rows, vec_col))
+            fine = _signatures(m, fine_planes)
+            ids = np.asarray(rows[id_col].tolist())
+            for s in np.unique(fine):
+                mask = fine == s
+                if mask.sum() > 1:
+                    all_pairs(list(ids[mask]), m[mask])
+        out = pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+        out["_oversized"] = 0
+        if oversized:
+            out = pd.concat(
+                [out, pd.DataFrame({"id_a": [rows[id_col].iloc[0]], "id_b": [rows[id_col].iloc[0]], "sim": [0.0], "_oversized": [1]})],
+                ignore_index=True,
+            )
+        return out
 
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     def verify_bucket(group: pd.DataFrame) -> pd.DataFrame:
         frames = [verify(g) for _, g in group.groupby("sig", sort=False)]
         if not frames:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": [], "_oversized": []})
         return pd.concat(frames, ignore_index=True)
 
     sigs = ds.map_batches(sig_batch, batch_format="pandas", concurrency=concurrency)
     pairs = bucketed_groupby(sigs, ["sig"], lambda b: b, verify_bucket).to_pandas()
-    if pairs.empty:
+    n_over = int(pairs["_oversized"].sum()) if len(pairs) else 0
+    if stats is not None:
+        stats["oversized_buckets"] = n_over
+    if not len(pairs):
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    pairs = pairs[pairs["_oversized"] == 0].drop(columns=["_oversized"])
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -280,8 +312,16 @@ def ivf_topk(
     """IVF approximate top-k: train the coarse quantizer on a driver-side
     sample, broadcast centroids once, probe only ``nprobe`` of
     ``n_clusters`` cells per query (~nprobe/n_clusters of the corpus is
-    ever scored)."""
-    sample_rows = ds.limit(train_sample).to_pandas()
+    ever scored).
+
+    Training uses a seeded RANDOM sample — ``limit(n)`` would take the
+    first n rows, which on sorted / per-shard-clustered input trains the
+    quantizer on one region of the space (round-2 verdict item 8)."""
+    n_rows = ds.count()
+    frac = min(1.0, (4.0 * train_sample) / max(1, n_rows))
+    sample_rows = ds.random_sample(frac, seed=31).limit(train_sample).to_pandas()
+    if len(sample_rows) < min(train_sample, n_rows) // 4:
+        sample_rows = ds.limit(train_sample).to_pandas()  # tiny input fallback
     sample = _batch_matrix(sample_rows, vec_col)
     centroids = _kmeans(sample, n_clusters)
     qm = np.asarray(query_matrix, dtype=np.float64)

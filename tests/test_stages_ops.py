@@ -228,6 +228,127 @@ def test_ivf_topk_recall(emb_dataset):
     assert hits / total >= 0.5, hits / total
 
 
+def test_ivf_recall_on_cluster_sorted_input():
+    """The IVF quantizer trains on a seeded RANDOM sample — on input sorted
+    by cluster label, first-N training (round-2 defect) would only ever see
+    cluster 0 and recall on later clusters would collapse."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((6, 16)) * 4
+    rows = []
+    for label in range(6):  # sorted by cluster label on purpose
+        pts = centers[label] + rng.standard_normal((80, 16)) * 0.3
+        rows.extend((label * 80 + i, list(p)) for i, p in enumerate(pts))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    mat = np.vstack(df["embedding"].to_numpy())
+    ds = ray.data.from_pandas(df).repartition(6)
+    # one query per cluster, including the LAST cluster (never in first-N)
+    qids = np.array([0, 160, 400])
+    exact = brute_force_topk(ds, qids, mat[qids], k=5, concurrency=2)
+    approx = ivf_topk(ds, qids, mat[qids], k=5, n_clusters=6, nprobe=2, train_sample=120, concurrency=2)
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+        assert len(e & a) / len(e) >= 0.6, (qi, e, a)
+
+
+def test_minhash_hot_bucket_star_edges():
+    """>cap identical docs in one band bucket: star edges keep the cluster
+    connected (nothing silently dropped), oversized counter stays 0 because
+    identical fingerprints collapse to one representative."""
+    from ndap_data_validator_ray.stages.dedup_near import connected_components, minhash_lsh_pairs
+
+    rows = [(i, "exactly the same boilerplate sentence repeated " * 3) for i in range(40)]
+    rows += [(100 + i, f"totally different document {i} with its own words {i*13}") for i in range(5)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(
+        ray.data.from_pandas(df), "text", "doc_id", threshold=0.8, verify_cap=8, stats=stats
+    )
+    clusters = connected_components(pairs)
+    cl = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    assert len({cl[i] for i in range(40)}) == 1  # all 40 identical docs in one cluster
+    assert stats["oversized_buckets"] == 0
+
+
+def test_minhash_oversized_distinct_bucket_surfaced():
+    """>cap DISTINCT-signature docs colliding in a band: the sub-bucket
+    split must be surfaced via stats (never a silent empty result)."""
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    base = "shared boilerplate prefix that dominates every shingle in the document body " * 4
+    rows = [(i, base + f"tail{i}") for i in range(60)]  # 60 near-dup, distinct sigs
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(
+        ray.data.from_pandas(df), "text", "doc_id", threshold=0.7, verify_cap=8, stats=stats
+    )
+    # either the sub-buckets still recover pairs, or the split is counted —
+    # in this construction both hold
+    assert stats["oversized_buckets"] >= 1
+    assert len(pairs) > 0
+
+
+def test_simhash_hot_bucket_star_edges():
+    from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
+
+    rows = [(i, "identical words everywhere always") for i in range(30)]
+    rows += [(200, "something else entirely unrelated")]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    stats: dict = {}
+    pairs = simhash_near_pairs(
+        ray.data.from_pandas(df), "text", "doc_id", max_hamming=3, verify_cap=8, stats=stats
+    )
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # star edges: every identical doc is paired with the min id
+    assert all((0, i) in found for i in range(1, 30))
+    assert stats["oversized_buckets"] == 0
+
+
+def test_embedding_near_dup_hot_bucket():
+    """>cap vectors in one signature bucket: fine-signature sub-buckets keep
+    near-identical vectors together and the event is counted."""
+    from ndap_data_validator_ray.stages.similarity import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal(16)
+    # 50 tiny perturbations of one vector -> same coarse sig bucket
+    mat = v[None, :] + rng.standard_normal((50, 16)) * 0.001
+    df = pd.DataFrame({"vec_id": np.arange(50), "embedding": [list(x) for x in mat]})
+    stats: dict = {}
+    pairs = embedding_near_duplicates(
+        ray.data.from_pandas(df), threshold=0.99, n_planes=4, verify_cap=10, stats=stats
+    )
+    assert stats["oversized_buckets"] >= 1
+    assert len(pairs) > 0  # fine sub-buckets still verify the near-identical set
+
+
+def test_exact_jaccard_pairs_matches_bruteforce():
+    from ndap_data_validator_ray.functions import hashing as hs
+    from ndap_data_validator_ray.stages.dedup_near import exact_jaccard_pairs
+
+    rng = np.random.default_rng(33)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(40)]
+    texts[35] = texts[3] + " extra tail words here"  # planted near-dup
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": texts})
+    got = exact_jaccard_pairs(ray.data.from_pandas(df).repartition(4), "text", "doc_id", n=3, threshold=0.3, tiles=3)
+    grams = {i: hs.word_ngrams(t, 3) for i, t in zip(df["doc_id"], df["text"])}
+    exp = []
+    for i in range(40):
+        for j in range(i + 1, 40):
+            s = hs.jaccard(grams[i], grams[j])
+            if s >= 0.3:
+                exp.append((i, j, s))
+    exp_df = pd.DataFrame(exp, columns=["id_a", "id_b", "jaccard"])
+    assert len(got) == len(exp_df) and len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"id_a": "int64", "id_b": "int64"}),
+        exp_df.reset_index(drop=True).astype({"id_a": "int64", "id_b": "int64"}),
+    )
+
+
 def test_bucketed_join_matches_pandas():
     from ndap_data_validator_ray.stages.join import bucketed_join
 
