@@ -37,6 +37,7 @@ import ray.data
 from ndap_data_validator_ray import report as rpt
 from ndap_data_validator_ray.report import TableStats
 from ndap_data_validator_ray.schema import TableSchema, clips_table_schema
+from ndap_data_validator_ray.sources import fs as vfs
 from ndap_data_validator_ray.sources.synthetic import clip_files
 from ndap_data_validator_ray.stages.audio import AudioDecodeValidator
 from ndap_data_validator_ray.stages.dedup import duplicate_keys
@@ -60,6 +61,9 @@ class ClipRunConfig:
     violation_cap: int = 1000
     dur_tolerance_ms: float = 10.0
     resume: bool = True
+    # checkpoint manifests location; defaults to <out_dir>/checkpoints.
+    # May be a URI (s3://bucket/ckpt) independent of out_dir.
+    ckpt_dir: str | None = None
     baseline_path: str | None = None
     drift_ks_threshold: float = 0.15
     check_unique: bool = True
@@ -71,6 +75,16 @@ def _partition_assignment(files: list[str], files_per_partition: int) -> dict[in
     for i in range(0, len(files), files_per_partition):
         parts[i // files_per_partition] = files[i : i + files_per_partition]
     return parts
+
+
+def _read_clip_parquet(files: list[str], **kwargs) -> "ray.data.Dataset":
+    """read_parquet that accepts local paths or URIs: remote schemes get an
+    explicit pyarrow filesystem (built from standard AWS env config) so
+    endpoint overrides / credentials reach every Ray read task."""
+    if files and vfs.is_uri(files[0]):
+        fs, _ = vfs.resolve(files[0])
+        return ray.data.read_parquet([vfs.resolve(f)[1] for f in files], filesystem=fs, **kwargs)
+    return ray.data.read_parquet(files, **kwargs)
 
 
 def _attach_partition_id(path_to_pid: dict[str, int]):
@@ -106,8 +120,8 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     if not files:
         raise FileNotFoundError(f"no clip shards under {data_dir}")
     partitions = _partition_assignment(files, cfg.files_per_partition)
-    ckpt_dir = os.path.join(cfg.out_dir, "checkpoints")
-    run_dir = os.path.join(cfg.out_dir, f"run-{cfg.run_id}")
+    ckpt_dir = cfg.ckpt_dir or vfs.join(cfg.out_dir, "checkpoints")
+    run_dir = vfs.join(cfg.out_dir, f"run-{cfg.run_id}")
 
     done = ckpt.completed_partitions(ckpt_dir, partitions) if cfg.resume else set()
     pending = {pid: fs for pid, fs in partitions.items() if pid not in done}
@@ -125,11 +139,11 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
         # filesystem/path resolution) is built on the MAIN thread — lazy
         # imports inside Ray's path utils are not thread-safe — and only
         # EXECUTED in the worker thread.
-        total_bytes = sum(os.path.getsize(f) for f in files)
+        total_bytes = sum(vfs.file_size(f) for f in files)
         n_blocks = int(min(len(files), max(8, total_bytes // (256 << 20))))
         _uniq_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         try:
-            key_ds = ray.data.read_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
+            key_ds = _read_clip_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
             uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
         except Exception:
             uniq_future = None  # corrupt shard: retried over healthy files below
@@ -166,14 +180,15 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
             healthy = [
                 f for pid, fs in partitions.items() if pid not in failed_partitions for f in fs
             ]
-            key_ds = ray.data.read_parquet(healthy, columns=["clip_id"])
+            key_ds = _read_clip_parquet(healthy, columns=["clip_id"])
             dup_tbl = duplicate_keys(key_ds, "clip_id")
         _uniq_pool.shutdown(wait=False)
         n_dup_keys = dup_tbl.num_rows
         import pyarrow.parquet as pq
 
-        os.makedirs(run_dir, exist_ok=True)
-        pq.write_table(dup_tbl, os.path.join(run_dir, "unique_violations.parquet"))
+        vfs.ensure_dir(run_dir)
+        _fs, _p = vfs.resolve(vfs.join(run_dir, "unique_violations.parquet"))
+        pq.write_table(dup_tbl, _p, filesystem=_fs)
 
     baseline = bl.load_baseline(cfg.baseline_path) if cfg.baseline_path else None
     report = rpt.finalize_report(
@@ -196,10 +211,10 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     if cfg.check_unique:
         report["violation_counts"][rpt.CHECK_UNIQUE] = n_dup_keys
 
-    os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "report.json.tmp"), "w") as f:
-        json.dump(report, f, indent=1, default=str)
-    os.replace(os.path.join(run_dir, "report.json.tmp"), os.path.join(run_dir, "report.json"))
+    vfs.ensure_dir(run_dir)
+    vfs.write_bytes_atomic(
+        vfs.join(run_dir, "report.json"), json.dumps(report, indent=1, default=str).encode()
+    )
     return report
 
 
@@ -214,8 +229,10 @@ def _run_validation_pass(
     """One streaming pass over ``pending`` partitions -> union output +
     per-partition manifests."""
     pending_files = [f for fs in pending.values() for f in fs]
-    path_to_pid = {f: pid for pid, fs in pending.items() for f in fs}
-    ds = ray.data.read_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
+    # Ray's include_paths reports scheme-less paths; key the pid map the
+    # same way so remote URIs resolve (s3://b/k -> b/k)
+    path_to_pid = {vfs.resolve(f)[1]: pid for pid, fs in pending.items() for f in fs}
+    ds = _read_clip_parquet(pending_files, include_paths=True, **cfg.extra_read_kwargs)
     ds = ds.map_batches(_attach_partition_id(path_to_pid), batch_format="pyarrow")
     # decode + validation FUSED into one actor stage: an actor (decode)
     # stage and a task (validate) stage cannot be fused by Ray, so split
@@ -243,18 +260,17 @@ def _run_validation_pass(
     # the cluster: the driver fold then scales with partition count, never
     # with batch count (at 10^12 rows, per-batch blobs would be billions)
     ds = ds.groupby("partition_id").map_groups(_merge_partition_stats_group, batch_format="pandas")
-    union_dir = os.path.join(run_dir, subdir)
+    union_dir = vfs.join(run_dir, subdir)
     # write_parquet appends; a prior attempt that died between its union
     # write and its manifest writes would leave files this read-back fold
     # would double-count on resume — each attempt owns the subdir exclusively
-    import shutil
-
-    shutil.rmtree(union_dir, ignore_errors=True)
-    ds.write_parquet(union_dir)
+    vfs.delete_dir(union_dir)
+    union_fs, union_path = vfs.resolve(union_dir)
+    ds.write_parquet(union_path, filesystem=union_fs)
 
     # union output is SMALL (violations + ONE stats row per partition):
     # read it back, fold per partition, write manifests
-    union = pads.dataset(union_dir, format="parquet").to_table()
+    union = pads.dataset(union_path, format="parquet", filesystem=union_fs).to_table()
     _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
 
 

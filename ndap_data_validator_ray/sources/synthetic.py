@@ -318,7 +318,13 @@ def write_clips_dataset(out_dir: str, spec: ClipTableSpec, overwrite: bool = Fal
 
 
 def clip_files(data_dir: str) -> list[str]:
-    """Sorted shard paths (stable order -> stable partition/lineage ids)."""
+    """Sorted shard paths (stable order -> stable partition/lineage ids).
+    ``data_dir`` may be a local path or a URI (``s3://bucket/prefix``) —
+    the reference's remote-folder lister semantics (``s3_uploader.py:42-61``:
+    list, suffix-filter, sort)."""
+    from ndap_data_validator_ray.sources import fs as vfs
+
     return sorted(
-        os.path.join(data_dir, f) for f in os.listdir(data_dir) if f.endswith(".parquet") and f.startswith("part-")
+        p for p in vfs.list_files(data_dir)
+        if vfs.basename(p).endswith(".parquet") and vfs.basename(p).startswith("part-")
     )

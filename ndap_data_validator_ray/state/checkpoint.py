@@ -33,6 +33,7 @@ from dataclasses import asdict, dataclass, field
 
 from ndap_data_validator_ray.functions.sketches import deserialize, serialize
 from ndap_data_validator_ray.report import TableStats
+from ndap_data_validator_ray.sources import fs as vfs
 
 
 @dataclass
@@ -61,15 +62,15 @@ def lineage_id_for(files: list[str]) -> str:
     h = hashlib.sha256()
     for f in sorted(files):
         try:
-            size = os.path.getsize(f)
-            with open(f, "rb") as fh:
+            size = vfs.file_size(f)
+            with vfs.open_input(f) as fh:
                 head = fh.read(4096)
                 if size > 8192:
-                    fh.seek(-4096, os.SEEK_END)
+                    fh.seek(size - 4096)
                 tail = fh.read(4096) if size > 4096 else b""
-        except OSError:
+        except (OSError, FileNotFoundError):
             size, head, tail = -1, b"", b""
-        h.update(f"{os.path.basename(f)}:{size};".encode())
+        h.update(f"{vfs.basename(f)}:{size};".encode())
         h.update(head)
         h.update(tail)
     return h.hexdigest()[:16]
@@ -82,7 +83,7 @@ def make_manifest(
         run_id=run_id,
         partition_id=partition_id,
         lineage_id=lineage_id_for(files),
-        files=[os.path.basename(f) for f in files],
+        files=[vfs.basename(f) for f in files],
         rows_scanned=int(stats.rows),
         violation_counts=dict(violation_counts),
         stats_digest=base64.b85encode(serialize(stats)).decode(),
@@ -90,29 +91,26 @@ def make_manifest(
 
 
 def manifest_path(ckpt_dir: str, partition_id: int) -> str:
-    return os.path.join(ckpt_dir, f"partition-{partition_id:05d}.json")
+    return vfs.join(ckpt_dir, f"partition-{partition_id:05d}.json")
 
 
 def write_manifest(ckpt_dir: str, manifest: PartitionManifest) -> str:
-    os.makedirs(ckpt_dir, exist_ok=True)
+    """Atomic-visibility write: local = temp + rename, object store =
+    single PUT (``ckpt_dir`` may be a URI, e.g. ``s3://bucket/ckpt``)."""
+    vfs.ensure_dir(ckpt_dir)
     path = manifest_path(ckpt_dir, manifest.partition_id)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(asdict(manifest), f)
-    os.replace(tmp, path)  # atomic: a resume never sees a torn manifest
+    vfs.write_bytes_atomic(path, json.dumps(asdict(manifest)).encode())
     return path
 
 
 def load_manifests(ckpt_dir: str) -> dict[int, PartitionManifest]:
     out: dict[int, PartitionManifest] = {}
-    if not os.path.isdir(ckpt_dir):
-        return out
-    for name in sorted(os.listdir(ckpt_dir)):
+    for path in vfs.list_files(ckpt_dir):
+        name = vfs.basename(path)
         if not (name.startswith("partition-") and name.endswith(".json")):
             continue
         try:
-            with open(os.path.join(ckpt_dir, name)) as f:
-                raw = json.load(f)
+            raw = json.loads(vfs.read_bytes(path))
             out[int(raw["partition_id"])] = PartitionManifest(**raw)
         except (json.JSONDecodeError, KeyError, TypeError):
             continue  # torn/foreign file: treat partition as not-done
