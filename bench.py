@@ -63,13 +63,15 @@ def _headline_clips(num_cpus: int) -> dict:
         ClipRunConfig(
             out_dir=out_dir,
             run_id="BENCH",
-            # FIXED pool at 80% of CPUs: Ray's autoscaling pool ramps up
-            # too slowly to ever reach its max on a bounded run (measured
-            # 2.6x slower).  With decode+validate FUSED into the pool
-            # (round 2) the balance is pool ~324 CPU-s vs read+write ~80
-            # CPU-s per 1M clips -> p = N*324/404 ~ 0.8N; proportional at
-            # both cluster sizes (fair N vs 4N) and leaves CPUs for
-            # read/write so the pool cannot starve them
+            # FIXED pool at 80% of CPUs: Ray's autoscaling pool ramps too
+            # slowly to reach its max on a bounded run (measured 2.6x
+            # slower).  Round 3 tested a bigger pool (14/16): it STARVES —
+            # one read CPU feeds ~12 decode actors (620 MB/s read vs 52
+            # MB/s/actor decode), and the read + uniqueness-scan +
+            # union-write tasks need ~2.5 CPUs between them, so pushing the
+            # pool past 80% just converts decode-bound into read-bound with
+            # idle actors (measured 72% pool busy at 14 actors vs 88% at
+            # 12).  Proportional at both cluster sizes (fair N vs 4N).
             audio_concurrency=max(2, int(num_cpus * 0.8)),
             batch_size=512,
             resume=False,
@@ -152,13 +154,15 @@ def run_scaling() -> dict:
     # with NDAP_SCALING_LO/HI (e.g. 8/32) to reproduce the full-machine run.
     lo = int(os.environ.get("NDAP_SCALING_LO", "4"))
     hi = int(os.environ.get("NDAP_SCALING_HI", str(4 * lo)))
-    # 2M clips (~28 GiB): after the round-2 kernel work the 1M table is
-    # decode-bound for only ~23s at the hi level, so per-run fixed costs
-    # (driver plan build, actor spawn, streaming ramp ~5s + tail) eat the
-    # ratio; doubling the input restores the compute-dominated regime the
-    # north rule targets (at 10^12 clips fixed costs are invisible).
+    # 3M clips (~42 GiB): round-3 measurements put the per-run fixed cost
+    # (driver plan build ~2s, actor spawn + streaming ramp, barrier tail)
+    # at ~14s REGARDLESS of table size; at 2M clips that is ~25% of the
+    # 16-CPU wall and caps measurable efficiency at ~0.8 even on an idle
+    # machine.  3M is the largest table that fits the sandbox disk and
+    # keeps the 16-CPU wall compute-dominated (fixed ~15% of wall).  At
+    # the rule's 10^12-clip regime fixed costs are invisible either way.
     # Same input at BOTH levels, as the rule requires.
-    scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "2000000")
+    scaling_rows = os.environ.get("NDAP_SCALING_CLIPS", "3000000")
     repeats = int(os.environ.get("NDAP_SCALING_REPEATS", "2"))
 
     def run(ncpu: int) -> dict:

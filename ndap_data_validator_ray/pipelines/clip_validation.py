@@ -47,6 +47,14 @@ from ndap_data_validator_ray.state import checkpoint as ckpt
 from ndap_data_validator_ray.functions.sketches import deserialize
 
 
+def _mark(label: str, t0: float) -> None:
+    """Env-gated phase timing (NDAP_TIMING=1) for fixed-cost hunting."""
+    if os.environ.get("NDAP_TIMING"):
+        import sys, time
+
+        print(f"# t+{time.time() - t0:7.2f}s  {label}", file=sys.stderr, flush=True)
+
+
 @dataclass
 class ClipRunConfig:
     out_dir: str
@@ -115,8 +123,12 @@ class _DecodeValidateStage:
 def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None = None) -> dict[str, Any]:
     """Run the full constraint suite; returns the verdict report dict and
     writes violations + per-partition manifests under ``cfg.out_dir``."""
+    import time as _time
+
+    _t0 = _time.time()
     schema = schema or clips_table_schema(drift=cfg.baseline_path is not None)
     files = clip_files(data_dir)
+    _mark("listed files", _t0)
     if not files:
         raise FileNotFoundError(f"no clip shards under {data_dir}")
     partitions = _partition_assignment(files, cfg.files_per_partition)
@@ -147,11 +159,12 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
             uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
         except Exception:
             uniq_future = None  # corrupt shard: retried over healthy files below
+        _mark("uniqueness scan launched", _t0)
 
     failed_partitions: dict[int, str] = {}
     if pending:
         try:
-            _run_validation_pass(pending, run_dir, ckpt_dir, cfg, schema, subdir="union")
+            _run_validation_pass(pending, run_dir, ckpt_dir, cfg, schema, subdir="union", _t0=_t0)
         except Exception:
             # a corrupt shard aborts the whole streaming pass; fall back to
             # per-partition execution so every healthy partition completes
@@ -165,8 +178,10 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
                 except Exception as exc:  # noqa: BLE001 - recorded, not raised
                     failed_partitions[pid] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
+    _mark("validation pass done", _t0)
     manifests = ckpt.load_manifests(ckpt_dir)
     total = ckpt.merged_stats(manifests)
+    _mark("manifests merged", _t0)
 
     dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
     n_dup_keys = 0
@@ -175,6 +190,7 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
             if uniq_future is None:
                 raise RuntimeError("key scan not started (corrupt shard)")
             dup_tbl = uniq_future.result()
+            _mark("uniqueness result ready", _t0)
         except Exception:
             # key scan hit the corrupt shard: retry over healthy files only
             healthy = [
@@ -225,6 +241,7 @@ def _run_validation_pass(
     cfg: ClipRunConfig,
     schema: TableSchema,
     subdir: str,
+    _t0: float = 0.0,
 ) -> None:
     """One streaming pass over ``pending`` partitions -> union output +
     per-partition manifests."""
@@ -256,42 +273,64 @@ def _run_validation_pass(
         concurrency=cfg.audio_concurrency,
         num_cpus=1,
     )
-    # merge the per-BATCH stats partials into one row per PARTITION inside
-    # the cluster: the driver fold then scales with partition count, never
-    # with batch count (at 10^12 rows, per-batch blobs would be billions)
-    ds = ds.groupby("partition_id").map_groups(_merge_partition_stats_group, batch_format="pandas")
+    # compact the per-BATCH stats partials to one row per (block,
+    # partition) with a STREAMING per-block map — no shuffle, no barrier.
+    # Round 3 measured the previous ``groupby(partition_id)`` sort barrier
+    # costing 20-30s of post-decode tail at 500+ blocks (the sort cannot
+    # start until the last decode block lands); the driver-side manifest
+    # fold already groups by partition, so the cluster only needs to bound
+    # the blob count: per-block compaction caps it at ~2x block count.
+    # 10^12-scale note: at ~10^8 blocks re-introduce a hierarchical fold
+    # (bucketed groupby over the compacted rows) before the driver merge.
+    ds = ds.map_batches(_merge_partition_stats_group, batch_size=None, batch_format="pandas")
     union_dir = vfs.join(run_dir, subdir)
     # write_parquet appends; a prior attempt that died between its union
     # write and its manifest writes would leave files this read-back fold
     # would double-count on resume — each attempt owns the subdir exclusively
     vfs.delete_dir(union_dir)
     union_fs, union_path = vfs.resolve(union_dir)
+    _mark("pass: plan built, starting execution", _t0)
     ds.write_parquet(union_path, filesystem=union_fs)
+    _mark("pass: union written", _t0)
+    if os.environ.get("NDAP_TIMING"):
+        import sys
+
+        print(ds.stats(), file=sys.stderr, flush=True)
 
     # union output is SMALL (violations + ONE stats row per partition):
     # read it back, fold per partition, write manifests
     union = pads.dataset(union_path, format="parquet", filesystem=union_fs).to_table()
+    _mark("pass: union read back", _t0)
     _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
+    _mark("pass: manifests written", _t0)
 
 
-def _merge_partition_stats_group(group: "pd.DataFrame") -> "pd.DataFrame":
-    """Reducer for one partition's union rows: violations pass through,
-    stats blobs fold into a single blob (deterministic bytewise order)."""
+def _merge_partition_stats_group(block: "pd.DataFrame") -> "pd.DataFrame":
+    """Per-block compactor: violations pass through; stats blobs fold into
+    one blob per partition present in the block (deterministic bytewise
+    merge order).  Commutative/associative, so block boundaries and task
+    order cannot change the final manifest fold."""
     import pandas as pd
 
-    stats_mask = group["record_type"] == "stats"
-    blobs = sorted(group.loc[stats_mask, "stats_blob"].tolist())
-    if len(blobs) <= 1:
-        return group
-    total = TableStats()
-    for blob in blobs:
-        total = total.merge(deserialize(blob))
     from ndap_data_validator_ray.functions.sketches import serialize
 
-    merged = group.loc[stats_mask].iloc[:1].copy()
-    merged["rows"] = int(total.rows)
-    merged["stats_blob"] = [serialize(total)]
-    return pd.concat([group.loc[~stats_mask], merged], ignore_index=True)
+    stats_mask = block["record_type"] == "stats"
+    if int(stats_mask.sum()) <= 1:
+        return block
+    merged_rows = []
+    for pid, g in block.loc[stats_mask].groupby("partition_id", sort=True):
+        blobs = sorted(g["stats_blob"].tolist())
+        if len(blobs) == 1:
+            merged_rows.append(g.iloc[:1])
+            continue
+        total = TableStats()
+        for blob in blobs:
+            total = total.merge(deserialize(blob))
+        row = g.iloc[:1].copy()
+        row["rows"] = int(total.rows)
+        row["stats_blob"] = [serialize(total)]
+        merged_rows.append(row)
+    return pd.concat([block.loc[~stats_mask], *merged_rows], ignore_index=True)
 
 
 def _write_partition_manifests(
