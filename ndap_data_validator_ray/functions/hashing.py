@@ -74,14 +74,26 @@ def minhash_signature_matrix(list_of_shingle_hashes: list[np.ndarray], num_perm:
     return np.vstack([minhash_signature(s, num_perm, seed) for s in list_of_shingle_hashes])
 
 
+def lsh_bands_matrix(sig_matrix: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Vectorized banding for a (n_docs, num_perm) signature matrix ->
+    (n_docs, bands) uint64 band hashes (FNV-style fold over each band's
+    slice, splitmix finalizer).  Docs sharing any (band_id, band_hash)
+    become LSH candidates."""
+    n, p = sig_matrix.shape
+    rows = p // bands
+    v = sig_matrix[:, : bands * rows].reshape(n, bands, rows).astype(np.uint64)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ v[:, :, r]) * np.uint64(1099511628211)
+        h = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(29)
+    return h
+
+
 def lsh_bands(signature: np.ndarray, bands: int = 16) -> np.ndarray:
-    """Hash each of ``bands`` contiguous signature slices -> (bands,) uint64.
-    Docs sharing any (band_id, band_hash) become LSH candidates."""
-    rows = len(signature) // bands
-    sig = signature[: bands * rows].reshape(bands, rows)
-    return pd.util.hash_array(
-        np.array([sig[i].tobytes() for i in range(bands)], dtype=object), categorize=False
-    )
+    """Single-signature convenience wrapper over ``lsh_bands_matrix``."""
+    return lsh_bands_matrix(signature[None, :], bands)[0]
 
 
 def jaccard(a: set, b: set) -> float:

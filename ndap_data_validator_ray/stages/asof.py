@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ndap_data_validator_ray.stages.groupby import BUCKET_COL, stable_bucket
+from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets, stable_bucket
 
 _SIDE_COL = "_asof_side"
 _ON_COL = "_asof_on"
@@ -66,7 +66,7 @@ def bucketed_asof_join(
     right_on: str | None = None,
     right_by: str | None = None,
     direction: str = "backward",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """As-of join of ``left`` against ``right``; left-join semantics (every
     left row survives, unmatched right columns are null).
@@ -76,6 +76,7 @@ def bucketed_asof_join(
     """
     right_on = right_on or on
     right_by = right_by or by
+    n_buckets = n_buckets or default_n_buckets()
 
     lf = _fields(left)
     rf = _fields(right)

@@ -58,19 +58,26 @@ class MinHashStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n_bands = self.bands
-        ids, band_hashes, sig_hashes = [], [], []
-        for doc_id, text in zip(batch[self.id_col], batch[self.text_col].fillna("")):
-            sig = hs.minhash_signature(hs.char_shingles(text, self.shingle_k), self.num_perm)
-            band_hashes.append(hs.lsh_bands(sig, n_bands).astype(np.int64))
-            sig_hashes.append(np.int64(pd.util.hash_array(sig).sum().astype(np.int64)))
-            ids.append(doc_id)
-        n_docs = len(ids)
+        texts = batch[self.text_col].fillna("")
+        n_docs = len(texts)
+        if n_docs == 0:
+            return pd.DataFrame(
+                {self.id_col: [], "band_id": [], "band_hash": [], "sig_hash": []}
+            )
+        # per-doc shingling is vectorized inside char_shingles; banding and
+        # signature hashing are vectorized ACROSS docs on the (n, perm)
+        # signature matrix
+        sig_mat = np.vstack(
+            [hs.minhash_signature(hs.char_shingles(t, self.shingle_k), self.num_perm) for t in texts]
+        )
+        band_hash = hs.lsh_bands_matrix(sig_mat, n_bands).astype(np.int64)  # (n, bands)
+        sig_hash = hs.lsh_bands_matrix(sig_mat, 1).astype(np.int64)[:, 0]  # whole-sig fingerprint
         return pd.DataFrame(
             {
-                self.id_col: np.repeat(np.asarray(ids), n_bands),
+                self.id_col: np.repeat(batch[self.id_col].to_numpy(), n_bands),
                 "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
-                "band_hash": np.concatenate(band_hashes) if band_hashes else np.array([], dtype=np.int64),
-                "sig_hash": np.repeat(np.asarray(sig_hashes, dtype=np.int64), n_bands),
+                "band_hash": band_hash.ravel(),
+                "sig_hash": np.repeat(sig_hash, n_bands),
             }
         )
 

@@ -30,6 +30,19 @@ import ray.data
 BUCKET_COL = "_bucket"
 
 
+def default_n_buckets() -> int:
+    """Cluster-sized bucket count: ~2-4x the worker CPUs (the shuffle's
+    parallelism knob), clamped so tiny test clusters still spread and a
+    big cluster doesn't explode tiny inputs into thousands of groups."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    except Exception:
+        cpus = 16
+    return int(min(512, max(32, 3 * cpus)))
+
+
 def stable_bucket(keys: pd.Series | pd.DataFrame, n_buckets: int) -> np.ndarray:
     """Deterministic bucket ids from one or more key columns."""
     if isinstance(keys, pd.DataFrame):

@@ -24,7 +24,7 @@ import pandas as pd
 
 import ray.data
 
-from ndap_data_validator_ray.stages.groupby import BUCKET_COL, stable_bucket
+from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets, stable_bucket
 
 _SIDE_COL = "_join_side"
 
@@ -34,7 +34,7 @@ def bucketed_join(
     right: "ray.data.Dataset",
     on: list[str],
     how: str = "inner",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     suffixes: tuple[str, str] = ("", "_r"),
 ) -> "ray.data.Dataset":
     """Hash-partitioned join of two Datasets on ``on`` columns.
@@ -46,6 +46,8 @@ def bucketed_join(
     """
 
     import pyarrow as pa
+
+    n_buckets = n_buckets or default_n_buckets()
 
     def _arrow_fields(ds: "ray.data.Dataset") -> list[pa.Field]:
         sch = ds.schema()

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ndap_data_validator_ray.stages.asof import _fields
-from ndap_data_validator_ray.stages.groupby import BUCKET_COL, stable_bucket
+from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets, stable_bucket
 
 _SIDE_COL = "_range_side"
 _BY_COL = "_range_by"
@@ -46,11 +46,12 @@ def bucketed_range_join(
     right_by: str,
     right_start: str,
     right_end: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Inner band join: pairs where ``left[on] > right[right_start]`` and
     ``left[on] <= right[right_end]`` with ``left[by] == right[right_by]``.
     Output carries all left columns + the right's non-key columns."""
+    n_buckets = n_buckets or default_n_buckets()
     lf = _fields(left)
     rf = _fields(right)
     left_cols = list(lf)

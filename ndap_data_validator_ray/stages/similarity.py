@@ -247,6 +247,88 @@ def embedding_near_duplicates(
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def exact_cosine_topk_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+    tiles: int = 4,
+) -> pd.DataFrame:
+    """EXACT global top-k most-similar vector pairs — the distributed
+    triangle (tile-pair) join, same shape as ``dedup_near.
+    exact_jaccard_pairs``: each vector is tagged ``tile = hash(id) % T``
+    and replicated to the T tile-PAIRS containing its tile; each
+    ``groupby(pair_key)`` group matmuls only its two tile sub-matrices and
+    emits a LOCAL top-k, so the driver merges T(T+1)/2 * k rows, never the
+    O(n^2) pair set.
+
+    O(n^2) compute by definition — the DuckDB-oracleable exact twin /
+    recall-audit primitive; ``embedding_near_duplicates`` (hyperplane LSH)
+    is the 100 TB path.  Returns (id_a, id_b, sim, rank) ordered by
+    (sim desc, id_a, id_b) — deterministic whenever sims are distinct."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        t = (pd.util.hash_array(ids, categorize=False) % np.uint64(tiles)).astype(np.int64)
+        frames = []
+        for u in range(tiles):
+            lo = np.minimum(t, u)
+            hi = np.maximum(t, u)
+            frames.append(
+                pd.DataFrame(
+                    {id_col: ids, "tile": t, "pair_key": lo * tiles + hi, vec_col: batch[vec_col]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def local_topk(group: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for pk, g in group.groupby("pair_key", sort=False):
+            lo, hi = divmod(int(pk), tiles)
+            rows = g.drop_duplicates(subset=[id_col])
+            ids = rows[id_col].to_numpy()
+            m = _normalize(_batch_matrix(rows, vec_col))
+            tile = rows["tile"].to_numpy()
+            if lo == hi:
+                sims = m @ m.T
+                ii, jj = np.triu_indices(len(ids), 1)
+                a_ids, b_ids = ids[ii], ids[jj]
+            else:
+                la = np.flatnonzero(tile == lo)
+                lb = np.flatnonzero(tile == hi)
+                if len(la) == 0 or len(lb) == 0:
+                    continue
+                sims = m[la] @ m[lb].T  # (|la|, |lb|)
+                ii, jj = np.meshgrid(np.arange(len(la)), np.arange(len(lb)), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+                a_ids, b_ids = ids[la][ii], ids[lb][jj]
+            if len(ii) == 0:
+                continue
+            s = sims[ii, jj]
+            a = np.minimum(a_ids, b_ids)
+            b = np.maximum(a_ids, b_ids)
+            # deterministic local top-k on (sim desc, id_a, id_b)
+            keep = np.lexsort((b, a, -s))[:k]
+            out_a.extend(a[keep])
+            out_b.extend(b[keep])
+            out_s.extend(s[keep])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    partials = bucketed_groupby(
+        tagged, ["pair_key"], lambda b: b, local_topk, n_buckets=max(8, tiles * tiles)
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": [], "rank": []})
+    best = partials.sort_values(["sim", "id_a", "id_b"], ascending=[False, True, True]).head(k)
+    best = best.reset_index(drop=True)
+    best["rank"] = np.arange(1, len(best) + 1, dtype=np.int64)
+    return best
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

@@ -686,3 +686,33 @@ def test_bucketed_range_join_rejects_column_collision():
             ray.data.from_pandas(left), ray.data.from_pandas(right),
             on="v", by="k", right_by="k2", right_start="lo", right_end="hi",
         )
+
+
+def test_exact_cosine_topk_pairs_matches_bruteforce(emb_dataset):
+    from ndap_data_validator_ray.stages.similarity import exact_cosine_topk_pairs
+
+    df, mat = emb_dataset
+    got = exact_cosine_topk_pairs(
+        ray.data.from_pandas(df).repartition(4), id_col="vec_id", vec_col="embedding", k=15, tiles=3
+    )
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    ii, jj = np.triu_indices(len(mat), 1)
+    order = np.lexsort((jj, ii, -sims[ii, jj]))[:15]
+    exp = pd.DataFrame(
+        {
+            "id_a": ii[order].astype("int64"),
+            "id_b": jj[order].astype("int64"),
+            "sim": sims[ii, jj][order],
+            "rank": np.arange(1, 16, dtype="int64"),
+        }
+    )
+    assert len(got) == 15
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"id_a": "int64", "id_b": "int64", "rank": "int64"}),
+        exp,
+        check_exact=False,
+        rtol=1e-9,
+    )
+    # the planted near-dup pair (10, 250) must rank first
+    assert (got.iloc[0]["id_a"], got.iloc[0]["id_b"]) == (10, 250)
