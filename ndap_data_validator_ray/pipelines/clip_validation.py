@@ -47,6 +47,41 @@ from ndap_data_validator_ray.state import checkpoint as ckpt
 from ndap_data_validator_ray.functions.sketches import deserialize
 
 
+def _warm_lazy_fs_imports() -> None:
+    """Make Ray's lazy path-util import race thread-safe.
+
+    ``path_util._is_http_filesystem`` runs ``from fsspec.implementations.
+    http import HTTPFileSystem`` on EVERY call (read construction and write
+    sink setup both hit it).  Without aiohttp installed that import always
+    raises — single-threaded it raises ``ModuleNotFoundError('aiohttp')``,
+    which Ray catches; but when two threads race the first import, the
+    loser sees a partially initialized module and gets a plain
+    ``ImportError`` ("cannot import name HTTPFileSystem"), which Ray does
+    NOT catch, killing whichever Dataset was being built.  Wrapping the
+    helper to map any ImportError to False (the exact conclusion of the
+    single-threaded path: no aiohttp => the filesystem cannot be HTTP)
+    makes concurrent Dataset construction safe.  Idempotent."""
+    try:
+        from ray.data.datasource import path_util as _pu
+
+        orig = _pu._is_http_filesystem
+        if getattr(orig, "_ndap_safe", False):
+            return
+
+        def _safe_is_http_filesystem(fs):
+            try:
+                return orig(fs)
+            except ImportError:
+                return False
+
+        _safe_is_http_filesystem._ndap_safe = True
+        _pu._is_http_filesystem = _safe_is_http_filesystem
+        # file_datasink/read paths import the symbol through the module, so
+        # patching the module attribute covers both call sites
+    except Exception:
+        pass  # internal layout changed: threads fall back to serial path
+
+
 def _mark(label: str, t0: float) -> None:
     """Env-gated phase timing (NDAP_TIMING=1) for fixed-cost hunting."""
     if os.environ.get("NDAP_TIMING"):
@@ -120,6 +155,30 @@ class _DecodeValidateStage:
         return self.validate(self.decode(batch))
 
 
+# per-worker-process decoder cache for the TASK-mode stage: the same
+# init-once-per-process behavior as an actor pool, without reserving CPUs
+_TASK_DECODER_CACHE: dict[bool, AudioDecodeValidator] = {}
+
+
+def _decode_validate_task(batch: pa.Table, *, full_decode: bool, validator: ValidateBatch) -> pa.Table:
+    """TASK-mode fused decode+validate (``audio_concurrency=None``).
+
+    An actor pool reserves a fixed CPU split for the whole run; on a
+    bounded job that split is never perfectly balanced against the read /
+    compact / write stages, so ~10-15% of the pool sits idle across the
+    ramp and drain (measured at 16 CPUs / 3M clips).  As a plain task
+    stage, Ray fuses read->decode->compact->write into ONE task chain and
+    packs every CPU with no partition gaps.  Stateful decoder init stays
+    once-per-worker via a process-global cache (the actor-pool path — the
+    contract a REAL model-loading decoder with GPU/heap affinity needs —
+    remains available and is the default)."""
+    dec = _TASK_DECODER_CACHE.get(full_decode)
+    if dec is None:
+        dec = AudioDecodeValidator(full_decode=full_decode)
+        _TASK_DECODER_CACHE[full_decode] = dec
+    return validator(dec(batch))
+
+
 def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None = None) -> dict[str, Any]:
     """Run the full constraint suite; returns the verdict report dict and
     writes violations + per-partition manifests under ``cfg.out_dir``."""
@@ -138,6 +197,20 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     done = ckpt.completed_partitions(ckpt_dir, partitions) if cfg.resume else set()
     pending = {pid: fs for pid, fs in partitions.items() if pid not in done}
 
+    # build the MAIN plan first: the first read_parquet in a process pays
+    # Ray's lazy read-path imports + metadata sampling (~2s at 256 shards);
+    # doing it up front also makes it safe for the uniqueness thread below
+    # to construct ITS Dataset concurrently (sys.modules already warm —
+    # parallel first-construction is what races Ray's lazy path-util
+    # imports)
+    main_ds = None
+    if pending:
+        try:
+            main_ds = _build_validation_plan(pending, cfg, schema)
+        except Exception:  # corrupt shard at metadata time: per-partition fallback below
+            main_ds = None
+    _mark("main plan built", _t0)
+
     # launch the uniqueness key-scan CONCURRENTLY with the heavy pass: it
     # reads one pruned column and shares the cluster; the streaming
     # executors interleave, so its wall time hides under the decode stage
@@ -147,24 +220,55 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
 
         # single-column projection; coalesce small files so the key scan is
         # not dominated by per-task overhead (~256MB of file footprint per
-        # read block; only the key column is read).  The Dataset (and its
-        # filesystem/path resolution) is built on the MAIN thread — lazy
-        # imports inside Ray's path utils are not thread-safe — and only
-        # EXECUTED in the worker thread.
+        # read block; only the key column is read)
         total_bytes = sum(vfs.file_size(f) for f in files)
         n_blocks = int(min(len(files), max(8, total_bytes // (256 << 20))))
-        _uniq_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        # cap the side-scan's CPUs so it cannot starve the decode pool's
+        # read feeder during the ramp — it has minutes of slack against the
+        # main pass (measured: uncapped it finishes in the first ~20% of
+        # the run while the pool sits ~15% idle)
         try:
-            key_ds = _read_clip_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
-            uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
+            n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:
-            uniq_future = None  # corrupt shard: retried over healthy files below
+            n_cpus = 8
+        uniq_cpu_cap = max(1, n_cpus // 8)
+        _uniq_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+        def _uniq_scan():
+            kds = _read_clip_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
+            try:
+                from ray.data._internal.execution.interfaces import ExecutionResources
+
+                kds.context.execution_options.resource_limits = ExecutionResources(cpu=uniq_cpu_cap)
+            except Exception:
+                pass  # private API moved: run uncapped rather than fail
+            return duplicate_keys(kds, "clip_id")
+
+        if main_ds is not None:
+            # overlap Dataset CONSTRUCTION (metadata fetch) with the main
+            # pass; a construction error inside the thread surfaces at
+            # .result() and takes the healthy-files retry path below
+            _warm_lazy_fs_imports()
+            uniq_future = _uniq_pool.submit(_uniq_scan)
+        else:
+            # nothing pending: no main plan warmed the lazy imports, so
+            # construct on the main thread and only execute in the worker
+            try:
+                key_ds = _read_clip_parquet(files, columns=["clip_id"], override_num_blocks=n_blocks)
+                uniq_future = _uniq_pool.submit(duplicate_keys, key_ds, "clip_id")
+            except Exception:
+                uniq_future = None  # corrupt shard: retried over healthy files below
         _mark("uniqueness scan launched", _t0)
 
     failed_partitions: dict[int, str] = {}
+    new_manifests: dict[int, tuple[ckpt.PartitionManifest, TableStats]] = {}
     if pending:
         try:
-            _run_validation_pass(pending, run_dir, ckpt_dir, cfg, schema, subdir="union", _t0=_t0)
+            if main_ds is None:
+                raise RuntimeError("main plan build failed; per-partition fallback")
+            new_manifests = _execute_validation_pass(
+                main_ds, pending, run_dir, ckpt_dir, cfg, schema, subdir="union", _t0=_t0
+            )
         except Exception:
             # a corrupt shard aborts the whole streaming pass; fall back to
             # per-partition execution so every healthy partition completes
@@ -174,13 +278,30 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
             # partitions get NO manifest, so a later resume retries them.
             for pid, fs in pending.items():
                 try:
-                    _run_validation_pass({pid: fs}, run_dir, ckpt_dir, cfg, schema, subdir=f"union-p{pid:05d}")
+                    pass_ds = _build_validation_plan({pid: fs}, cfg, schema)
+                    new_manifests.update(
+                        _execute_validation_pass(
+                            pass_ds, {pid: fs}, run_dir, ckpt_dir, cfg, schema, subdir=f"union-p{pid:05d}"
+                        )
+                    )
                 except Exception as exc:  # noqa: BLE001 - recorded, not raised
                     failed_partitions[pid] = f"{type(exc).__name__}: {str(exc)[:200]}"
 
     _mark("validation pass done", _t0)
-    manifests = ckpt.load_manifests(ckpt_dir)
-    total = ckpt.merged_stats(manifests)
+    if done or failed_partitions or not pending:
+        # resumed/failed partitions: the checkpoint dir is the source of
+        # truth for what actually completed (latest-attempt-wins)
+        manifests = ckpt.load_manifests(ckpt_dir)
+        total = ckpt.merged_stats(manifests)
+    else:
+        # fresh full run: the manifests just written ARE the disk state —
+        # skip re-reading them, and fold the global total from the stats
+        # objects already in memory (re-deserializing every digest is pure
+        # driver-serial tail cost at high shard count)
+        manifests = {pid: m for pid, (m, _s) in new_manifests.items()}
+        total = TableStats()
+        for pid in sorted(new_manifests):
+            total = total.merge(new_manifests[pid][1])
     _mark("manifests merged", _t0)
 
     dup_tbl = pa.table({"clip_id": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
@@ -234,17 +355,12 @@ def validate_clips(data_dir: str, cfg: ClipRunConfig, schema: TableSchema | None
     return report
 
 
-def _run_validation_pass(
+def _build_validation_plan(
     pending: dict[int, list[str]],
-    run_dir: str,
-    ckpt_dir: str,
     cfg: ClipRunConfig,
     schema: TableSchema,
-    subdir: str,
-    _t0: float = 0.0,
-) -> None:
-    """One streaming pass over ``pending`` partitions -> union output +
-    per-partition manifests."""
+) -> "ray.data.Dataset":
+    """Build (lazily) the streaming validation plan over ``pending``."""
     pending_files = [f for fs in pending.values() for f in fs]
     # Ray's include_paths reports scheme-less paths; key the pid map the
     # same way so remote URIs resolve (s3://b/k -> b/k)
@@ -257,22 +373,31 @@ def _run_validation_pass(
     # the object store a second time just to shrink it to violation/stats
     # rows; fused, the actor emits only the tiny union records and one
     # pool serves both compute bodies (better CPU balance at any size)
-    ds = ds.map_batches(
-        _DecodeValidateStage,
-        fn_constructor_kwargs={
-            "full_decode": cfg.full_decode,
-            "validator": ValidateBatch(
-                schema,
-                key_column="clip_id",
-                violation_cap=cfg.violation_cap,
-                dur_tolerance_ms=cfg.dur_tolerance_ms,
-            ),
-        },
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.audio_concurrency,
-        num_cpus=1,
+    validator = ValidateBatch(
+        schema,
+        key_column="clip_id",
+        violation_cap=cfg.violation_cap,
+        dur_tolerance_ms=cfg.dur_tolerance_ms,
     )
+    if cfg.audio_concurrency is None:
+        # task mode: fully fusable with read + compact + write — every CPU
+        # runs the whole chain, no fixed pool split (see _decode_validate_task)
+        ds = ds.map_batches(
+            _decode_validate_task,
+            fn_kwargs={"full_decode": cfg.full_decode, "validator": validator},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            _DecodeValidateStage,
+            fn_constructor_kwargs={"full_decode": cfg.full_decode, "validator": validator},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.audio_concurrency,
+            num_cpus=1,
+        )
     # compact the per-BATCH stats partials to one row per (block,
     # partition) with a STREAMING per-block map — no shuffle, no barrier.
     # Round 3 measured the previous ``groupby(partition_id)`` sort barrier
@@ -283,6 +408,21 @@ def _run_validation_pass(
     # 10^12-scale note: at ~10^8 blocks re-introduce a hierarchical fold
     # (bucketed groupby over the compacted rows) before the driver merge.
     ds = ds.map_batches(_merge_partition_stats_group, batch_size=None, batch_format="pandas")
+    return ds
+
+
+def _execute_validation_pass(
+    ds: "ray.data.Dataset",
+    pending: dict[int, list[str]],
+    run_dir: str,
+    ckpt_dir: str,
+    cfg: ClipRunConfig,
+    schema: TableSchema,
+    subdir: str,
+    _t0: float = 0.0,
+) -> dict[int, tuple["ckpt.PartitionManifest", TableStats]]:
+    """Execute a built validation plan -> union output + per-partition
+    manifests (returned so a fresh run can skip re-reading them)."""
     union_dir = vfs.join(run_dir, subdir)
     # write_parquet appends; a prior attempt that died between its union
     # write and its manifest writes would leave files this read-back fold
@@ -301,8 +441,9 @@ def _run_validation_pass(
     # read it back, fold per partition, write manifests
     union = pads.dataset(union_path, format="parquet", filesystem=union_fs).to_table()
     _mark("pass: union read back", _t0)
-    _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
+    manifests = _write_partition_manifests(union, pending, ckpt_dir, cfg.run_id, schema)
     _mark("pass: manifests written", _t0)
+    return manifests
 
 
 def _merge_partition_stats_group(block: "pd.DataFrame") -> "pd.DataFrame":
@@ -335,7 +476,7 @@ def _merge_partition_stats_group(block: "pd.DataFrame") -> "pd.DataFrame":
 
 def _write_partition_manifests(
     union: pa.Table, pending: dict[int, list[str]], ckpt_dir: str, run_id: str, schema: TableSchema
-) -> None:
+) -> dict[int, tuple["ckpt.PartitionManifest", TableStats]]:
     # vectorized fold: group the (small) union output once with pandas —
     # never a per-row Python loop over all partitions x rows
     df = union.select(["record_type", "partition_id", "check", "stats_blob"]).to_pandas()
@@ -345,7 +486,9 @@ def _write_partition_manifests(
     vcounts_by_pid = {
         int(pid): g["check"].value_counts().to_dict() for pid, g in viol_df.groupby("partition_id")
     }
-    for pid, files in pending.items():
+
+    def build_and_write(item: tuple[int, list[str]]) -> tuple[int, tuple["ckpt.PartitionManifest", TableStats]]:
+        pid, files = item
         stats = TableStats()
         # deterministic fold: sort stats blobs bytewise so merge order does
         # not depend on task completion order (resume determinism)
@@ -356,7 +499,22 @@ def _write_partition_manifests(
         exact = _exact_violation_counts(stats, schema)
         for check, cnt in exact.items():
             vcounts[check] = cnt
-        ckpt.write_manifest(ckpt_dir, ckpt.make_manifest(run_id, pid, files, stats, dict(vcounts)))
+        m = ckpt.make_manifest(run_id, pid, files, stats, dict(vcounts))
+        ckpt.write_manifest(ckpt_dir, m)
+        # return the in-memory stats too so the caller's global fold does
+        # not re-deserialize every digest it just encoded
+        return pid, (m, stats)
+
+    # each manifest write is tiny but does real I/O (lineage content sample
+    # + atomic write); at hundreds of shards the serial loop is ~1s of
+    # driver tail, so fan out over threads (writes are independent files)
+    import concurrent.futures
+
+    vfs.ensure_dir(ckpt_dir)
+    if len(pending) <= 4:
+        return dict(build_and_write(it) for it in pending.items())
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+        return dict(pool.map(build_and_write, pending.items()))
 
 
 def _exact_violation_counts(stats: TableStats, schema: TableSchema) -> dict[str, int]:
