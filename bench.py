@@ -117,6 +117,7 @@ _QUERY_NAMES = [
     "knn_embeddings",
     "events_last_order_asof",
     "early_shipments_range_join",
+    "orders_running_total",
 ]
 
 

@@ -1614,6 +1614,135 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# Window functions (stages/window.py): ROW_NUMBER / cumulative / LAG / LEAD /
+# rank / rolling frames OVER (PARTITION BY .. ORDER BY ..)
+# ---------------------------------------------------------------------------
+
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer ordered window: row number, running revenue total and
+    previous order key over (PARTITION BY o_custkey ORDER BY o_orderdate,
+    o_orderkey) — the partitioned window operator Ray Data lacks natively
+    (``stages/window.py``; partitioning assumption documented there)."""
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    out = partitioned_window(
+        ds,
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[
+            WindowSpec("row_number", out="rn"),
+            WindowSpec("cumsum", col="o_totalprice", out="running_total"),
+            WindowSpec("lag", col="o_orderkey", out="prev_orderkey"),
+        ],
+    ).to_pandas()
+    # running totals are prefix sums of 2-decimal money values computed in
+    # the same ROWS UNBOUNDED PRECEDING order on both sides; round-2 per
+    # module convention
+    out["running_total"] = _r2(out["running_total"])
+    return (
+        out[["o_custkey", "o_orderkey", "rn", "running_total", "prev_orderkey"]]
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
+_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROW_NUMBER() OVER w AS rn,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       LAG(o_orderkey) OVER w AS prev_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def events_rolling_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-ordered frames: 3-row rolling value sum, event rank by
+    timestamp, and the next event id (LEAD) — frame-bounded + ranking specs
+    of ``stages/window.py`` (no (user_id, ts) ties in the synth data, so
+    ts alone orders deterministically)."""
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+    out = partitioned_window(
+        ds,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        specs=[
+            WindowSpec("rolling_sum", col="value", out="value_sum_3", n=3),
+            WindowSpec("rank", out="ts_rank"),
+            WindowSpec("lead", col="event_id", out="next_event"),
+        ],
+    ).to_pandas()
+    out["value_sum_3"] = _r6(out["value_sum_3"])
+    return (
+        out[["user_id", "event_id", "ts_rank", "value_sum_3", "next_event"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+_ROLLING_SQL = """
+SELECT user_id, event_id,
+       RANK() OVER w AS ts_rank,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value_sum_3,
+       LEAD(event_id) OVER w AS next_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot / crosstab: long -> wide with mergeable per-batch partials
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(sf_dir: str) -> pd.DataFrame:
+    """Daily event crosstab (one column per event type + value total) —
+    pivot expressed as per-batch partial crosstabs summed per day, so the
+    shuffle carries one row per (batch, day), never per event."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    n_cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        ct = pd.crosstab(batch["day"], batch["event_type"])
+        ct = ct.reindex(columns=_EVENT_TYPES, fill_value=0).astype("int64")
+        ct.columns = n_cols
+        ct["total_value"] = batch.groupby("day")["value"].sum()
+        return ct.reset_index()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("day", as_index=False).sum()
+
+    out = bucketed_groupby(ds, ["day"], partial, merge).to_pandas()
+    out["total_value"] = _r2(out["total_value"])
+    return out.sort_values("day").reset_index(drop=True)[["day"] + n_cols + ["total_value"]]
+
+
+_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cases},
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY day ORDER BY day
+""".format(
+    cases=", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1673,6 +1802,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "label_centroid_distances": (label_centroid_distances, _LABEL_CENTROID_SQL),
     "image_decode_features": (image_decode_features, None),
     "video_frame_samples": (video_frame_samples, None),
+    "orders_running_total": (orders_running_total, _RUNNING_TOTAL_SQL),
+    "events_rolling_stats": (events_rolling_stats, _ROLLING_SQL),
+    "events_pivot_by_type": (events_pivot_by_type, _PIVOT_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
         "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "

@@ -86,6 +86,13 @@ class ClipTableSpec:
     # ~2048 rows x ~15KB = ~30MB row groups give the reader real split
     # points (Lance fragments have the same sub-file granularity).
     row_group_size: int = 2048
+    # Codec for the audio payload column.  Synthetic (and most real) audio
+    # bytes are incompressible — zstd got 6.32->6.52 MB per row group (97%)
+    # while costing ~1 CPU-s/GiB to decompress on EVERY read; "none" frees
+    # that CPU for the decode pool (metadata columns stay zstd, they
+    # compress 3-10x).  Field participates in cache_key so cached tables
+    # roll over when it changes.
+    payload_codec: str = "none"
 
     def cache_key(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()
@@ -295,7 +302,9 @@ def write_clips_dataset(out_dir: str, spec: ClipTableSpec, overwrite: bool = Fal
     def _write_one(shard: int) -> None:
         tbl = generate_shard(spec, shard)
         tmp = os.path.join(out_dir, f".part-{shard:05d}.parquet.tmp")
-        pq.write_table(tbl, tmp, compression="zstd", row_group_size=spec.row_group_size)
+        comp = {name: "zstd" for name in tbl.schema.names}
+        comp["bytes"] = spec.payload_codec
+        pq.write_table(tbl, tmp, compression=comp, row_group_size=spec.row_group_size)
         os.replace(tmp, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
 
     import ray
