@@ -64,12 +64,11 @@ class MinHashStage:
             return pd.DataFrame(
                 {self.id_col: [], "band_id": [], "band_hash": [], "sig_hash": []}
             )
-        # per-doc shingling is vectorized inside char_shingles; banding and
-        # signature hashing are vectorized ACROSS docs on the (n, perm)
-        # signature matrix
-        sig_mat = np.vstack(
-            [hs.minhash_signature(hs.char_shingles(t, self.shingle_k), self.num_perm) for t in texts]
-        )
+        # shingling + signatures are vectorized ACROSS docs: one
+        # sliding-window hash pass over the batch's concatenated bytes,
+        # then minimum.reduceat over doc boundaries (no per-doc loop)
+        h, offs = hs.char_shingles_batch(texts.tolist(), self.shingle_k)
+        sig_mat = hs.minhash_signature_matrix_concat(h, offs, self.num_perm)
         band_hash = hs.lsh_bands_matrix(sig_mat, n_bands).astype(np.int64)  # (n, bands)
         sig_hash = hs.lsh_bands_matrix(sig_mat, 1).astype(np.int64)[:, 0]  # whole-sig fingerprint
         return pd.DataFrame(
@@ -155,11 +154,9 @@ def _minhash_sigs_for_ids(
 
     def fetch(batch: pd.DataFrame) -> pd.DataFrame:
         sub = batch[batch[id_col].isin(need)]
-        sigs = [
-            hs.minhash_signature(hs.char_shingles(str(t), shingle_k), num_perm).tobytes()
-            for t in sub[text_col].fillna("")
-        ]
-        return pd.DataFrame({id_col: sub[id_col].to_numpy(), "sig": sigs})
+        h, offs = hs.char_shingles_batch([str(t) for t in sub[text_col].fillna("")], shingle_k)
+        sig_mat = hs.minhash_signature_matrix_concat(h, offs, num_perm)
+        return pd.DataFrame({id_col: sub[id_col].to_numpy(), "sig": [s.tobytes() for s in sig_mat]})
 
     out = ds.map_batches(fetch, batch_format="pandas").to_pandas()
     return dict(zip(out[id_col], out["sig"]))

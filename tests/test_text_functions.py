@@ -90,3 +90,23 @@ def test_rolling_fingerprints_short_text_stable():
     b = rolling_fingerprints("abc", window=8)
     assert a.tolist() == b.tolist() and len(a) == 1
     assert rolling_fingerprints("abc") .tolist() != rolling_fingerprints("abd").tolist()
+
+
+def test_char_shingles_batch_matches_per_doc():
+    """Cross-doc-batched shingling + signatures are hash-identical to the
+    per-doc kernels (incl. short-doc space padding and empty batch)."""
+    import ndap_data_validator_ray.functions.hashing as hs
+
+    texts = ["the quick brown fox jumps", "ab", "", "the quick brown fox jumped", "x" * 500]
+    h, offs = hs.char_shingles_batch(texts, k=5)
+    assert len(offs) == len(texts)
+    ends = np.append(offs[1:], len(h))
+    for i, t in enumerate(texts):
+        np.testing.assert_array_equal(h[offs[i] : ends[i]], hs.char_shingles(t, 5))
+    sig = hs.minhash_signature_matrix_concat(h, offs, num_perm=32)
+    per_doc = np.vstack([hs.minhash_signature(hs.char_shingles(t, 5), 32) for t in texts])
+    np.testing.assert_array_equal(sig, per_doc)
+
+    h0, o0 = hs.char_shingles_batch([], k=5)
+    assert len(h0) == 0 and len(o0) == 0
+    assert hs.minhash_signature_matrix_concat(h0, o0, 32).shape == (0, 32)
