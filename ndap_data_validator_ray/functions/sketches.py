@@ -176,6 +176,58 @@ class TDigest:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch (heavy-hitter candidate filter)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CountMin:
+    """Mergeable Count-Min frequency sketch over 64-bit key hashes.
+
+    ``estimate`` never under-counts (row-wise min of over-counting
+    cells), so filtering keys by ``estimate >= T`` yields a SUPERSET of
+    the true heavy hitters — the exact second pass then only shuffles
+    candidate keys instead of the full distinct-key space.  depth x width
+    int64 counts; update/estimate vectorized; ``merge`` is cell-wise sum
+    (commutative/associative, empty identity — checkpoint algebra safe).
+    """
+
+    width: int = 8192
+    depth: int = 4
+    seed: int = 11
+    counts: np.ndarray = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.counts is None:
+            self.counts = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    def _cols(self, h: np.ndarray) -> np.ndarray:
+        rng = np.random.default_rng(self.seed)
+        a = (rng.integers(0, 1 << 62, self.depth, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        b = rng.integers(0, 1 << 63, self.depth, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = h[None, :] * a[:, None] + b[:, None]  # (depth, n) uint64 wraparound
+        return (mixed >> np.uint64(17)).astype(np.int64) % self.width
+
+    def add_hashes(self, h: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if len(h) == 0:
+            return
+        w = np.ones(len(h), dtype=np.int64) if weights is None else weights.astype(np.int64)
+        cols = self._cols(h.astype(np.uint64))
+        for r in range(self.depth):
+            np.add.at(self.counts[r], cols[r], w)
+
+    def estimate(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=np.int64)
+        cols = self._cols(h.astype(np.uint64))
+        return np.min(self.counts[np.arange(self.depth)[:, None], cols], axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert (self.width, self.depth, self.seed) == (other.width, other.depth, other.seed)
+        return CountMin(self.width, self.depth, self.seed, self.counts + other.counts)
+
+
+# ---------------------------------------------------------------------------
 # Drift statistics (driver-side, on merged digests)
 # ---------------------------------------------------------------------------
 

@@ -1742,6 +1742,64 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def heavy_hitter_parts(sf_dir: str) -> pd.DataFrame:
+    """Frequency heavy hitters: all part keys on >= 40 lineitems, via a
+    Count-Min candidate filter + exact verify (stages/heavy.py) — the
+    sketch prunes the shuffle to candidate keys only; the emitted counts
+    are exact, so the oracle is plain GROUP BY .. HAVING."""
+    from ndap_data_validator_ray.stages.heavy import heavy_hitters
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    out = heavy_hitters(ds, "l_partkey", threshold=40, count_col="n_lines").to_pandas()
+    return out.sort_values("l_partkey").reset_index(drop=True).astype({"n_lines": np.int64})
+
+
+_HEAVY_HITTERS_SQL = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey
+"""
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus) totals: the detail level comes
+    from one bucketed combiner pass; both subtotal levels are folded from
+    the TINY detail aggregate at the driver (never a second data pass) —
+    the scale shape for grouping-set aggregates when the detail
+    cardinality is small."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={"l_extendedprice": "revenue"})
+
+    detail = sum_by_key(
+        ds.map_batches(pre, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        ["revenue"],
+        n_buckets=8,
+    ).to_pandas()
+    lvl1 = detail.groupby("l_returnflag", as_index=False)["revenue"].sum()
+    lvl1["l_linestatus"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "revenue": [detail["revenue"].sum()]}
+    )
+    out = pd.concat([detail, lvl1, total], ignore_index=True)
+    out["revenue"] = _r2(out["revenue"])
+    return (
+        out[["l_returnflag", "l_linestatus", "revenue"]]
+        .sort_values(["l_returnflag", "l_linestatus"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1805,6 +1863,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "orders_running_total": (orders_running_total, _RUNNING_TOTAL_SQL),
     "events_rolling_stats": (events_rolling_stats, _ROLLING_SQL),
     "events_pivot_by_type": (events_pivot_by_type, _PIVOT_SQL),
+    "heavy_hitter_parts": (heavy_hitter_parts, _HEAVY_HITTERS_SQL),
+    "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
         "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "

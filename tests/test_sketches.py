@@ -1,6 +1,7 @@
 import functools
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from ndap_data_validator_ray.functions import sketches as sk
@@ -86,3 +87,44 @@ def test_serialize_roundtrip():
     d.update(np.arange(1000, dtype=float))
     d2 = sk.deserialize(sk.serialize(d))
     assert d2.quantile(0.5) == d.quantile(0.5)
+
+
+def test_countmin_never_undercounts_and_merges():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 5000, size=200_000)
+    true = pd.Series(keys).value_counts()
+    h = sk.stable_hash64(true.index.to_numpy())
+
+    # split the stream in two, build partials, merge — same estimates
+    cm_a, cm_b = sk.CountMin(width=4096, depth=4), sk.CountMin(width=4096, depth=4)
+    half = len(keys) // 2
+    for cm, part in ((cm_a, keys[:half]), (cm_b, keys[half:])):
+        vc = pd.Series(part).value_counts()
+        cm.add_hashes(sk.stable_hash64(vc.index.to_numpy()), vc.to_numpy())
+    merged = cm_a.merge(cm_b)
+
+    est = merged.estimate(h)
+    assert (est >= true.to_numpy()).all()  # CM never under-counts
+    # overestimate bounded in expectation: within ~2*N/width of the truth
+    assert (est - true.to_numpy()).mean() < 2 * len(keys) / 4096
+    # merge with empty is identity
+    ident = merged.merge(sk.CountMin(width=4096, depth=4))
+    np.testing.assert_array_equal(ident.counts, merged.counts)
+
+
+def test_heavy_hitters_exact_over_threshold():
+    import ray.data
+
+    from ndap_data_validator_ray.stages.heavy import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([rng.integers(0, 3000, size=30_000),  # background
+                           np.repeat([7001, 7002, 7003], [500, 120, 60])])
+    rng.shuffle(keys)
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(8)
+    got = heavy_hitters(ds, "k", threshold=60, count_col="cnt").to_pandas()
+    true = pd.Series(keys).value_counts()
+    want = true[true >= 60].sort_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == want.index.tolist()
+    assert got["cnt"].tolist() == want.to_numpy().tolist()  # exact counts
