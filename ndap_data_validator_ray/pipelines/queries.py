@@ -1742,6 +1742,127 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def stratified_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic key-hash sampling (the reproducible alternative to
+    ``Dataset.random_sample``): keep orders with ``o_orderkey % 20 == 3``
+    (an exact 5% rate per key domain), then per-stratum aggregates.  The
+    sample predicate is a pure batch filter — no shuffle, no driver state,
+    and reruns/resumes pick the identical rows (checkpoint-safe, unlike
+    RNG sampling)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def sample_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[batch["o_orderkey"] % 20 == 3]
+        g = s.groupby("o_orderpriority", as_index=False).agg(
+            n_sampled=("o_orderkey", "size"), sum_price=("o_totalprice", "sum")
+        )
+        g["n_sampled"] = g["n_sampled"].astype(np.int64)
+        return g
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("o_orderpriority", as_index=False)[["n_sampled", "sum_price"]].sum()
+
+    out = bucketed_groupby(ds, ["o_orderpriority"], sample_partial, merge, n_buckets=8).to_pandas()
+    out["sum_price"] = _r2(out["sum_price"])
+    return out.sort_values("o_orderpriority").reset_index(drop=True)[
+        ["o_orderpriority", "n_sampled", "sum_price"]
+    ]
+
+
+_STRATIFIED_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderkey % 20 = 3
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def chunk_documents(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window text chunking (size 200, stride 150) — the standard
+    training-data prep step before tokenization/embedding.  Row-expanding
+    map (flat_map semantics) done vectorized: one ``str.slice`` pass per
+    chunk INDEX (bounded by the longest doc), never a per-row loop; each
+    batch explodes independently so the stage streams at any scale."""
+    size, stride = 200, 150
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        ln = txt.str.len().to_numpy(dtype=np.int64)
+        n = np.where(ln <= size, 1, np.ceil((ln - size) / stride).astype(np.int64) + 1)
+        frames = []
+        for k in range(int(n.max()) if len(n) else 0):
+            m = n > k
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": batch["doc_id"].to_numpy()[m],
+                        "chunk_id": np.int64(k),
+                        "chunk": txt[m].str.slice(k * stride, k * stride + size).to_numpy(),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "chunk_id": pd.Series([], dtype=np.int64),
+                                 "chunk": pd.Series([], dtype=object)})
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+_CHUNK_SQL = """
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       substr(txt, CAST(chunk_id * 150 + 1 AS BIGINT), 200) AS chunk
+FROM (
+  SELECT doc_id, COALESCE(text, '') AS txt,
+         unnest(range(0, CASE WHEN length(COALESCE(text, '')) <= 200 THEN 1
+                 ELSE CAST(ceil((length(COALESCE(text, '')) - 200) / 150.0) AS BIGINT) + 1 END)) AS chunk_id
+  FROM documents) s
+ORDER BY doc_id, chunk_id
+"""
+
+
+def top_parts_per_brand(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-k (top-3 parts by retail price within each brand) via
+    the partitioned window stage: rank inside the brand's reducer, filter
+    rank <= k — never a global sort, and each brand's rows stay whole on
+    one reducer (the window contract).  DESC ordering is expressed by
+    ranking on the negated price (the stage sorts ascending)."""
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def neg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["_neg_price"] = -batch["p_retailprice"]
+        return batch
+
+    win = partitioned_window(
+        ds.map_batches(neg, batch_format="pandas"),
+        partition_by=["p_brand"],
+        order_by=["_neg_price", "p_partkey"],
+        specs=[WindowSpec(kind="row_number", out="rk")],
+    )
+    out = win.filter(lambda r: r["rk"] <= 3).to_pandas()
+    out["rk"] = out["rk"].astype(np.int64)
+    return (
+        out.drop(columns=["_neg_price"])
+        .sort_values(["p_brand", "rk"])
+        .reset_index(drop=True)[["p_brand", "p_partkey", "p_retailprice", "rk"]]
+    )
+
+
+_TOP_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+  FROM part) t WHERE rk <= 3 ORDER BY p_brand, rk
+"""
+
+
 def heavy_hitter_parts(sf_dir: str) -> pd.DataFrame:
     """Frequency heavy hitters: all part keys on >= 40 lineitems, via a
     Count-Min candidate filter + exact verify (stages/heavy.py) — the
@@ -1864,6 +1985,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_rolling_stats": (events_rolling_stats, _ROLLING_SQL),
     "events_pivot_by_type": (events_pivot_by_type, _PIVOT_SQL),
     "heavy_hitter_parts": (heavy_hitter_parts, _HEAVY_HITTERS_SQL),
+    "top_parts_per_brand": (top_parts_per_brand, _TOP_PER_BRAND_SQL),
+    "chunk_documents": (chunk_documents, _CHUNK_SQL),
+    "stratified_sample_orders": (stratified_sample_orders, _STRATIFIED_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
