@@ -1742,6 +1742,134 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top TF-IDF term per document — the keyword-extraction step of a
+    training-data pipeline.  Distributed shape: (1) per-batch (doc, term,
+    tf) explode (each row is a whole doc, so tf never crosses batches);
+    (2) document frequencies via one bucketed count over those pairs;
+    (3) df map broadcast once (``ray.put``), second streaming pass scores
+    and takes each doc's argmax locally — no per-doc shuffle at all.
+    Tie-break: higher score, then lexicographic term, on the UNROUNDED
+    score (bit-identical product in both engines, so ties agree)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall("[a-z]{2,}")
+        lens = toks.str.len().to_numpy()
+        pairs = pd.DataFrame(
+            {
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), lens),
+                "term": np.concatenate([t for t in toks.to_numpy()] or [[]]),
+            }
+        )
+        return pairs.groupby(["doc_id", "term"], as_index=False).size().rename(columns={"size": "tf"})
+
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    # document frequency: doc_terms emits one row per (doc, term), so a
+    # row count per term IS the distinct-doc count
+    df_tbl = count_by_key(
+        ds.map_batches(doc_terms, batch_format="pandas"), ["term"], count_col="df"
+    ).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score_top(batch: pd.DataFrame) -> pd.DataFrame:
+        g = doc_terms(batch)
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype=np.int64), "term": pd.Series([], dtype=object),
+                 "tf": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype=np.float64)}
+            )
+        dfm = ray.get(df_ref)
+        g["score_raw"] = g["tf"].to_numpy() * np.log(n_docs / g["term"].map(dfm).to_numpy())
+        g = g.sort_values(["doc_id", "score_raw", "term"], ascending=[True, False, True], kind="stable")
+        top = g.groupby("doc_id", as_index=False).first()
+        top["score"] = np.round(top["score_raw"], 6)
+        return top[["doc_id", "term", "tf", "score"]]
+
+    out = ds.map_batches(score_top, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(COALESCE(text,'')), '[a-z]{2,}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, score FROM scored WHERE rk = 1 ORDER BY doc_id
+"""
+
+
+def _quantile_from_counts(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """Exact quantile (SQL ``quantile_cont`` / numpy linear interpolation)
+    from a (sorted distinct values, counts) histogram — never expands the
+    histogram back to rows."""
+    n = int(counts.sum())
+    if n == 0:
+        return float("nan")
+    h = (n - 1) * q
+    lo_i = int(np.floor(h))
+    cum = np.cumsum(counts)
+    lo = values[np.searchsorted(cum, lo_i + 1)]
+    hi = values[np.searchsorted(cum, min(lo_i + 1, n - 1) + 1)]
+    return float(lo + (h - lo_i) * (hi - lo))
+
+
+def quantiles_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Per-group EXACT quantiles over a discrete numeric domain
+    (l_quantity in 1..50) via mergeable histogram partials: each batch
+    emits (group, value, cnt) rows — at most groups x |domain| per batch —
+    and the driver interpolates ``quantile_cont`` order stats from the
+    merged counts.  The scale shape for exact quantiles when the value
+    domain is bounded (t-digest remains the unbounded-domain path,
+    ``quantity_percentiles``)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["l_returnflag", "l_quantity"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    hist = sum_by_key(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "l_quantity"],
+        ["cnt"],
+        n_buckets=8,
+    ).to_pandas()
+
+    rows = []
+    for flag, grp in hist.groupby("l_returnflag"):
+        grp = grp.sort_values("l_quantity")
+        v, c = grp["l_quantity"].to_numpy(), grp["cnt"].to_numpy()
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "q25": round(_quantile_from_counts(v, c, 0.25), 6),
+                "q50": round(_quantile_from_counts(v, c, 0.50), 6),
+                "q75": round(_quantile_from_counts(v, c, 0.75), 6),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+
+
+_QUANTILES_BY_FLAG_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def stratified_sample_orders(sf_dir: str) -> pd.DataFrame:
     """Deterministic key-hash sampling (the reproducible alternative to
     ``Dataset.random_sample``): keep orders with ``o_orderkey % 20 == 3``
@@ -1988,6 +2116,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "top_parts_per_brand": (top_parts_per_brand, _TOP_PER_BRAND_SQL),
     "chunk_documents": (chunk_documents, _CHUNK_SQL),
     "stratified_sample_orders": (stratified_sample_orders, _STRATIFIED_SQL),
+    "quantiles_by_returnflag": (quantiles_by_returnflag, _QUANTILES_BY_FLAG_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
