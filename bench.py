@@ -118,6 +118,8 @@ _QUERY_NAMES = [
     "events_last_order_asof",
     "early_shipments_range_join",
     "orders_running_total",
+    "heavy_hitter_parts",
+    "tfidf_top_terms",
 ]
 
 

@@ -128,3 +128,18 @@ def test_heavy_hitters_exact_over_threshold():
     got = got.sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == want.index.tolist()
     assert got["cnt"].tolist() == want.to_numpy().tolist()  # exact counts
+
+
+def test_quantile_from_counts_matches_numpy():
+    from ndap_data_validator_ray.pipelines.queries import _quantile_from_counts
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        vals = rng.integers(1, 20, size=int(rng.integers(1, 200)))
+        vc = pd.Series(vals).value_counts().sort_index()
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+            got = _quantile_from_counts(vc.index.to_numpy(), vc.to_numpy(), q)
+            assert abs(got - float(np.quantile(vals, q))) < 1e-9
+    # single-value histogram and empty histogram
+    assert _quantile_from_counts(np.array([7]), np.array([3]), 0.5) == 7.0
+    assert np.isnan(_quantile_from_counts(np.array([]), np.array([]), 0.5))
