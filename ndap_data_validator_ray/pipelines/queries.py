@@ -1742,6 +1742,28 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def dedup_hashed_documents(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup via the 100 TB hash-shuffle path
+    (``exact_dedup_counts_hashed``): the exchange carries (content_hash,
+    doc_id) pairs only — document text never rides the shuffle — and
+    multi-member hashes are verified against true content in a bounded
+    second pass.  Same groups as ``dedup_exact_documents``, proven by the
+    shared oracle."""
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts_hashed
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup_counts_hashed(ds, ["text"], "doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": np.int64, "n_copies": np.int64}
+    )
+
+
+_DEDUP_HASHED_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY text ORDER BY doc_id
+"""
+
+
 def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top TF-IDF term per document — the keyword-extraction step of a
     training-data pipeline.  Distributed shape: (1) per-batch (doc, term,
@@ -2118,6 +2140,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "stratified_sample_orders": (stratified_sample_orders, _STRATIFIED_SQL),
     "quantiles_by_returnflag": (quantiles_by_returnflag, _QUANTILES_BY_FLAG_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
+    "dedup_hashed_documents": (dedup_hashed_documents, _DEDUP_HASHED_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "

@@ -104,3 +104,95 @@ def exact_dedup_counts(
         )
 
     return bucketed_groupby(ds, content_cols, partial, merge, n_buckets)
+
+
+def exact_dedup_counts_hashed(
+    ds: "ray.data.Dataset",
+    content_cols: list[str],
+    keep_col: str,
+    count_col: str = "n_copies",
+    n_buckets: int = 64,
+    hash_bits: int = 64,
+) -> "ray.data.Dataset":
+    """The 100 TB exact-dedup shape: shuffle (content_hash, keep) pairs
+    ONLY — document content never rides the exchange — then verify
+    colliding hashes against TRUE content in a bounded second pass.
+
+    1. per-batch partials aggregate on a 64-bit content hash
+       (``pd.util.hash_pandas_object``, process-stable) -> bucketed
+       (hash, min_keep, count) aggregation: the exchange carries ~16
+       bytes/distinct content instead of the full payload;
+    2. hashes seen with count > 1 are *candidate* duplicate groups — a
+       hash collision between distinct contents would wrongly merge them,
+       so those hashes (bounded by the number of duplicated contents; at
+       extreme scale ship them as a Bloom filter like ``stages/bloom``)
+       are broadcast and their rows re-read WITH content, grouped by true
+       content in a second bucketed pass;
+    3. output = unique-hash groups (exact already: a unique hash can only
+       be one content) + verified multi-member groups, as
+       ``(keep_col, count_col)`` — the representative id + copy count,
+       i.e. the decision output of dedup; content itself stays put.
+
+    ``hash_bits`` narrows the hash so tests can force real collisions and
+    exercise the verify split (64-bit collisions are ~2^-64/pair).
+    Returns the same (keep, count) groups as ``exact_dedup_counts`` —
+    equivalence-tested in ``test_stages_ops.py``."""
+    import ray as _ray
+
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def _h(batch: pd.DataFrame) -> np.ndarray:
+        h = pd.util.hash_pandas_object(batch[content_cols], index=False).to_numpy()
+        if hash_bits < 64:
+            h = h % np.uint64(1 << hash_bits)
+        return h.astype(np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"_h": _h(batch), keep_col: batch[keep_col].to_numpy()})
+        return df.groupby("_h", as_index=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (keep_col, "size")}
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("_h", as_index=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (count_col, "sum")}
+        )
+
+    # materialize the (hash, keep, count) AGGREGATE (O(distinct) small
+    # rows, already shuffled) so the singles leg and the collision scan
+    # don't re-execute the full input pass; the raw input is never
+    # materialized
+    agg = bucketed_groupby(ds, ["_h"], partial, merge, n_buckets).materialize()
+    singles = agg.map_batches(
+        lambda b: b.loc[b[count_col] == 1, [keep_col, count_col]], batch_format="pandas"
+    )
+    multi_df = agg.map_batches(
+        lambda b: b.loc[b[count_col] > 1, ["_h"]], batch_format="pandas"
+    ).to_pandas()
+    # all-empty blocks lose their pandas schema -> no "_h" column at all
+    multi_hashes = (
+        multi_df["_h"].to_numpy() if "_h" in multi_df.columns else np.array([], dtype=np.int64)
+    )
+    if len(multi_hashes) == 0:
+        return singles
+    ref = _ray.put(np.sort(multi_hashes))
+
+    def candidates(batch: pd.DataFrame) -> pd.DataFrame:
+        hs = _h(batch)
+        m = np.isin(hs, _ray.get(ref), assume_unique=False)
+        return batch.loc[m, content_cols + [keep_col]]
+
+    def v_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(content_cols, as_index=False, sort=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (keep_col, "size")}
+        )
+
+    def v_merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(content_cols, as_index=False, sort=False).agg(
+            **{keep_col: (keep_col, "min"), count_col: (count_col, "sum")}
+        )
+
+    verified = bucketed_groupby(
+        ds.map_batches(candidates, batch_format="pandas"), content_cols, v_partial, v_merge, n_buckets
+    ).map_batches(lambda b: b[[keep_col, count_col]], batch_format="pandas")
+    return singles.union(verified)

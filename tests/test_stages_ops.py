@@ -716,3 +716,56 @@ def test_exact_cosine_topk_pairs_matches_bruteforce(emb_dataset):
     )
     # the planted near-dup pair (10, 250) must rank first
     assert (got.iloc[0]["id_a"], got.iloc[0]["id_b"]) == (10, 250)
+
+
+def test_exact_dedup_counts_hashed_equivalent():
+    """The 100TB hash-shuffle path returns the same (keep, count) groups
+    as the content-shipping path."""
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts, exact_dedup_counts_hashed
+
+    rng = np.random.default_rng(17)
+    texts = [f"document body number {i % 61}" for i in range(400)]
+    df = pd.DataFrame({"doc_id": rng.permutation(400), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(8)
+    want = (
+        exact_dedup_counts(ds, ["text"], "doc_id")
+        .to_pandas()[["doc_id", "n_copies"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    got = (
+        exact_dedup_counts_hashed(ds, ["text"], "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got["doc_id"].dtype == np.int64  # hash path must not poison dtypes
+
+
+def test_exact_dedup_counts_hashed_splits_forced_collisions():
+    """With a 4-bit hash nearly every distinct content collides; the
+    verify pass must still split groups by TRUE content."""
+    from ndap_data_validator_ray.stages.dedup import exact_dedup_counts_hashed
+
+    rng = np.random.default_rng(19)
+    texts = [f"distinct content {i % 53}" for i in range(300)]
+    df = pd.DataFrame({"doc_id": rng.permutation(300), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = (
+        exact_dedup_counts_hashed(ds, ["text"], "doc_id", hash_bits=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    exp = (
+        df.groupby("text", as_index=False)
+        .agg(doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))[["doc_id", "n_copies"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(got, exp)
