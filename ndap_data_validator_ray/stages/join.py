@@ -29,6 +29,30 @@ from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets
 _SIDE_COL = "_join_side"
 
 
+def detect_hot_keys(
+    ds: "ray.data.Dataset",
+    key: str,
+    min_share: float = 0.01,
+    per_block_top: int = 8,
+) -> list:
+    """Approximate hot-key detection for join salting: each BLOCK emits its
+    top-``per_block_top`` key counts (a key owning >= ``min_share`` of all
+    rows is necessarily a top key in most blocks), the driver folds the
+    tiny partials and keeps keys above the share threshold.  One pruned
+    streaming pass; the candidate set is O(blocks x per_block_top)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key].value_counts().head(per_block_top)
+        return pd.DataFrame({key: vc.index.to_numpy(), "_cnt": vc.to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None).to_pandas()
+    total = ds.count()
+    if not len(parts) or not total:
+        return []
+    folded = parts.groupby(key)["_cnt"].sum()
+    return folded[folded >= min_share * total].index.tolist()
+
+
 def bucketed_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -36,6 +60,8 @@ def bucketed_join(
     how: str = "inner",
     n_buckets: int | None = None,
     suffixes: tuple[str, str] = ("", "_r"),
+    hot_keys: list | None = None,
+    salt: int = 8,
 ) -> "ray.data.Dataset":
     """Hash-partitioned join of two Datasets on ``on`` columns.
 
@@ -43,11 +69,28 @@ def bucketed_join(
     ``how`` supports inner/left/right plus "anti" (left rows with no right
     match, left columns only — the exact verify leg of
     ``stages/bloom.bloom_anti_join``); outer would need null-bucket care.
+
+    Skew (BASELINE.json "salted keys to tame skew"): pass ``hot_keys``
+    (e.g. from ``detect_hot_keys``) and a hot LEFT key's rows are sprayed
+    across ``salt`` consecutive buckets while the matching RIGHT rows are
+    REPLICATED to all of them — no reducer ever receives more than
+    ~1/salt of a hot key's probe rows.  Only valid for how in
+    inner/left/anti (each left row still meets the full right key-group
+    exactly once; a replicated unmatched right row would duplicate under
+    right/outer).  Assumes the right side is dim-like on hot keys (a
+    hot x hot join explodes output regardless of partitioning).
     """
 
     import pyarrow as pa
 
     n_buckets = n_buckets or default_n_buckets()
+    if hot_keys:
+        if len(on) != 1:
+            raise ValueError("hot-key salting supports single-column join keys")
+        if how not in ("inner", "left", "anti"):
+            raise ValueError(f"hot-key salting is not valid for how={how!r}")
+        salt = max(2, min(int(salt), n_buckets))
+    hot_arr = np.asarray(sorted(hot_keys)) if hot_keys else None
 
     def _arrow_fields(ds: "ray.data.Dataset") -> list[pa.Field]:
         sch = ds.schema()
@@ -100,11 +143,29 @@ def bucketed_join(
                 else:
                     cols[f.name] = pa.nulls(n, f.type)
             key_df = pd.DataFrame({c: cols[c].to_pandas() for c in on})
-            cols[BUCKET_COL] = pa.array(
-                stable_bucket(key_df if len(on) > 1 else key_df[on[0]], n_buckets), pa.int64()
-            )
+            base = stable_bucket(key_df if len(on) > 1 else key_df[on[0]], n_buckets)
+            hot_mask = None
+            if hot_arr is not None and n:
+                hot_mask = np.isin(key_df[on[0]].to_numpy(), hot_arr)
+            if side == 0 and hot_mask is not None and hot_mask.any():
+                # spray hot probe rows over the salt window of buckets
+                base = np.where(hot_mask, (base + np.arange(n) % salt) % n_buckets, base)
+            cols[BUCKET_COL] = pa.array(base, pa.int64())
             cols[_SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
-            return pa.table(cols)
+            t0 = pa.table(cols)
+            if side == 1 and hot_mask is not None and hot_mask.any():
+                # replicate hot build rows into every salted bucket
+                idx = np.flatnonzero(hot_mask)
+                hot_tbl = t0.take(idx)
+                pos = t0.column_names.index(BUCKET_COL)
+                copies = [
+                    hot_tbl.set_column(
+                        pos, BUCKET_COL, pa.array((base[idx] + s) % n_buckets, pa.int64())
+                    )
+                    for s in range(1, salt)
+                ]
+                return pa.concat_tables([t0] + copies)
+            return t0
 
         return fn
 

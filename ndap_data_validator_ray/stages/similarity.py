@@ -176,9 +176,17 @@ def embedding_near_duplicates(
     concurrency: int | tuple = 4,
     verify_cap: int = 1000,
     stats: dict | None = None,
+    n_tables: int = 4,
 ) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs: bucket by hyperplane signature
     (shuffle only (sig, id, vec) triples), verify cosine inside buckets.
+
+    Recall: ONE signature table misses any pair whose vectors disagree on
+    >= 1 of the ``n_planes`` sign bits (p_match ~ (1 - theta/pi)^n_planes
+    ~ 0.28 per table at cos 0.95) — so the stage hashes into ``n_tables``
+    independent tables (multi-table LSH, the standard recall amplifier:
+    1-(1-p)^L ~ 0.73 at L=4, ~0.93 at L=8).  Each vector ships L band
+    rows; pairs found in multiple tables dedupe on the driver result.
 
     Over-cap buckets are never silently dropped (round-2 verdict item 3):
     the group is re-bucketed on a FINER secondary hyperplane signature
@@ -186,12 +194,23 @@ def embedding_near_duplicates(
     verified per sub-bucket; the event is counted in ``stats``
     (``oversized_buckets``) so cross-sub-bucket recall loss is visible."""
     dim = len(ds.take(1)[0][vec_col])
-    planes = _hyperplanes(dim, n_planes, seed=23)
+    tables = [_hyperplanes(dim, n_planes, seed=23 + 101 * t) for t in range(n_tables)]
     fine_planes = _hyperplanes(dim, 8, seed=41)  # secondary split for hot buckets
 
     def sig_batch(batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, vec_col))
-        return pd.DataFrame({id_col: batch[id_col], "sig": _signatures(m, planes), vec_col: batch[vec_col]})
+        frames = [
+            pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy(),
+                    # table id in the high bits: buckets never collide across tables
+                    "sig": (np.int64(t) << np.int64(48)) | _signatures(m, planes).astype(np.int64),
+                    vec_col: batch[vec_col].to_numpy(),
+                }
+            )
+            for t, planes in enumerate(tables)
+        ]
+        return pd.concat(frames, ignore_index=True)
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col])

@@ -769,3 +769,37 @@ def test_exact_dedup_counts_hashed_splits_forced_collisions():
         .astype("int64")
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_join_equivalent_and_detects_hot_keys():
+    """Hot-key salting (probe spray + build replication) must not change
+    join results for inner/left/anti, and detect_hot_keys must surface a
+    planted hot key."""
+    from ndap_data_validator_ray.stages.join import bucketed_join, detect_hot_keys
+
+    rng = np.random.default_rng(23)
+    # hot key 7 owns ~40% of the probe side
+    keys = np.concatenate([np.full(4000, 7), rng.integers(100, 400, size=6000)])
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 350, dtype=np.int64),
+                          "rv": np.arange(0, 350, dtype=np.int64) * 10})
+    lds = ray.data.from_pandas(left).repartition(8)
+    rds = ray.data.from_pandas(right).repartition(4)
+
+    hot = detect_hot_keys(lds, "k", min_share=0.1)
+    assert hot == [7]
+
+    for how in ("inner", "left", "anti"):
+        plain = bucketed_join(lds, rds, ["k"], how=how, n_buckets=16).to_pandas()
+        salted = bucketed_join(
+            lds, rds, ["k"], how=how, n_buckets=16, hot_keys=hot, salt=4
+        ).to_pandas()
+        sort_cols = [c for c in ("k", "lv") if c in plain.columns]
+        pd.testing.assert_frame_equal(
+            plain.sort_values(sort_cols).reset_index(drop=True),
+            salted.sort_values(sort_cols).reset_index(drop=True),
+        )
+
+    with pytest.raises(ValueError):
+        bucketed_join(lds, rds, ["k"], how="right", hot_keys=[7])
