@@ -192,6 +192,17 @@ def bucketed_join(
             anti = flagged[flagged["_merge"] == "left_only"][left_cols]
             merged = pd.concat([anti, l.loc[null_key, left_cols]]) if null_key.any() else anti
         else:
+            # SQL equality never matches NULL, but pandas merge pairs
+            # NaN keys with NaN keys — drop null-keyed rows from the side
+            # whose match would wrongly materialize (the preserved side's
+            # null-keyed rows still flow through with null padding, as in
+            # SQL LEFT/RIGHT JOIN)
+            if how in ("inner", "left"):
+                rn = r[on].isna().any(axis=1)
+                r = r[~rn] if rn.any() else r
+            if how in ("inner", "right"):
+                ln = l[on].isna().any(axis=1)
+                l = l[~ln] if ln.any() else l
             merged = l.merge(r, on=on, how=how, suffixes=suffixes)
         return pa.Table.from_pandas(merged[out_schema.names], schema=out_schema, preserve_index=False).replace_schema_metadata(None)
 

@@ -803,3 +803,33 @@ def test_salted_join_equivalent_and_detects_hot_keys():
 
     with pytest.raises(ValueError):
         bucketed_join(lds, rds, ["k"], how="right", hot_keys=[7])
+
+
+def test_bucketed_join_null_keys_sql_semantics():
+    """SQL equality never matches NULL: null-keyed rows must not pair
+    with each other under inner/left/right (DuckDB is the oracle)."""
+    import duckdb
+
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, None, 3], dtype="Int64"),
+                         "lv": np.arange(5, dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.array([1, None, 3, 4], dtype="Int64"),
+                          "rv": np.arange(10, 14, dtype=np.int64)})
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    for how, sql in [
+        ("inner", "SELECT l.k, lv, rv FROM l JOIN r USING (k)"),
+        ("left", "SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k)"),
+        ("right", "SELECT r.k, lv, rv FROM l RIGHT JOIN r USING (k)"),
+    ]:
+        want = con.sql(sql + " ORDER BY lv NULLS LAST, rv NULLS LAST").df()
+        got = bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], how=how, n_buckets=4
+        ).to_pandas().sort_values(["lv", "rv"], na_position="last").reset_index(drop=True)
+        assert len(got) == len(want), (how, len(got), len(want))
+        for col in ("lv", "rv"):
+            np.testing.assert_array_equal(
+                got[col].astype("float64").to_numpy(), want[col].astype("float64").to_numpy(), err_msg=f"{how}.{col}"
+            )
