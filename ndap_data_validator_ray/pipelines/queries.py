@@ -1742,6 +1742,44 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def orders_price_ntiles(sf_dir: str) -> pd.DataFrame:
+    """Distribution-rank window functions (PERCENT_RANK / CUME_DIST /
+    NTILE(4)) over orders within each priority — same hash-partitioned
+    reducer layout as the other window queries; NTILE follows SQL's
+    first-(m % n)-tiles-get-ceil(m/n) assignment exactly."""
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    win = partitioned_window(
+        ds,
+        partition_by=["o_orderpriority"],
+        order_by=["o_totalprice", "o_orderkey"],
+        specs=[
+            WindowSpec(kind="percent_rank", out="pr"),
+            WindowSpec(kind="cume_dist", out="cd"),
+            WindowSpec(kind="ntile", out="nt", n=4),
+        ],
+    )
+    out = win.to_pandas()
+    out["pr"] = _r6(out["pr"])
+    out["cd"] = _r6(out["cd"])
+    return (
+        out.sort_values("o_orderkey")
+        .reset_index(drop=True)[["o_orderkey", "o_orderpriority", "nt", "pr", "cd"]]
+        .astype({"nt": np.int64})
+    )
+
+
+_NTILES_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT) AS nt,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd
+FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
 def dedup_hashed_documents(sf_dir: str) -> pd.DataFrame:
     """Exact dedup via the 100 TB hash-shuffle path
     (``exact_dedup_counts_hashed``): the exchange carries (content_hash,
@@ -2141,6 +2179,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "quantiles_by_returnflag": (quantiles_by_returnflag, _QUANTILES_BY_FLAG_SQL),
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "dedup_hashed_documents": (dedup_hashed_documents, _DEDUP_HASHED_SQL),
+    "orders_price_ntiles": (orders_price_ntiles, _NTILES_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "

@@ -30,12 +30,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 import pandas as pd
 import ray.data
 
 from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets, stable_bucket
 
-_KINDS = ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "cummax", "rolling_sum", "rolling_mean")
+_KINDS = (
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
+    "lag", "lead", "cumsum", "cummax", "rolling_sum", "rolling_mean",
+)
+_RANK_KINDS = ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile")
 
 
 @dataclass(frozen=True)
@@ -53,7 +58,7 @@ class WindowSpec:
     def __post_init__(self) -> None:
         if self.kind not in _KINDS:
             raise ValueError(f"unknown window kind {self.kind!r}; one of {_KINDS}")
-        if self.kind not in ("row_number", "rank", "dense_rank") and self.col is None:
+        if self.kind not in _RANK_KINDS and self.col is None:
             raise ValueError(f"{self.kind} needs col=")
 
 
@@ -78,6 +83,29 @@ def _apply_specs(
             part[s.out] = key.groupby([part[c] for c in partition_by], sort=False).rank(
                 method=method
             ).astype("int64")
+        elif s.kind in ("percent_rank", "cume_dist"):
+            key = part[order_by[0]] if len(order_by) == 1 else pd.Series(
+                list(zip(*(part[c] for c in order_by))), index=part.index
+            )
+            grouped = key.groupby([part[c] for c in partition_by], sort=False)
+            m = g[partition_by[0]].transform("size").to_numpy()
+            if s.kind == "percent_rank":
+                rk = grouped.rank(method="min").to_numpy()
+                part[s.out] = np.where(m > 1, (rk - 1) / np.maximum(m - 1, 1), 0.0)
+            else:
+                part[s.out] = grouped.rank(method="max").to_numpy() / m
+        elif s.kind == "ntile":
+            # SQL NTILE(n): the first (m % n) tiles get ceil(m/n) rows
+            i = g.cumcount().to_numpy()
+            m = g[partition_by[0]].transform("size").to_numpy()
+            n = s.n
+            big = m // n + 1
+            n_big = m % n
+            cutoff = n_big * big
+            small = np.maximum(m // n, 1)
+            part[s.out] = (
+                np.where(i < cutoff, i // big, n_big + (i - cutoff) // small) + 1
+            ).astype(np.int64)
         elif s.kind in ("lag", "lead"):
             shifted = g[s.col].shift(s.n if s.kind == "lag" else -s.n)
             if pd.api.types.is_integer_dtype(part[s.col].dtype):

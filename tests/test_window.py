@@ -139,3 +139,32 @@ def test_spec_validation():
             ray.data.from_pandas(pd.DataFrame({"ord": [1]})),
             [], ["ord"], [WindowSpec("row_number", out="rn")],
         )
+
+
+def test_distribution_rank_kinds_match_duckdb():
+    """percent_rank / cume_dist / ntile (incl. partitions smaller than n
+    and ties) agree with SQL window semantics."""
+    import duckdb
+
+    from ndap_data_validator_ray.stages.window import WindowSpec, _apply_specs
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {"grp": rng.integers(0, 5, 300), "v": rng.integers(0, 20, 300).astype(float),
+         "id": np.arange(300)}
+    )
+    df.loc[df["grp"] == 4, "grp"] = 0  # tiny partition variety + ties via int v
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """SELECT grp, id, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS nt
+           FROM t WINDOW w AS (PARTITION BY grp ORDER BY v, id) ORDER BY grp, v, id"""
+    ).df()
+    got = _apply_specs(
+        df.copy(), ["grp"], ["v", "id"],
+        [WindowSpec(kind="percent_rank", out="pr"), WindowSpec(kind="cume_dist", out="cd"),
+         WindowSpec(kind="ntile", out="nt", n=4)],
+    )[["grp", "id", "pr", "cd", "nt"]].reset_index(drop=True)
+    assert np.allclose(got[["pr", "cd"]], want[["pr", "cd"]], atol=1e-12)
+    np.testing.assert_array_equal(got["nt"].to_numpy(), want["nt"].to_numpy())
