@@ -1742,6 +1742,41 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def clean_text_documents(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (the cleaning step ahead of dedup/tokenization):
+    lowercase, strip non-alphanumerics, collapse whitespace — one
+    vectorized regex pass per batch, no shuffle.  Character classes are
+    spelled out as explicit ASCII sets on BOTH sides because Python's
+    ``\\w``/``\\s`` are Unicode-aware while DuckDB's RE2 classes are
+    ASCII — the one way these twins could silently drift."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.lower()
+        s = s.str.replace(r"[^a-z0-9 \t\n\r]", " ", regex=True)
+        s = s.str.replace(r"[ \t\n\r]+", " ", regex=True).str.strip()
+        n = s.str.split(" ").str.len().where(s.str.len() > 0, 0).astype(np.int64)
+        return pd.DataFrame({"doc_id": batch["doc_id"], "clean_text": s, "n_tokens": n})
+
+    return (
+        ds.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_CLEAN_TEXT_SQL = r"""
+WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(COALESCE(text,'')), '[^a-z0-9 \t\n\r]', ' ', 'g'), '[ \t\n\r]+', ' ', 'g')) AS clean_text
+  FROM documents)
+SELECT doc_id, clean_text,
+  CAST(CASE WHEN length(clean_text) = 0 THEN 0 ELSE array_length(string_split(clean_text, ' ')) END AS BIGINT) AS n_tokens
+FROM c ORDER BY doc_id
+"""
+
+
 def orders_price_ntiles(sf_dir: str) -> pd.DataFrame:
     """Distribution-rank window functions (PERCENT_RANK / CUME_DIST /
     NTILE(4)) over orders within each priority — same hash-partitioned
@@ -2180,6 +2215,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tfidf_top_terms": (tfidf_top_terms, _TFIDF_SQL),
     "dedup_hashed_documents": (dedup_hashed_documents, _DEDUP_HASHED_SQL),
     "orders_price_ntiles": (orders_price_ntiles, _NTILES_SQL),
+    "clean_text_documents": (clean_text_documents, _CLEAN_TEXT_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
