@@ -50,7 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     vp.add_argument("--out", required=True)
     vp.add_argument("--run-id", default="RUN-cli")
     vp.add_argument("--batch-size", type=int, default=512)
-    vp.add_argument("--audio-concurrency", type=int, default=4)
+    vp.add_argument(
+        "--audio-concurrency", type=int, default=None,
+        help="FIXED decode pool size (clamped to CPUs-2 so the pool can never "
+             "starve the read stage); default: (1, 4) autoscaling pool",
+    )
     vp.add_argument("--no-full-decode", action="store_true")
     vp.add_argument("--no-resume", action="store_true")
     vp.add_argument("--no-unique", action="store_true")
@@ -82,9 +86,21 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "validate":
         from ndap_data_validator_ray.pipelines.clip_validation import ClipRunConfig, validate_clips
 
+        conc = args.audio_concurrency
+        if conc is not None:
+            # a FIXED pool equal to the CPU count deadlocks: the read/
+            # compact/write stages get no CPU to feed the actors (CLAUDE.md
+            # invariant) — clamp explicit pools to leave 2 CPUs free
+            import ray as _ray
+
+            n_cpus = int(_ray.cluster_resources().get("CPU", 0))
+            if n_cpus:
+                conc = max(1, min(conc, n_cpus - 2))
+        else:
+            conc = ClipRunConfig.audio_concurrency  # (min, max) autoscaling default
         cfg = ClipRunConfig(
             out_dir=args.out, run_id=args.run_id, batch_size=args.batch_size,
-            audio_concurrency=args.audio_concurrency, full_decode=not args.no_full_decode,
+            audio_concurrency=conc, full_decode=not args.no_full_decode,
             resume=not args.no_resume, check_unique=not args.no_unique, baseline_path=args.baseline,
         )
         report = validate_clips(args.data, cfg)
