@@ -1742,6 +1742,50 @@ FROM events GROUP BY day ORDER BY day
 )
 
 
+def orders_collected_by_customer(sf_dir: str) -> pd.DataFrame:
+    """Collect / group-concat aggregation (SQL ``string_agg(... ORDER
+    BY)``): per-batch partials carry each key's SORTED id list, the
+    reducer merges partial lists and emits one ordered string per key —
+    mergeable like every other bucketed aggregate (list concat + sort is
+    commutative on multisets).  Output size is O(group size) by the
+    operator's own semantics; cap upstream if a key can be unbounded."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey")["o_orderkey"]
+        sizes = g.size()
+        return pd.DataFrame(
+            {
+                "o_custkey": sizes.index.to_numpy(),
+                "_ids": g.apply(lambda s: np.sort(s.to_numpy())).to_numpy(),
+                "_n": sizes.to_numpy().astype(np.int64),
+            }
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("o_custkey")
+        ids = g["_ids"].apply(lambda lists: np.sort(np.concatenate(list(lists))))
+        return pd.DataFrame(
+            {
+                "o_custkey": ids.index,
+                "order_keys": [",".join(map(str, a)) for a in ids.to_numpy()],
+                "n_orders": g["_n"].sum().to_numpy().astype(np.int64),
+            }
+        )
+
+    out = bucketed_groupby(ds, ["o_custkey"], partial, merge, n_buckets=16).to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_COLLECT_SQL = """
+SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_keys,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 def clean_text_documents(sf_dir: str) -> pd.DataFrame:
     """Text normalization (the cleaning step ahead of dedup/tokenization):
     lowercase, strip non-alphanumerics, collapse whitespace — one
@@ -2216,6 +2260,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "dedup_hashed_documents": (dedup_hashed_documents, _DEDUP_HASHED_SQL),
     "orders_price_ntiles": (orders_price_ntiles, _NTILES_SQL),
     "clean_text_documents": (clean_text_documents, _CLEAN_TEXT_SQL),
+    "orders_collected_by_customer": (orders_collected_by_customer, _COLLECT_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
