@@ -52,7 +52,10 @@ def _run_clip_validation(sf_dir: str) -> dict:
     out_dir = tempfile.mkdtemp(prefix="ndap_run_")
     report = validate_clips(
         data_dir,
-        ClipRunConfig(out_dir=out_dir, run_id="DRIVER", audio_concurrency=4, resume=False),
+        # (min, max) autoscaling pool: a FIXED pool of 4 deadlocks a 4-CPU
+        # session (nothing left to feed the read stage) — same invariant as
+        # the CLI clamp
+        ClipRunConfig(out_dir=out_dir, run_id="DRIVER", audio_concurrency=(1, 4), resume=False),
     )
     report["_out_dir"] = out_dir
     _RUN_CACHE[sf_dir] = report
