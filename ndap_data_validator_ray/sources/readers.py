@@ -23,11 +23,15 @@ def list_table_files(path: str, extensions: tuple[str, ...] = (".csv", ".parquet
     mirroring the reference's key sort (main.py:660)."""
     if os.path.isfile(path):
         return [path]
-    return sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.lower().endswith(extensions) and not f.startswith(".")
-    )
+    found = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+        found.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.lower().endswith(extensions) and not f.startswith(".")
+        )
+    return sorted(found)
 
 
 def read_table(
@@ -57,6 +61,11 @@ def read_table(
         if columns:
             ds = ds.select_columns(columns)
         return ds
+    if any("=" in os.path.relpath(f, path) for f in files):
+        # Hive-partitioned layout (col=value/ dirs, e.g. from write_table):
+        # hand the root to parquet dataset discovery so the partition
+        # columns are reconstructed from the directory names.
+        return ray.data.read_parquet(path, columns=columns, **kwargs)
     return ray.data.read_parquet(files, columns=columns, **kwargs)
 
 
@@ -70,3 +79,24 @@ def record_count(ds: "ray.data.Dataset") -> int:
     """Row count; metadata-only on parquet (reference: second full parse,
     main.py:676-679)."""
     return ds.count()
+
+
+def write_table(
+    ds: "ray.data.Dataset",
+    path: str,
+    partition_cols: list[str] | None = None,
+    **kwargs,
+) -> None:
+    """Partitioned parquet sink: hive-style ``col=value/`` directories when
+    ``partition_cols`` is given — the resumable-output layout (one
+    directory per key, so a re-run can skip or atomically replace finished
+    partitions instead of rewriting one giant file).  URI-aware via
+    ``sources/fs`` (s3:// etc. get an explicit pyarrow filesystem)."""
+    from ndap_data_validator_ray.sources import fs as vfs
+
+    filesystem, resolved = vfs.resolve(path)
+    wkwargs = dict(kwargs)
+    wkwargs["filesystem"] = filesystem
+    if partition_cols:
+        wkwargs["partition_cols"] = list(partition_cols)
+    ds.write_parquet(resolved, **wkwargs)

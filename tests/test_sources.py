@@ -63,6 +63,45 @@ def test_parquet_read(tmp_path):
     assert record_count(ds) == 3
 
 
+def test_partitioned_write_roundtrip(tmp_path):
+    """write_table(partition_cols=...) lays out col=value/ dirs (resumable
+    output: a re-run can replace one key's directory) and read_table
+    reconstructs the partition column from the directory names."""
+    import ray.data
+
+    from ndap_data_validator_ray.sources.readers import write_table
+
+    df = pd.DataFrame(
+        {
+            "bucket": ["a", "b", "a", "c", "b", "a"],
+            "k": [1, 2, 3, 4, 5, 6],
+            "v": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+        }
+    )
+    out = tmp_path / "part_out"
+    write_table(ray.data.from_pandas(df), str(out), partition_cols=["bucket"])
+    subdirs = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert subdirs == ["bucket=a", "bucket=b", "bucket=c"]
+    back = (
+        read_table(str(out))
+        .to_pandas()
+        .astype({"bucket": str})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        back[["bucket", "k", "v"]], df.sort_values("k").reset_index(drop=True)
+    )
+
+
+def test_list_table_files_recurses(tmp_path):
+    (tmp_path / "bucket=a").mkdir()
+    pq.write_table(pa.table({"x": [1]}), str(tmp_path / "bucket=a" / "f.parquet"))
+    pq.write_table(pa.table({"x": [2], "bucket": ["b"]}), str(tmp_path / "top.parquet"))
+    files = list_table_files(str(tmp_path))
+    assert [f.split(str(tmp_path))[1] for f in files] == ["/bucket=a/f.parquet", "/top.parquet"]
+
+
 def test_load_rule_schemas(tmp_path):
     from ndap_data_validator_ray import schema as sch
 
