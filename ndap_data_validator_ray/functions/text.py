@@ -150,3 +150,92 @@ def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int =
         h = ((h - int(vals[i - 1]) * powers) * base + int(vals[i + window - 1])) % mod
         out[i] = h
     return out
+
+
+# --- PII scrubbing / repetition quality (training-data pipeline ops) -------
+
+# Patterns are RE2-compatible (explicit ASCII classes, no backrefs) so the
+# DuckDB oracle's regexp_replace/regexp_extract_all behave identically to
+# pandas' re engine on ASCII text.
+PII_URL_RE = r"https?://[^ \t\n\r]+"
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IDNUM_RE = r"[0-9]{6,}"
+
+
+def redact_pii(texts: pd.Series) -> pd.DataFrame:
+    """Redact URLs, email addresses and long digit runs (id/phone-like)
+    from a text column, counting each kind.  Replacement order matters and
+    is fixed (URL, then email, then digits) so an email inside a URL is
+    counted once as a URL; each count is taken on the text state BEFORE its
+    own replacement, mirroring the SQL oracle's staged CTEs.  Vectorized
+    (three compiled-regex passes), per-row local — no shuffle."""
+    t = texts.fillna("")
+    n_urls = t.str.count(PII_URL_RE).astype(np.int64)
+    t = t.str.replace(PII_URL_RE, "<URL>", regex=True)
+    n_emails = t.str.count(PII_EMAIL_RE).astype(np.int64)
+    t = t.str.replace(PII_EMAIL_RE, "<EMAIL>", regex=True)
+    n_ids = t.str.count(PII_IDNUM_RE).astype(np.int64)
+    t = t.str.replace(PII_IDNUM_RE, "<ID>", regex=True)
+    return pd.DataFrame(
+        {"clean_text": t, "n_urls": n_urls, "n_emails": n_emails, "n_ids": n_ids}
+    )
+
+
+def repetition_stats(texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style repetition signals per document: token count, distinct
+    token count, top-token fraction and distinct-token ratio (raw float64
+    ratios — consumers quantize; see repetition_scores_documents' ppm
+    convention).  One exploded (doc, term) count frame per batch — no
+    Python loop over rows."""
+    toks = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    lens = toks.str.len().to_numpy()
+    n = len(texts)
+    out = pd.DataFrame(
+        {
+            "n_tokens": np.zeros(n, np.int64),
+            "n_distinct": np.zeros(n, np.int64),
+            "top_token_frac": np.zeros(n, np.float64),
+            "distinct_ratio": np.zeros(n, np.float64),
+        }
+    )
+    total = int(lens.sum())
+    if total:
+        pairs = pd.DataFrame(
+            {
+                "_i": np.repeat(np.arange(n), lens),
+                "term": np.concatenate([a for a in toks.to_numpy() if len(a)] or [[]]),
+            }
+        )
+        cnt = pairs.groupby(["_i", "term"], sort=False).size()
+        g = cnt.groupby(level="_i")
+        idx = g.sum().index.to_numpy()
+        nt = g.sum().to_numpy().astype(np.int64)
+        nd = g.size().to_numpy().astype(np.int64)
+        mx = g.max().to_numpy().astype(np.int64)
+        out.loc[idx, "n_tokens"] = nt
+        out.loc[idx, "n_distinct"] = nd
+        out.loc[idx, "top_token_frac"] = mx / nt
+        out.loc[idx, "distinct_ratio"] = nd / nt
+    return out
+
+
+def bigram_counts(texts: pd.Series) -> pd.DataFrame:
+    """Within-document adjacent-token bigram counts for one batch — the
+    partial of a corpus-wide bucketed bigram aggregation.  Boundary-safe:
+    the last token of each document never pairs with the next document's
+    first token."""
+    toks = texts.fillna("").str.lower().str.findall(r"[a-z0-9]+")
+    lens = toks.str.len().to_numpy()
+    total = int(lens.sum())
+    if total < 2:
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+    arr = np.concatenate([a for a in toks.to_numpy() if len(a)])
+    ends = np.cumsum(lens[lens > 0])
+    valid = np.ones(total, dtype=bool)
+    valid[ends - 1] = False  # last token of each doc starts no bigram
+    left = arr[:-1][valid[:-1]]
+    right = arr[1:][valid[:-1]]
+    if not len(left):
+        return pd.DataFrame({"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+    vc = (pd.Series(left, dtype=object) + " " + pd.Series(right, dtype=object)).value_counts()
+    return pd.DataFrame({"bigram": vc.index.to_numpy(), "cnt": vc.to_numpy().astype(np.int64)})

@@ -2189,6 +2189,569 @@ ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
 
 
 # ---------------------------------------------------------------------------
+# Filtering / full-outer joins and set operations (round 3)
+# ---------------------------------------------------------------------------
+
+def customers_with_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """Semi join (SQL EXISTS): customers with at least one URGENT order,
+    via the bucketed hash join's filtering variant — left multiplicity
+    kept, right side reduced to distinct keys inside each bucket, no right
+    columns shipped past the reducer."""
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        return pa.table({"c_custkey": kept["o_custkey"]})
+
+    out = bucketed_join(
+        cust, orders.map_batches(urgent_keys, batch_format="pyarrow"), on=["c_custkey"], how="semi"
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+_CUST_WITH_URGENT_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def user_customer_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of two aggregates: per-user event counts vs
+    per-customer order counts on the shared key — both sides pre-reduced
+    with the bucketed combiner so the outer join exchanges one row per
+    key, and unmatched keys from EITHER side survive with a 0 count."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    ev = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda b: pa.table({"k": b["user_id"]}), batch_format="pyarrow"
+    )
+    cu = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda b: pa.table({"k": b["o_custkey"]}), batch_format="pyarrow"
+    )
+    left = count_by_key(ev, ["k"], count_col="n_events")
+    right = count_by_key(cu, ["k"], count_col="n_orders")
+    out = bucketed_join(left, right, on=["k"], how="outer").to_pandas()
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    out["n_orders"] = out["n_orders"].fillna(0).astype(np.int64)
+    return out.sort_values("k").reset_index(drop=True)[["k", "n_events", "n_orders"]]
+
+
+_FULL_OUTER_SQL = """
+WITH e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id),
+     o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey)
+SELECT COALESCE(e.k, o.k) AS k,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(n_orders, 0) AS n_orders
+FROM e FULL OUTER JOIN o ON e.k = o.k ORDER BY k
+"""
+
+
+def event_users_customers_setops(sf_dir: str) -> pd.DataFrame:
+    """Distinct-key set operations (INTERSECT / EXCEPT both ways) in ONE
+    bucketed pass: each side emits (key, has_e, has_c) presence partials,
+    the bucket reducer ORs presence per key and counts the three classes,
+    and the driver folds one tiny row per bucket."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ev = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        lambda b: pd.DataFrame({"k": b["user_id"].unique(), "has_e": 1, "has_c": 0}),
+        batch_format="pandas",
+    )
+    cu = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda b: pd.DataFrame({"k": b["c_custkey"].unique(), "has_e": 0, "has_c": 1}),
+        batch_format="pandas",
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("k", as_index=False)[["has_e", "has_c"]].max()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        per_key = part.groupby("k")[["has_e", "has_c"]].max()
+        both = int((per_key["has_e"] & per_key["has_c"]).sum())
+        e_only = int((per_key["has_e"] & ~per_key["has_c"].astype(bool)).sum())
+        c_only = int((per_key["has_c"] & ~per_key["has_e"].astype(bool)).sum())
+        return pd.DataFrame(
+            {"n_intersect": [both], "n_events_only": [e_only], "n_customers_only": [c_only]}
+        )
+
+    parts = bucketed_groupby(ev.union(cu), ["k"], partial, merge, n_buckets=16).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_intersect": [np.int64(parts["n_intersect"].sum())],
+            "n_events_only": [np.int64(parts["n_events_only"].sum())],
+            "n_customers_only": [np.int64(parts["n_customers_only"].sum())],
+        }
+    )
+
+
+_SETOPS_SQL = """
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events
+        INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS BIGINT) AS n_intersect,
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM events
+        EXCEPT SELECT DISTINCT c_custkey FROM customer)) AS BIGINT) AS n_events_only,
+  CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+        EXCEPT SELECT DISTINCT user_id FROM events)) AS BIGINT) AS n_customers_only
+"""
+
+
+def tpch_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers BROADCAST into the
+    orders scan (dim side never shuffles), date-filtered lineitem revenue
+    pre-aggregated per order with the bucketed combiner, one bucketed hash
+    join, then a distributed top-10 (per-block local top-k, driver merges
+    the tiny partials)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+    bld = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: pd.DataFrame({"k": b.loc[b["c_mktsegment"] == "BUILDING", "c_custkey"]}),
+            batch_format="pandas",
+        )
+        .to_pandas()["k"]
+        .to_numpy()
+    )
+    bld_ref = ray.put(np.sort(bld))
+
+    def orders_kept(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(bld_ref)
+        m = (batch["o_orderdate"] < cutoff) & np.isin(batch["o_custkey"].to_numpy(), keys)
+        kept = batch.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        return kept
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_kept, batch_format="pandas")
+
+    def li_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch["l_shipdate"] > cutoff]
+        return pd.DataFrame(
+            {
+                "o_orderkey": kept["l_orderkey"],
+                "revenue": kept["l_extendedprice"] * (1.0 - kept["l_discount"]),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    fact = sum_by_key(li.map_batches(li_revenue, batch_format="pandas"), ["o_orderkey"], ["revenue"])
+    joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+
+    out = joined.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    out["revenue"] = _r2(out["revenue"])
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    return out.reset_index(drop=True)[["o_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+
+_TPCH_Q3_SQL = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates / date functions / grouping sets (round 3)
+# ---------------------------------------------------------------------------
+
+def price_qty_corr_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Second-moment statistics per group — stddev, sample covariance and
+    Pearson correlation of (quantity, extendedprice) — from mergeable
+    per-batch partials (n, sum x, sum x^2, sum y, sum y^2, sum xy): the
+    one-pass shape that scales (no mean pre-pass, no re-read)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].astype(np.float64)
+        y = batch["l_extendedprice"].astype(np.float64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": 1,
+                "sx": x,
+                "sxx": x * x,
+                "sy": y,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = parts["n"].astype(np.float64)
+    var_x = (parts["sxx"] - parts["sx"] ** 2 / n) / (n - 1)
+    var_y = (parts["syy"] - parts["sy"] ** 2 / n) / (n - 1)
+    covar = (parts["sxy"] - parts["sx"] * parts["sy"] / n) / (n - 1)
+    out = pd.DataFrame(
+        {
+            "l_returnflag": parts["l_returnflag"],
+            "n": parts["n"].astype(np.int64),
+            "qty_std": _r6(np.sqrt(var_x)),
+            "price_std": _r2(np.sqrt(var_y)),
+            "covar": _r2(covar),
+            "corr": _r6(covar / np.sqrt(var_x * var_y)),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_CORR_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(stddev_samp(l_quantity), 6) AS qty_std,
+       ROUND(stddev_samp(l_extendedprice), 2) AS price_std,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def monthly_revenue_trend(sf_dir: str) -> pd.DataFrame:
+    """Calendar aggregation: month-truncated order dates (DATE_TRUNC
+    semantics as a formatted group key), revenue + order counts via the
+    bucketed combiner."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": batch["o_orderdate"].dt.strftime("%Y-%m"),
+                "revenue": batch["o_totalprice"],
+                "n_orders": np.int64(1),
+            }
+        )
+
+    out = sum_by_key(
+        ds.map_batches(pre, batch_format="pandas"), ["month"], ["revenue", "n_orders"], n_buckets=16
+    ).to_pandas()
+    out["revenue"] = _r2(out["revenue"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values("month").reset_index(drop=True)[["month", "revenue", "n_orders"]]
+
+
+_MONTHLY_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+def mode_priority_by_status(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (most frequent value, ties to the smallest): a
+    bucketed (status, priority) count — tiny domain — then a driver-side
+    argmax with a deterministic tie-break, mirrored by the oracle's
+    ROW_NUMBER ordering."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    counts = count_by_key(ds, ["o_orderstatus", "o_orderpriority"], n_buckets=8, count_col="n").to_pandas()
+    counts = counts.sort_values(["o_orderstatus", "n", "o_orderpriority"], ascending=[True, False, True])
+    out = counts.groupby("o_orderstatus", as_index=False).first()
+    out["n"] = out["n"].astype(np.int64)
+    return out.rename(columns={"o_orderpriority": "mode_priority"}).reset_index(drop=True)[
+        ["o_orderstatus", "mode_priority", "n"]
+    ]
+
+
+_MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+def event_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the event_type distribution (a distribution-
+    profiling scalar): bucketed counts, entropy folded on the driver from
+    the tiny count vector."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    counts = count_by_key(
+        _read(sf_dir, "events", columns=["event_type"]), ["event_type"], n_buckets=4
+    ).to_pandas()
+    p = counts["cnt"].to_numpy(np.float64) / float(counts["cnt"].sum())
+    return pd.DataFrame({"entropy": [float(np.round(-(p * np.log2(p)).sum(), 6))]})
+
+
+_ENTROPY_SQL = """
+SELECT ROUND(SUM(-p * log2(p)), 6) AS entropy FROM (
+  SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS p
+  FROM events GROUP BY event_type) t
+"""
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE(l_returnflag, l_linestatus): all four grouping sets folded
+    from ONE bucketed detail aggregate (same single-pass shape as
+    revenue_rollup — subtotals never re-scan the data)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    detail = sum_by_key(
+        ds.map_batches(
+            lambda b: b.rename(columns={"l_extendedprice": "revenue"}), batch_format="pandas"
+        ),
+        ["l_returnflag", "l_linestatus"],
+        ["revenue"],
+        n_buckets=8,
+    ).to_pandas()
+    by_flag = detail.groupby("l_returnflag", as_index=False)["revenue"].sum()
+    by_flag["l_linestatus"] = None
+    by_status = detail.groupby("l_linestatus", as_index=False)["revenue"].sum()
+    by_status["l_returnflag"] = None
+    total = pd.DataFrame(
+        {"l_returnflag": [None], "l_linestatus": [None], "revenue": [detail["revenue"].sum()]}
+    )
+    out = pd.concat([detail, by_flag, by_status, total], ignore_index=True)
+    out["revenue"] = _r2(out["revenue"])
+    return (
+        out[["l_returnflag", "l_linestatus", "revenue"]]
+        .sort_values(["l_returnflag", "l_linestatus"], na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data text ops: PII scrubbing, repetition quality, bigrams (round 3)
+# ---------------------------------------------------------------------------
+
+def pii_redact_documents(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing over the documents table: URL / email / long-digit-id
+    redaction with per-kind counts (functions/text.redact_pii — three
+    compiled-regex vectorized passes, per-row local, no shuffle).  The
+    synthetic corpus contains no PII so counts are 0 here; the planted-PII
+    path is pinned by tests/test_text_ops_r3.py."""
+    from ndap_data_validator_ray.functions.text import redact_pii
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = redact_pii(batch["text"])
+        out.insert(0, "doc_id", batch["doc_id"].to_numpy())
+        return out
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_PII_SQL = r"""
+WITH t1 AS (
+  SELECT doc_id,
+         regexp_replace(text, 'https?://[^ \t\n\r]+', '<URL>', 'g') AS s1,
+         CAST(COALESCE(len(regexp_extract_all(text, 'https?://[^ \t\n\r]+')), 0) AS BIGINT) AS n_urls
+  FROM documents),
+t2 AS (
+  SELECT doc_id, regexp_replace(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS s2,
+         n_urls,
+         CAST(COALESCE(len(regexp_extract_all(s1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails
+  FROM t1)
+SELECT doc_id,
+       regexp_replace(s2, '[0-9]{6,}', '<ID>', 'g') AS clean_text,
+       n_urls, n_emails,
+       CAST(COALESCE(len(regexp_extract_all(s2, '[0-9]{6,}')), 0) AS BIGINT) AS n_ids
+FROM t2 ORDER BY doc_id
+"""
+
+
+def repetition_scores_documents(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality per document: token count, distinct
+    tokens, top-token fraction and distinct ratio.  Ratios are emitted as
+    parts-per-million integers (floor(x * 1e6 + 0.5)) so both sides round
+    half-away-from-zero on the identical float64 — immune to the
+    np.round-vs-SQL-ROUND half-even discrepancy."""
+    from ndap_data_validator_ray.functions.text import repetition_stats
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        st = repetition_stats(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "n_tokens": st["n_tokens"],
+                "n_distinct": st["n_distinct"],
+                "top_token_ppm": np.floor(st["top_token_frac"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+                "distinct_ratio_ppm": np.floor(st["distinct_ratio"].to_numpy() * 1e6 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS mx
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(n_distinct, 0) AS n_distinct,
+       CAST(COALESCE(FLOOR(CAST(mx AS DOUBLE) / n_tokens * 1e6 + 0.5), 0) AS BIGINT) AS top_token_ppm,
+       CAST(COALESCE(FLOOR(CAST(n_distinct AS DOUBLE) / n_tokens * 1e6 + 0.5), 0) AS BIGINT) AS distinct_ratio_ppm
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def top_bigrams_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-20 adjacent-token bigrams: per-batch boundary-safe
+    bigram partials (functions/text.bigram_counts), bucketed exact count,
+    per-block local top-k, driver merges the tiny partials.  Ties break
+    on the bigram string, deterministically on both sides."""
+    from ndap_data_validator_ray.functions.text import bigram_counts
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    parts = _read(sf_dir, "documents", columns=["text"]).map_batches(
+        lambda b: bigram_counts(b["text"]), batch_format="pandas"
+    )
+    counts = sum_by_key(parts, ["bigram"], ["cnt"], n_buckets=16)
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["cnt", "bigram"], ascending=[False, True]).head(20)
+
+    out = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["cnt", "bigram"], ascending=[False, True]).head(20)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.reset_index(drop=True)[["bigram", "cnt"]]
+
+
+_TOP_BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM toks)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bi GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering (round 3)
+# ---------------------------------------------------------------------------
+
+def _centroid_init(sf_dir: str, k: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic centroid seed: the k vectors with vec_id < k."""
+    small = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(lambda b: b[b["vec_id"] < k], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    ids = small["vec_id"].to_numpy(np.int64)
+    mat = np.stack(small["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def centroid_assign_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid assignment by cosine similarity against a
+    deterministic 8-centroid codebook (vec_id < 8), the building block of
+    IVF/k-means: the tiny centroid matrix is ray.put once and every batch
+    does one matmul + argmax (ties to the lowest centroid id — mirrored
+    by the oracle's ROW_NUMBER ordering)."""
+    ids, mat = _centroid_init(sf_dir, k=8)
+    cn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, cn))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        cids, cmat = ray.get(ref)
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        best = np.argmax(m @ cmat.T, axis=1)
+        return pd.DataFrame({"vec_id": batch["vec_id"], "centroid_id": cids[best]})
+
+    return (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+
+_CENTROID_ASSIGN_SQL = """
+WITH c AS (
+  SELECT vec_id AS centroid_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+  FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(
+                                list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.ce) DESC,
+                            c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN c)
+SELECT vec_id, centroid_id FROM scored WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations, deterministic init
+    = vec_id < 8): per-iteration broadcast centroids + per-batch partial
+    (sum, count, sse) fold — stages/kmeans.py.  Iterative and
+    engine-defined, so rows-only (convergence pinned by tests)."""
+    from ndap_data_validator_ray.stages.kmeans import kmeans_fit
+
+    _ids, init = _centroid_init(sf_dir, k=8)
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    fit = kmeans_fit(ds, "embedding", init, n_iter=5)
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(len(fit["counts"]), dtype=np.int64),
+            "n_assigned": fit["counts"].astype(np.int64),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2262,6 +2825,20 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "clean_text_documents": (clean_text_documents, _CLEAN_TEXT_SQL),
     "orders_collected_by_customer": (orders_collected_by_customer, _COLLECT_SQL),
     "revenue_rollup": (revenue_rollup, _ROLLUP_SQL),
+    "customers_with_urgent_orders": (customers_with_urgent_orders, _CUST_WITH_URGENT_SQL),
+    "user_customer_full_outer": (user_customer_full_outer, _FULL_OUTER_SQL),
+    "event_users_customers_setops": (event_users_customers_setops, _SETOPS_SQL),
+    "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _TPCH_Q3_SQL),
+    "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
+    "monthly_revenue_trend": (monthly_revenue_trend, _MONTHLY_SQL),
+    "mode_priority_by_status": (mode_priority_by_status, _MODE_SQL),
+    "event_type_entropy": (event_type_entropy, _ENTROPY_SQL),
+    "revenue_cube": (revenue_cube, _CUBE_SQL),
+    "pii_redact_documents": (pii_redact_documents, _PII_SQL),
+    "repetition_scores_documents": (repetition_scores_documents, _REPETITION_SQL),
+    "top_bigrams_documents": (top_bigrams_documents, _TOP_BIGRAMS_SQL),
+    "centroid_assign_embeddings": (centroid_assign_embeddings, _CENTROID_ASSIGN_SQL),
+    "kmeans_embeddings": (kmeans_embeddings, None),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
         "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "

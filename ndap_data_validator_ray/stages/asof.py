@@ -45,17 +45,9 @@ _BY_COL = "_asof_by"
 
 
 def _fields(ds: "ray.data.Dataset") -> dict[str, pa.DataType]:
-    sch = ds.schema()
-    base = getattr(sch, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        return {f.name: f.type for f in base}
-    out = {}
-    for name, typ in zip(sch.names, sch.types):
-        if not isinstance(typ, pa.DataType):
-            npt = np.dtype(typ)
-            typ = pa.string() if npt == np.dtype(object) else pa.from_numpy_dtype(npt)
-        out[name] = typ
-    return out
+    from ndap_data_validator_ray.stages.schema_util import arrow_field_types
+
+    return arrow_field_types(ds)
 
 
 def bucketed_asof_join(

@@ -66,9 +66,14 @@ def bucketed_join(
     """Hash-partitioned join of two Datasets on ``on`` columns.
 
     Returns a Dataset of merged rows (pandas-merge semantics per bucket).
-    ``how`` supports inner/left/right plus "anti" (left rows with no right
-    match, left columns only — the exact verify leg of
-    ``stages/bloom.bloom_anti_join``); outer would need null-bucket care.
+    ``how`` supports inner/left/right/outer plus the filtering joins
+    "semi" (left rows WITH a right match — SQL EXISTS, left multiplicity
+    kept, left columns only) and "anti" (left rows with NO right match —
+    SQL NOT EXISTS, the exact verify leg of ``stages/bloom.bloom_anti_join``).
+    Null-key SQL semantics hold for every variant: equality never matches
+    NULL, so null-keyed rows are dropped by inner/semi, kept by anti, and
+    pass through unmatched (null-padded) on the preserved side(s) of
+    left/right/outer.
 
     Skew (BASELINE.json "salted keys to tame skew"): pass ``hot_keys``
     (e.g. from ``detect_hot_keys``) and a hot LEFT key's rows are sprayed
@@ -93,17 +98,9 @@ def bucketed_join(
     hot_arr = np.asarray(sorted(hot_keys)) if hot_keys else None
 
     def _arrow_fields(ds: "ray.data.Dataset") -> list[pa.Field]:
-        sch = ds.schema()
-        base = getattr(sch, "base_schema", None)
-        if isinstance(base, pa.Schema):
-            return [base.field(c) for c in base.names]
-        fields = []
-        for name, typ in zip(sch.names, sch.types):
-            if not isinstance(typ, pa.DataType):
-                npt = np.dtype(typ)
-                typ = pa.string() if npt == np.dtype(object) else pa.from_numpy_dtype(npt)
-            fields.append(pa.field(name, typ))
-        return fields
+        from ndap_data_validator_ray.stages.schema_util import arrow_field_types
+
+        return [pa.field(n, t) for n, t in arrow_field_types(ds).items()]
 
     left_fields = _arrow_fields(left)
     right_fields = _arrow_fields(right)
@@ -119,7 +116,7 @@ def bucketed_join(
     # the union schema) so int64 keys survive the per-bucket pandas merge —
     # unmatched-side nulls would otherwise upcast whole columns to float64
     overlap = [c for c in left_cols if c in right_cols and c not in on]
-    if how == "anti":
+    if how in ("anti", "semi"):
         out_schema = pa.schema([pa.field(c, union_types[c]) for c in left_cols])
     else:
         out_fields = [
@@ -191,6 +188,26 @@ def bucketed_join(
             )
             anti = flagged[flagged["_merge"] == "left_only"][left_cols]
             merged = pd.concat([anti, l.loc[null_key, left_cols]]) if null_key.any() else anti
+        elif how == "semi":
+            # SQL EXISTS: left multiplicity kept, right side deduped to keys
+            # only, null probe keys never match (dropped)
+            null_key = l[on].isna().any(axis=1)
+            merged = l[~null_key].merge(
+                r[on].dropna().drop_duplicates(), on=on, how="inner"
+            )[left_cols]
+        elif how == "outer":
+            # FULL OUTER: null-keyed rows on EITHER side never match —
+            # split them out, merge the non-null cores, then pass the
+            # null-keyed rows through with the other side null-padded
+            ln = l[on].isna().any(axis=1)
+            rn = r[on].isna().any(axis=1)
+            core = l[~ln].merge(r[~rn], on=on, how="outer", suffixes=suffixes)
+            parts = [core]
+            if ln.any():
+                parts.append(l.loc[ln].rename(columns={c: c + suffixes[0] for c in overlap}))
+            if rn.any():
+                parts.append(r.loc[rn].rename(columns={c: c + suffixes[1] for c in overlap}))
+            merged = pd.concat(parts, ignore_index=True).reindex(columns=out_schema.names)
         else:
             # SQL equality never matches NULL, but pandas merge pairs
             # NaN keys with NaN keys — drop null-keyed rows from the side

@@ -1,0 +1,222 @@
+"""Round-3 operator tests: semi/full-outer joins, PII scrubbing,
+repetition stats, corpus bigrams, k-means clustering."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+# ---------------------------------------------------------------------------
+# filtering / outer joins
+# ---------------------------------------------------------------------------
+
+def _join_fixture():
+    left = pd.DataFrame(
+        {
+            "k": pd.array([1, 2, 2, None, 3, 5], dtype="Int64"),
+            "lv": np.arange(6, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": pd.array([2, 2, None, 3, 4], dtype="Int64"),
+            "rv": np.arange(10, 15, dtype=np.int64),
+        }
+    )
+    return left, right
+
+
+def test_bucketed_join_semi_matches_sql_exists():
+    import duckdb
+
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    left, right = _join_fixture()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        "SELECT k, lv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k) ORDER BY lv"
+    ).df()
+    got = (
+        bucketed_join(ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], how="semi", n_buckets=4)
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    # left multiplicity kept (k=2 appears twice), null probe keys dropped
+    assert got["lv"].tolist() == want["lv"].astype(np.int64).tolist() == [1, 2, 4]
+    # int64 key dtype survives (no float64 upcast from the bucket merge)
+    assert got["k"].dtype == np.int64
+
+
+def test_bucketed_join_outer_matches_sql_full_outer():
+    import duckdb
+
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    left, right = _join_fixture()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = con.sql(
+        "SELECT COALESCE(l.k, r.k) AS k, lv, rv FROM l FULL OUTER JOIN r ON l.k = r.k "
+        "ORDER BY lv NULLS LAST, rv NULLS LAST"
+    ).df()
+    joined = bucketed_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], how="outer", n_buckets=4
+    )
+    # Arrow schema keeps the int64 key type end-to-end
+    sch = joined.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types]))["k"] == "int64"
+    got = joined.to_pandas().sort_values(["lv", "rv"], na_position="last").reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("lv", "rv"):
+        np.testing.assert_array_equal(
+            got[col].astype("float64").to_numpy(),
+            want[col].astype("float64").to_numpy(),
+            err_msg=col,
+        )
+    # null-keyed rows from BOTH sides survive unmatched (SQL semantics)
+    assert int(got["k"].isna().sum()) == 2
+
+
+def test_bucketed_join_outer_coalesces_matched_keys():
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    left = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64), "lv": np.int64([0, 1])})
+    right = pd.DataFrame({"k": np.array([2, 9], dtype=np.int64), "rv": np.int64([5, 6])})
+    got = (
+        bucketed_join(ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], how="outer", n_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # key 9 exists only on the right; the key column must carry it
+    assert got["k"].astype("int64").tolist() == [1, 2, 9]
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_planted():
+    from ndap_data_validator_ray.functions.text import redact_pii
+
+    s = pd.Series(
+        [
+            "mail me at first.last+tag@sub.example.co.uk today",
+            "see https://a.example.com/p?q=1&r=2 and http://b.io/x",
+            "account 123456789 pin 0042 ref 777777",
+            "clean text with no pii at all",
+            None,
+        ]
+    )
+    out = redact_pii(s)
+    assert out["clean_text"].tolist() == [
+        "mail me at <EMAIL> today",
+        "see <URL> and <URL>",
+        "account <ID> pin 0042 ref <ID>",
+        "clean text with no pii at all",
+        "",
+    ]
+    assert out["n_emails"].tolist() == [1, 0, 0, 0, 0]
+    assert out["n_urls"].tolist() == [0, 2, 0, 0, 0]
+    assert out["n_ids"].tolist() == [0, 0, 2, 0, 0]
+
+
+def test_redact_pii_email_inside_url_counted_once_as_url():
+    from ndap_data_validator_ray.functions.text import redact_pii
+
+    out = redact_pii(pd.Series(["go to https://ex.com/u?mail=a@b.co now"]))
+    assert out["clean_text"].iloc[0] == "go to <URL> now"
+    assert out["n_urls"].iloc[0] == 1 and out["n_emails"].iloc[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# repetition stats / bigrams
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_hand_case():
+    from ndap_data_validator_ray.functions.text import repetition_stats
+
+    out = repetition_stats(pd.Series(["a a a b", "", None, "x y z"]))
+    assert out["n_tokens"].tolist() == [4, 0, 0, 3]
+    assert out["n_distinct"].tolist() == [2, 0, 0, 3]
+    np.testing.assert_allclose(out["top_token_frac"].to_numpy(), [0.75, 0.0, 0.0, 1 / 3])
+    np.testing.assert_allclose(out["distinct_ratio"].to_numpy(), [0.5, 0.0, 0.0, 1.0])
+
+
+def test_bigram_counts_no_cross_document_pairs():
+    from ndap_data_validator_ray.functions.text import bigram_counts
+
+    out = bigram_counts(pd.Series(["a b", "c d", "", "e"]))
+    got = dict(zip(out["bigram"], out["cnt"]))
+    # "b c" and "d e" would only exist if doc boundaries leaked
+    assert got == {"a b": 1, "c d": 1}
+
+
+def test_bigram_counts_repeats_within_doc():
+    from ndap_data_validator_ray.functions.text import bigram_counts
+
+    out = bigram_counts(pd.Series(["go go go stop"]))
+    got = dict(zip(out["bigram"], out["cnt"]))
+    assert got == {"go go": 2, "go stop": 1}
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+def test_kmeans_recovers_planted_clusters():
+    from ndap_data_validator_ray.stages.kmeans import kmeans_fit
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    sizes = [120, 80, 50]
+    pts = np.concatenate(
+        [c + 0.1 * rng.standard_normal((n, 2)) for c, n in zip(centers, sizes)]
+    )
+    order = rng.permutation(len(pts))
+    ds = ray.data.from_pandas(pd.DataFrame({"embedding": list(pts[order])}))
+    # deliberately poor-but-distinct init near each true center
+    init = centers + np.array([[1.0, 1.0], [-1.0, 0.5], [0.5, -1.0]])
+    fit = kmeans_fit(ds, "embedding", init, n_iter=4)
+    assert sorted(fit["counts"].tolist()) == sorted(sizes)
+    # centroids land on the planted centers
+    d = np.linalg.norm(np.sort(fit["centroids"], axis=0) - np.sort(centers, axis=0), axis=1)
+    assert (d < 0.2).all()
+    assert fit["inertia"] < 0.1 * len(pts)
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    from ndap_data_validator_ray.stages.kmeans import kmeans_fit
+
+    pts = np.array([[0.0, 0.0], [0.1, 0.0], [0.0, 0.1]])
+    ds = ray.data.from_pandas(pd.DataFrame({"embedding": list(pts)}))
+    far = np.array([100.0, 100.0])
+    fit = kmeans_fit(ds, "embedding", np.array([[0.0, 0.0], far]), n_iter=3)
+    assert fit["counts"].tolist() == [3, 0]
+    np.testing.assert_allclose(fit["centroids"][1], far)
+
+
+# ---------------------------------------------------------------------------
+# centroid assignment (the oracled twin's kernel) vs numpy brute force
+# ---------------------------------------------------------------------------
+
+def test_centroid_assign_matches_bruteforce():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    cents = vecs[:4].astype(np.float64)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    m = vecs.astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    best = np.argmax(mn @ cn.T, axis=1)
+    # brute-force cosine argmax with full-precision math
+    sims = (m @ cents.T) / (
+        np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
+    )
+    np.testing.assert_array_equal(best, np.argmax(sims, axis=1))
