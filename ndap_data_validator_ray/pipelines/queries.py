@@ -2675,6 +2675,128 @@ FROM bi GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
 """
 
 
+def events_time_window_stats(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE window frames (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): per event, the count and value-sum of the same
+    user's events in the trailing hour — the stages/window.py range_*
+    kinds (SQL-exact ORDER BY peer semantics, vectorized time-rolling)."""
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    win = partitioned_window(
+        ds,
+        partition_by=["user_id"],
+        order_by=["ts"],
+        specs=[
+            WindowSpec(kind="range_count", out="n_1h", delta=pd.Timedelta("1h")),
+            WindowSpec(kind="range_sum", out="sum_1h", col="value", delta=pd.Timedelta("1h")),
+        ],
+    ).to_pandas()
+    win["sum_1h"] = _r6(win["sum_1h"])
+    return win.sort_values("event_id").reset_index(drop=True)[["event_id", "n_1h", "sum_1h"]]
+
+
+_TIME_WINDOW_SQL = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def brand_status_grid(sf_dir: str) -> pd.DataFrame:
+    """CROSS JOIN as broadcast expansion: the distinct-brand Dataset fans
+    out against the tiny broadcast distinct-status list inside
+    map_batches — the scale shape for small-side cartesian products (the
+    big side streams, the small side ships once)."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    statuses = np.sort(
+        _read(sf_dir, "orders", columns=["o_orderstatus"])
+        .map_batches(
+            lambda b: pd.DataFrame({"s": b["o_orderstatus"].unique()}), batch_format="pandas"
+        )
+        .to_pandas()["s"]
+        .unique()
+    )
+    st_ref = ray.put(statuses)
+    brands = count_by_key(_read(sf_dir, "part", columns=["p_brand"]), ["p_brand"], n_buckets=8)
+
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(st_ref)
+        return pd.DataFrame(
+            {
+                "p_brand": np.repeat(batch["p_brand"].to_numpy(), len(st)),
+                "o_orderstatus": np.tile(st, len(batch)),
+            }
+        )
+
+    out = brands.map_batches(expand, batch_format="pandas").to_pandas()
+    return out.sort_values(["p_brand", "o_orderstatus"]).reset_index(drop=True)
+
+
+_CROSS_JOIN_SQL = """
+SELECT p_brand, o_orderstatus
+FROM (SELECT DISTINCT p_brand FROM part)
+CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+ORDER BY p_brand, o_orderstatus
+"""
+
+
+def filter_documents_quality(sf_dir: str) -> pd.DataFrame:
+    """Composed quality FILTER over documents (the keep/drop decision of a
+    training-data pipeline): length + repetition thresholds, emitting the
+    keep flag and a deterministic reason list for dropped docs.  Both
+    sides compare the identical float64 ratio against the thresholds, so
+    the boundary behaves identically."""
+    from ndap_data_validator_ray.functions.text import repetition_stats
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        st = repetition_stats(batch["text"])
+        nt = st["n_tokens"].to_numpy()
+        frac = st["top_token_frac"].to_numpy()
+        short = nt < 20
+        rep = frac > 0.13
+        reason = np.where(
+            short & rep, "too_short,too_repetitive", np.where(short, "too_short", np.where(rep, "too_repetitive", ""))
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "keep": (~(short | rep)).astype(np.int64),
+                "reason": reason,
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_QUALITY_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+j AS (SELECT d.doc_id,
+             COALESCE(n_tokens, 0) AS nt,
+             COALESCE(CAST(mx AS DOUBLE) / n_tokens, 0.0) AS frac
+      FROM documents d LEFT JOIN agg USING (doc_id))
+SELECT doc_id,
+       CAST(CASE WHEN nt >= 20 AND frac <= 0.13 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       concat_ws(',', CASE WHEN nt < 20 THEN 'too_short' END,
+                      CASE WHEN frac > 0.13 THEN 'too_repetitive' END) AS reason
+FROM j ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering (round 3)
 # ---------------------------------------------------------------------------
@@ -2839,6 +2961,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "top_bigrams_documents": (top_bigrams_documents, _TOP_BIGRAMS_SQL),
     "centroid_assign_embeddings": (centroid_assign_embeddings, _CENTROID_ASSIGN_SQL),
     "kmeans_embeddings": (kmeans_embeddings, None),
+    "events_time_window_stats": (events_time_window_stats, _TIME_WINDOW_SQL),
+    "brand_status_grid": (brand_status_grid, _CROSS_JOIN_SQL),
+    "filter_documents_quality": (filter_documents_quality, _QUALITY_FILTER_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
         "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "

@@ -141,6 +141,13 @@ def bucketed_join(
                     cols[f.name] = pa.nulls(n, f.type)
             key_df = pd.DataFrame({c: cols[c].to_pandas() for c in on})
             base = stable_bucket(key_df if len(on) > 1 else key_df[on[0]], n_buckets)
+            # null keys never match anything (SQL equality), so they don't
+            # need co-location — spread them round-robin instead of letting
+            # every null-keyed row hash into one hot bucket (at scale a
+            # high-null key column would otherwise serialize on one reducer)
+            null_mask = key_df.isna().any(axis=1).to_numpy()
+            if null_mask.any():
+                base = np.where(null_mask, np.arange(n) % n_buckets, base)
             hot_mask = None
             if hot_arr is not None and n:
                 hot_mask = np.isin(key_df[on[0]].to_numpy(), hot_arr)

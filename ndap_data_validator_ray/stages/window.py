@@ -39,7 +39,9 @@ from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets
 _KINDS = (
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
     "lag", "lead", "cumsum", "cummax", "rolling_sum", "rolling_mean",
+    "range_count", "range_sum", "range_mean",
 )
+_RANGE_KINDS = ("range_count", "range_sum", "range_mean")
 _RANK_KINDS = ("row_number", "rank", "dense_rank", "percent_rank", "cume_dist", "ntile")
 
 
@@ -48,18 +50,25 @@ class WindowSpec:
     """One output column: ``kind`` over ``col`` (ignored for row_number /
     rank kinds, which rank by the window's ORDER BY), written as ``out``.
     ``n`` is the LAG/LEAD offset or the rolling frame size (current row +
-    n-1 preceding)."""
+    n-1 preceding).  ``delta`` is the RANGE-frame extent for the
+    ``range_*`` kinds (SQL ``RANGE BETWEEN delta PRECEDING AND CURRENT
+    ROW`` over a single datetime ORDER BY column; pass a ``pd.Timedelta``)
+    — SQL-exact including ORDER BY peers: every row in a tie group gets
+    the full frame of its order value, even peers that sort later."""
 
     kind: str
     out: str
     col: str | None = None
     n: int = 1
+    delta: object = None
 
     def __post_init__(self) -> None:
         if self.kind not in _KINDS:
             raise ValueError(f"unknown window kind {self.kind!r}; one of {_KINDS}")
-        if self.kind not in _RANK_KINDS and self.col is None:
+        if self.kind not in _RANK_KINDS and self.kind != "range_count" and self.col is None:
             raise ValueError(f"{self.kind} needs col=")
+        if self.kind in _RANGE_KINDS and self.delta is None:
+            raise ValueError(f"{self.kind} needs delta= (the RANGE frame extent)")
 
 
 def _apply_specs(
@@ -115,6 +124,33 @@ def _apply_specs(
             part[s.out] = g[s.col].cumsum()
         elif s.kind == "cummax":
             part[s.out] = g[s.col].cummax()
+        elif s.kind in _RANGE_KINDS:
+            # SQL RANGE frame [order - delta, order] over a datetime ORDER BY.
+            # pandas time-rolling with closed="both" gives each row the frame
+            # ending at ITS position; SQL's CURRENT ROW means "last peer of my
+            # order value", so broadcast the tie group's last value to every
+            # peer (transform("last")) — vectorized, no per-key loop.
+            if len(order_by) != 1:
+                raise ValueError(f"{s.kind} needs a single ORDER BY column")
+            ocol = order_by[0]
+            col = s.col if s.kind != "range_count" else "_range_ones"
+            if s.kind == "range_count":
+                part[col] = 1.0
+            # fresh groupby: g predates the helper column
+            rolled = part.groupby(partition_by, sort=False).rolling(
+                window=pd.Timedelta(s.delta), on=ocol, closed="both"
+            )[col]
+            vals = rolled.count() if s.kind == "range_count" else (
+                rolled.sum() if s.kind == "range_sum" else rolled.mean()
+            )
+            # with on=, the inner index level is the (possibly duplicated)
+            # order values — assign positionally: groupby(sort=False) over
+            # the partition-sorted frame preserves row order exactly
+            part[s.out] = vals.to_numpy()
+            part[s.out] = part.groupby(partition_by + [ocol], sort=False)[s.out].transform("last")
+            if s.kind == "range_count":
+                part[s.out] = part[s.out].astype(np.int64)
+                part.drop(columns=[col], inplace=True)
         else:  # rolling_sum / rolling_mean: frame = n-1 PRECEDING .. CURRENT
             rolled = g[s.col].rolling(window=s.n, min_periods=1)
             vals = rolled.sum() if s.kind == "rolling_sum" else rolled.mean()

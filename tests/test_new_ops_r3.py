@@ -220,3 +220,43 @@ def test_centroid_assign_matches_bruteforce():
         np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(cents, axis=1)[None, :]
     )
     np.testing.assert_array_equal(best, np.argmax(sims, axis=1))
+
+
+def test_bucketed_join_null_spray_preserves_semantics():
+    """Null keys are sprayed round-robin across buckets (skew relief) —
+    results must be identical to SQL for every join variant even when a
+    third of the keys are null."""
+    import duckdb
+
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(5)
+    def side(n, name):
+        k = rng.integers(0, 20, n).astype("float64")
+        k[rng.random(n) < 0.35] = np.nan
+        return pd.DataFrame({"k": pd.array(np.where(np.isnan(k), None, k), dtype="Int64"),
+                             name: np.arange(n, dtype=np.int64)})
+
+    left, right = side(300, "lv"), side(200, "rv")
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    cases = {
+        "inner": "SELECT lv, rv FROM l JOIN r USING (k)",
+        "left": "SELECT lv, rv FROM l LEFT JOIN r USING (k)",
+        "outer": "SELECT lv, rv FROM l FULL OUTER JOIN r ON l.k = r.k",
+        "semi": "SELECT lv, NULL AS rv FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+        "anti": "SELECT lv, NULL AS rv FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+    }
+    for how, sql in cases.items():
+        want = con.sql(sql + " ORDER BY lv NULLS LAST, rv NULLS LAST").df()
+        got = bucketed_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), ["k"], how=how, n_buckets=8
+        ).to_pandas()
+        if "rv" not in got.columns:
+            got["rv"] = np.nan
+        got = got.sort_values(["lv", "rv"], na_position="last").reset_index(drop=True)
+        assert len(got) == len(want), (how, len(got), len(want))
+        np.testing.assert_array_equal(
+            got["lv"].astype("float64").to_numpy(), want["lv"].astype("float64").to_numpy(), err_msg=how
+        )

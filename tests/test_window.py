@@ -168,3 +168,53 @@ def test_distribution_rank_kinds_match_duckdb():
     )[["grp", "id", "pr", "cd", "nt"]].reset_index(drop=True)
     assert np.allclose(got[["pr", "cd"]], want[["pr", "cd"]], atol=1e-12)
     np.testing.assert_array_equal(got["nt"].to_numpy(), want["nt"].to_numpy())
+
+
+def test_range_window_matches_duckdb_including_ties():
+    """Time-RANGE frames: SQL CURRENT ROW means 'last ORDER BY peer', so
+    tied timestamps must all see the full tie group."""
+    import duckdb
+
+    from ndap_data_validator_ray.stages.window import WindowSpec, partitioned_window
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 10, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 36000, n), unit="s"),
+            "v": np.round(rng.random(n), 3),
+        }
+    )
+    # plant exact-duplicate timestamps inside one partition (the tie case)
+    df.loc[1, ["u", "ts"]] = df.loc[0, ["u", "ts"]]
+    df.loc[2, ["u", "ts"]] = df.loc[0, ["u", "ts"]]
+    out = partitioned_window(
+        ray.data.from_pandas(df),
+        ["u"],
+        ["ts"],
+        [
+            WindowSpec(kind="range_count", out="n_1h", delta=pd.Timedelta("1h")),
+            WindowSpec(kind="range_sum", out="s_1h", col="v", delta=pd.Timedelta("1h")),
+            WindowSpec(kind="range_mean", out="m_1h", col="v", delta=pd.Timedelta("1h")),
+        ],
+        n_buckets=4,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        """
+        SELECT u, ts, v,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+               SUM(v) OVER w AS s_1h,
+               AVG(v) OVER w AS m_1h
+        FROM t WINDOW w AS (PARTITION BY u ORDER BY ts
+                            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY u, ts, v"""
+    ).df()
+    got = out.sort_values(["u", "ts", "v"]).reset_index(drop=True)
+    want = want.sort_values(["u", "ts", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got["n_1h"].to_numpy(), want["n_1h"].to_numpy())
+    np.testing.assert_allclose(got["s_1h"].to_numpy(), want["s_1h"].to_numpy(), rtol=1e-9)
+    np.testing.assert_allclose(got["m_1h"].to_numpy(), want["m_1h"].to_numpy(), rtol=1e-9)
