@@ -120,6 +120,11 @@ _QUERY_NAMES = [
     "orders_running_total",
     "heavy_hitter_parts",
     "tfidf_top_terms",
+    "tpch_q3_shipping_priority",
+    "user_customer_full_outer",
+    "events_time_window_stats",
+    "repetition_scores_documents",
+    "centroid_assign_embeddings",
 ]
 
 

@@ -2797,6 +2797,100 @@ FROM j ORDER BY doc_id
 """
 
 
+def customer_name_ids(sf_dir: str) -> pd.DataFrame:
+    """Structured regex extraction (regexp_extract with a capture group):
+    parse the numeric id out of c_name and verify it against c_custkey —
+    vectorized str.extract per batch, no shuffle."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ext = batch["c_name"].str.extract(r"#0*([0-9]+)$", expand=False)
+        parsed = pd.to_numeric(ext, errors="coerce").astype("Int64")
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"],
+                "name_id": parsed,
+                "id_matches_key": (parsed == batch["c_custkey"]).fillna(False).astype(np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+
+
+_NAME_IDS_SQL = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '#0*([0-9]+)$', 1) AS BIGINT) AS name_id,
+       CAST(CASE WHEN CAST(regexp_extract(c_name, '#0*([0-9]+)$', 1) AS BIGINT) = c_custkey
+                 THEN 1 ELSE 0 END AS BIGINT) AS id_matches_key
+FROM customer ORDER BY c_custkey
+"""
+
+
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of events.value (bin = floor(value / 50)):
+    per-batch bincounts merged with the bucketed combiner — the profiling
+    histogram every distribution check builds on (nulls excluded, like
+    SQL GROUP BY on the bin expression)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].dropna()
+        b = np.floor(v.to_numpy(np.float64) / 50.0).astype(np.int64)
+        g = pd.Series(b).value_counts()
+        return pd.DataFrame({"bin": g.index.to_numpy(), "n": g.to_numpy().astype(np.int64)})
+
+    out = sum_by_key(
+        _read(sf_dir, "events", columns=["value"]).map_batches(pre, batch_format="pandas"),
+        ["bin"],
+        ["n"],
+        n_buckets=8,
+    ).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)[["bin", "n"]]
+
+
+_VALUE_HIST_SQL = """
+SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL GROUP BY bin ORDER BY bin
+"""
+
+
+def distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group COUNT(DISTINCT ...) at scale: dedup (event_type, user_id)
+    pairs inside each bucket partial, then count per group — distinct
+    values never reach the driver, and re-observed pairs collapse in the
+    combiner before the exchange."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.drop_duplicates().groupby("event_type").size()
+        return pd.DataFrame({"event_type": g.index.to_numpy(), "n_users": g.to_numpy().astype(np.int64)})
+
+    # bucket on user_id so one group's pairs may span buckets; counts are
+    # still exact because a (type, user) pair lands in ONE bucket — the
+    # per-bucket distinct counts are disjoint and sum on the driver
+    parts = bucketed_groupby(ds, ["user_id"], partial, merge, n_buckets=16).to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering (round 3)
 # ---------------------------------------------------------------------------
@@ -2964,6 +3058,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "events_time_window_stats": (events_time_window_stats, _TIME_WINDOW_SQL),
     "brand_status_grid": (brand_status_grid, _CROSS_JOIN_SQL),
     "filter_documents_quality": (filter_documents_quality, _QUALITY_FILTER_SQL),
+    "customer_name_ids": (customer_name_ids, _NAME_IDS_SQL),
+    "events_value_histogram": (events_value_histogram, _VALUE_HIST_SQL),
+    "distinct_users_by_type": (distinct_users_by_type, _DISTINCT_USERS_SQL),
     "coerce_events_props": (coerce_events_props,
         "SELECT CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls, "
         "CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls, "

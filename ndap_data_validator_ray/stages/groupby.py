@@ -43,12 +43,26 @@ def default_n_buckets() -> int:
     return int(min(512, max(32, 3 * cpus)))
 
 
+def _hash_stable_dtype(s: pd.Series) -> pd.Series:
+    """Dtype-normalize a key column before hashing: a nullable int column
+    arrives as int64 in null-free batches but float64 (or Int64) where a
+    null forced an upcast — and pandas hashes 1 and 1.0 differently, so
+    the SAME key value would land in DIFFERENT buckets depending on which
+    batch (or side) it rode in.  Numeric keys therefore hash through
+    float64 (deterministic; a >2^53 collision only co-locates, never
+    splits, and merges always compare true values)."""
+    if pd.api.types.is_bool_dtype(s) or pd.api.types.is_numeric_dtype(s):
+        return s.astype("float64")
+    return s
+
+
 def stable_bucket(keys: pd.Series | pd.DataFrame, n_buckets: int) -> np.ndarray:
     """Deterministic bucket ids from one or more key columns."""
     if isinstance(keys, pd.DataFrame):
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy()
+        norm = pd.DataFrame({c: _hash_stable_dtype(keys[c]) for c in keys.columns})
+        h = pd.util.hash_pandas_object(norm, index=False).to_numpy()
     else:
-        h = pd.util.hash_array(keys.to_numpy(), categorize=False)
+        h = pd.util.hash_array(_hash_stable_dtype(keys).to_numpy(), categorize=False)
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
