@@ -2891,6 +2891,29 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def orders_global_rank(sf_dir: str) -> pd.DataFrame:
+    """Global ORDER BY / ROW_NUMBER without a single-node sort: the
+    range-partitioned distributed sort (stages/sort.global_rank — sample
+    boundaries, exact pre-counted prefix offsets, per-range reducers emit
+    final ranks in one shuffle)."""
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_rank(
+        ds, order_by=["o_totalprice", "o_orderkey"], ascending=[False, True], out="rank", n_parts=16
+    ).to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    out["o_totalprice"] = _r2(out["o_totalprice"])
+    return out.sort_values("rank").reset_index(drop=True)[["o_orderkey", "o_totalprice", "rank"]]
+
+
+_GLOBAL_RANK_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering (round 3)
 # ---------------------------------------------------------------------------
@@ -3059,6 +3082,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "brand_status_grid": (brand_status_grid, _CROSS_JOIN_SQL),
     "filter_documents_quality": (filter_documents_quality, _QUALITY_FILTER_SQL),
     "customer_name_ids": (customer_name_ids, _NAME_IDS_SQL),
+    "orders_global_rank": (orders_global_rank, _GLOBAL_RANK_SQL),
     "events_value_histogram": (events_value_histogram, _VALUE_HIST_SQL),
     "distinct_users_by_type": (distinct_users_by_type, _DISTINCT_USERS_SQL),
     "coerce_events_props": (coerce_events_props,

@@ -260,3 +260,65 @@ def test_bucketed_join_null_spray_preserves_semantics():
         np.testing.assert_array_equal(
             got["lv"].astype("float64").to_numpy(), want["lv"].astype("float64").to_numpy(), err_msg=how
         )
+
+
+# ---------------------------------------------------------------------------
+# distributed global sort / rank
+# ---------------------------------------------------------------------------
+
+def test_global_rank_matches_pandas_with_heavy_duplicates():
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    # heavy duplication on the range column (the tie-spanning-boundary case)
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 25, n).astype(np.float64),
+            "id": rng.permutation(n).astype(np.int64),
+        }
+    )
+    got = (
+        global_rank(ray.data.from_pandas(df), ["v", "id"], out="rank", n_parts=8)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["v", "id"], ignore_index=True)
+    assert got["rank"].tolist() == list(range(1, n + 1))
+    np.testing.assert_array_equal(got["v"].to_numpy(), want["v"].to_numpy())
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+
+
+def test_global_rank_descending():
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"v": rng.random(500), "id": np.arange(500, dtype=np.int64)})
+    got = (
+        global_rank(ray.data.from_pandas(df), ["v", "id"], ascending=[False, True], n_parts=6)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["v", "id"], ascending=[False, True], ignore_index=True)
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+
+
+def test_global_rank_string_keys():
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    rng = np.random.default_rng(19)
+    words = np.array(["ant", "bee", "cat", "dog", "eel", "fox"])
+    df = pd.DataFrame(
+        {"w": words[rng.integers(0, len(words), 300)], "id": np.arange(300, dtype=np.int64)}
+    )
+    got = (
+        global_rank(ray.data.from_pandas(df), ["w", "id"], n_parts=4)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    want = df.sort_values(["w", "id"], ignore_index=True)
+    np.testing.assert_array_equal(got["w"].to_numpy(), want["w"].to_numpy())
+    np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
