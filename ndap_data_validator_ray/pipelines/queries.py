@@ -2914,6 +2914,68 @@ FROM orders ORDER BY rank
 """
 
 
+def part_attrs_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT (wide -> long), the inverse of the crosstab: per-batch
+    vectorized melt — a pure row-expanding map, no shuffle."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.astype({"p_size": np.float64})
+        out = batch.melt(
+            id_vars=["p_partkey"],
+            value_vars=["p_size", "p_retailprice"],
+            var_name="attr",
+            value_name="val",
+        )
+        out["val"] = _r2(out["val"])
+        return out
+
+    return (
+        _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["p_partkey", "attr"])
+        .reset_index(drop=True)
+    )
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, 'p_size' AS attr, ROUND(CAST(p_size AS DOUBLE), 2) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS attr, ROUND(p_retailprice, 2) AS val FROM part
+ORDER BY p_partkey, attr
+"""
+
+
+def pack_documents_bins(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing (training-batch assembly): documents packed into
+    2048-char bins by best-fit-decreasing inside hash buckets
+    (stages/packing.py — only (id, size) metadata moves).  Engine-defined
+    bin ids, so rows-only; the capacity/determinism contract is pinned by
+    tests."""
+    from ndap_data_validator_ray.stages.packing import pack_bins
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = pack_bins(ds, "doc_id", "n_chars", capacity=2048, n_buckets=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_chars", "bin_id", "overflow"]
+    ]
+
+
+def containment_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """Containment detection (doc-inside-doc duplication that symmetric
+    near-dup misses): winnowed rolling-hash fingerprints, fp-bucketed pair
+    counting (stages/dedup_near.containment_pairs).  Engine-defined
+    fingerprints — rows-only; planted-substring recall pinned by tests."""
+    from ndap_data_validator_ray.stages.dedup_near import containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats: dict = {}
+    # k=12-char grams: this corpus's vocabulary is tiny, so shorter grams
+    # collide across unrelated docs (k=8 yields ~8k noise pairs; k=12 ~30)
+    out = containment_pairs(ds, "text", "doc_id", k=12, window=16, min_shared=6, stats=stats)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering (round 3)
 # ---------------------------------------------------------------------------
@@ -3083,6 +3145,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "filter_documents_quality": (filter_documents_quality, _QUALITY_FILTER_SQL),
     "customer_name_ids": (customer_name_ids, _NAME_IDS_SQL),
     "orders_global_rank": (orders_global_rank, _GLOBAL_RANK_SQL),
+    "part_attrs_unpivot": (part_attrs_unpivot, _UNPIVOT_SQL),
+    "pack_documents_bins": (pack_documents_bins, None),
+    "containment_pairs_documents": (containment_pairs_documents, None),
     "events_value_histogram": (events_value_histogram, _VALUE_HIST_SQL),
     "distinct_users_by_type": (distinct_users_by_type, _DISTINCT_USERS_SQL),
     "coerce_events_props": (coerce_events_props,

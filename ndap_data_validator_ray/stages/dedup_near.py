@@ -432,3 +432,97 @@ def exact_jaccard_pairs(
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _winnow(hv: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al. '03, the MOSS
+    scheme): the distinct minima of every ``window``-length run of rolling
+    hashes.  Guarantees any shared substring of length >= k + window - 1
+    contributes at least one IDENTICAL selected fingerprint to both docs."""
+    if len(hv) >= window:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        return np.unique(sliding_window_view(hv, window).min(axis=1))
+    return np.unique(hv) if len(hv) else hv
+
+
+def containment_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 4,
+    fp_group_cap: int = 64,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """Containment / substring-overlap detection (doc B copied inside doc
+    A — a case symmetric-Jaccard near-dup misses when |A| >> |B|):
+    winnowed rolling-hash fingerprints per doc, exploded to slim
+    ``(fp, doc_id)`` rows, hash-shuffled by fingerprint; each fp group
+    emits its doc pairs, and pairs sharing >= ``min_shared`` selected
+    fingerprints survive.  Shuffle volume is O(docs x selected_fps) int64
+    pairs — text never moves.
+
+    A fingerprint shared by more than ``fp_group_cap`` docs (ubiquitous
+    boilerplate) is SKIPPED for pairing but counted in
+    ``stats["oversized_fp_groups"]`` — surfaced, never silent (repo
+    invariant), and a boilerplate fp that common carries no containment
+    signal anyway."""
+    from ndap_data_validator_ray.functions.text import rolling_fingerprints
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def fp_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            sel = _winnow(rolling_fingerprints(str(text), window=k), window)
+            if len(sel):
+                ids.append(np.full(len(sel), doc_id, dtype=np.int64))
+                fps.append(sel.astype(np.int64))
+        if not ids:
+            return pd.DataFrame({"fp": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"fp": np.concatenate(fps), id_col: np.concatenate(ids)})
+
+    def pair_partials(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, oversized = [], [], 0
+        for _fp, g in group.groupby("fp", sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > fp_group_cap:
+                oversized += 1
+                continue
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if out_a:
+            pairs = pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+            agg = pairs.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "shared"})
+        else:
+            agg = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                "id_b": pd.Series([], dtype=np.int64),
+                                "shared": pd.Series([], dtype=np.int64)})
+        agg["_oversized"] = np.int64(0)
+        if oversized:
+            # sentinel row carries the count even when the bucket emitted no
+            # pairs (shared=0 never clears min_shared, so it can't leak out)
+            agg = pd.concat(
+                [agg, pd.DataFrame({"id_a": [np.int64(-1)], "id_b": [np.int64(-1)],
+                                    "shared": [np.int64(0)], "_oversized": [np.int64(oversized)]})],
+                ignore_index=True,
+            )
+        return agg
+
+    parts = bucketed_groupby(
+        ds.map_batches(fp_batch, batch_format="pandas"), ["fp"], lambda b: b, pair_partials
+    ).to_pandas()
+    if stats is not None:
+        stats["oversized_fp_groups"] = int(parts["_oversized"].sum()) if len(parts) else 0
+    if parts.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "shared_fps": []})
+    out = parts.groupby(["id_a", "id_b"], as_index=False)["shared"].sum()
+    out = out[out["shared"] >= min_shared].rename(columns={"shared": "shared_fps"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True).astype(
+        {"id_a": np.int64, "id_b": np.int64, "shared_fps": np.int64}
+    )

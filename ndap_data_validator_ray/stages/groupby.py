@@ -53,6 +53,13 @@ def _hash_stable_dtype(s: pd.Series) -> pd.Series:
     splits, and merges always compare true values)."""
     if pd.api.types.is_bool_dtype(s) or pd.api.types.is_numeric_dtype(s):
         return s.astype("float64")
+    if s.dtype == object and s.isna().any():
+        # object nulls arrive as None in some batches and NaN in others,
+        # which hash differently — map both to one sentinel so the SQL
+        # NULL group co-locates (a real "\\0" key would merely share the
+        # bucket; the merge still groups it separately)
+        s = s.copy()
+        s[s.isna()] = "\0"
     return s
 
 
@@ -97,25 +104,29 @@ def bucketed_groupby(
 def sum_by_key(
     ds: "ray.data.Dataset", key_cols: list[str], value_cols: list[str], n_buckets: int = 64
 ) -> "ray.data.Dataset":
-    """Convenience: SUM(value_cols) GROUP BY key_cols, bucketed."""
+    """Convenience: SUM(value_cols) GROUP BY key_cols, bucketed.
+
+    SQL NULL-group semantics: null keys form ONE group (dropna=False;
+    pandas' default would silently drop them)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(key_cols, as_index=False)[value_cols].sum()
+        return batch.groupby(key_cols, as_index=False, dropna=False)[value_cols].sum()
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        return part.groupby(key_cols, as_index=False)[value_cols].sum()
+        return part.groupby(key_cols, as_index=False, dropna=False)[value_cols].sum()
 
     return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)
 
 
 def count_by_key(ds: "ray.data.Dataset", key_cols: list[str], n_buckets: int = 64, count_col: str = "cnt") -> "ray.data.Dataset":
-    """Convenience: COUNT(*) GROUP BY key_cols, bucketed."""
+    """Convenience: COUNT(*) GROUP BY key_cols, bucketed (null keys
+    form one group, as in SQL — see sum_by_key)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(key_cols, as_index=False).size()
+        g = batch.groupby(key_cols, as_index=False, dropna=False).size()
         return g.rename(columns={"size": count_col})
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        return part.groupby(key_cols, as_index=False)[count_col].sum()
+        return part.groupby(key_cols, as_index=False, dropna=False)[count_col].sum()
 
     return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)

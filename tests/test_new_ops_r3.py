@@ -322,3 +322,117 @@ def test_global_rank_string_keys():
     want = df.sort_values(["w", "id"], ignore_index=True)
     np.testing.assert_array_equal(got["w"].to_numpy(), want["w"].to_numpy())
     np.testing.assert_array_equal(got["id"].to_numpy(), want["id"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# SQL NULL-group semantics for bucketed groupbys
+# ---------------------------------------------------------------------------
+
+def test_count_by_key_keeps_null_group():
+    import duckdb
+
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": pd.array([1, 1, None, 2, None, None], dtype="Int64"),
+            "s": ["a", None, "a", None, "a", None],
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    # int key: SQL keeps NULL as one group
+    want = con.sql("SELECT k, COUNT(*) n FROM t GROUP BY k ORDER BY k NULLS LAST").df()
+    got = (
+        count_by_key(ray.data.from_pandas(df), ["k"], n_buckets=4, count_col="n")
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        got["n"].astype("int64").to_numpy(), want["n"].astype("int64").to_numpy()
+    )
+    # string key: None/NaN both collapse into ONE null group across batches
+    want_s = con.sql("SELECT s, COUNT(*) n FROM t GROUP BY s ORDER BY s NULLS LAST").df()
+    got_s = (
+        count_by_key(ray.data.from_pandas(df), ["s"], n_buckets=4, count_col="n")
+        .to_pandas()
+        .sort_values("s", na_position="last")
+        .reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(
+        got_s["n"].astype("int64").to_numpy(), want_s["n"].astype("int64").to_numpy()
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_bins_capacity_and_determinism():
+    from ndap_data_validator_ray.stages.packing import pack_bins
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "sz": rng.integers(10, 900, 500).astype(np.int64),
+        }
+    )
+    # plant one oversized item
+    df.loc[7, "sz"] = 5000
+    got = pack_bins(ray.data.from_pandas(df), "doc_id", "sz", capacity=1024, n_buckets=4).to_pandas()
+    assert len(got) == 500 and got["doc_id"].is_unique
+    fill = got[got["overflow"] == 0].groupby("bin_id")["sz"].sum()
+    assert (fill <= 1024).all()
+    over = got[got["overflow"] == 1]
+    assert over["doc_id"].tolist() == [7]
+    # oversized item owns its bin
+    assert (got["bin_id"] == over["bin_id"].iloc[0]).sum() == 1
+    # deterministic across runs
+    again = pack_bins(ray.data.from_pandas(df), "doc_id", "sz", capacity=1024, n_buckets=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+    # packing is reasonably tight: used bins within 1.5x of the lower bound
+    lower = int(np.ceil(df.loc[df["sz"] <= 1024, "sz"].sum() / 1024))
+    used = got.loc[got["overflow"] == 0, "bin_id"].nunique()
+    assert used <= 1.5 * lower + 4  # +4: one partial bin per bucket
+
+
+# ---------------------------------------------------------------------------
+# containment detection (winnowed fingerprints)
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_finds_planted_substring():
+    from ndap_data_validator_ray.stages.dedup_near import containment_pairs
+
+    rng = np.random.default_rng(29)
+    words = np.array(["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+                      "golf", "hotel", "india", "juliet"])
+    docs = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    # doc 40 is a verbatim chunk of doc 0 (containment, not symmetric dup)
+    docs.append(docs[0][50:260])
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    )
+    stats = {}
+    out = containment_pairs(ds, "text", "doc_id", k=8, window=16, min_shared=4, stats=stats)
+    assert "oversized_fp_groups" in stats
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 40) in pairs
+
+
+def test_containment_pairs_oversized_groups_surfaced():
+    from ndap_data_validator_ray.stages.dedup_near import containment_pairs
+
+    # 80 identical docs -> every fingerprint group exceeds the cap of 8
+    docs = ["the same boilerplate text repeated verbatim everywhere again"] * 80
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": docs})
+    )
+    stats = {}
+    out = containment_pairs(ds, "text", "doc_id", min_shared=1, fp_group_cap=8, stats=stats)
+    assert stats["oversized_fp_groups"] > 0  # never silent
+    assert len(out) == 0
