@@ -1094,7 +1094,12 @@ def revenue_by_priority_join(sf_dir: str) -> pd.DataFrame:
         rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
 
-    fact = sum_by_key(li.map_batches(revenue, batch_format="pyarrow"), ["o_orderkey"], ["revenue"])
+    # materialize: the aggregated fact is one row per key (small), and the
+    # join would otherwise execute the whole combiner twice (schema pass +
+    # shuffle pass — see bucketed_join's performance contract)
+    fact = sum_by_key(
+        li.map_batches(revenue, batch_format="pyarrow"), ["o_orderkey"], ["revenue"]
+    ).materialize()
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
 
@@ -2234,8 +2239,10 @@ def user_customer_full_outer(sf_dir: str) -> pd.DataFrame:
     cu = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
         lambda b: pa.table({"k": b["o_custkey"]}), batch_format="pyarrow"
     )
-    left = count_by_key(ev, ["k"], count_col="n_events")
-    right = count_by_key(cu, ["k"], count_col="n_orders")
+    # both sides are aggregates (one row per key): materialize so the
+    # outer join's schema pass doesn't execute each combiner twice
+    left = count_by_key(ev, ["k"], count_col="n_events").materialize()
+    right = count_by_key(cu, ["k"], count_col="n_orders").materialize()
     out = bucketed_join(left, right, on=["k"], how="outer").to_pandas()
     out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
     out["n_orders"] = out["n_orders"].fillna(0).astype(np.int64)
@@ -2342,7 +2349,11 @@ def tpch_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         )
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    fact = sum_by_key(li.map_batches(li_revenue, batch_format="pandas"), ["o_orderkey"], ["revenue"])
+    # materialized: one row per qualifying order; avoids the double
+    # execution bucketed_join's schema pass would otherwise trigger
+    fact = sum_by_key(
+        li.map_batches(li_revenue, batch_format="pandas"), ["o_orderkey"], ["revenue"]
+    ).materialize()
     joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:

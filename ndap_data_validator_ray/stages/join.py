@@ -75,6 +75,14 @@ def bucketed_join(
     pass through unmatched (null-padded) on the preserved side(s) of
     left/right/outer.
 
+    Performance contract: the stage reads each side's schema up front, and
+    ``Dataset.schema()`` on a pipeline that ends in a shuffle (bucketed
+    aggregation, map_groups) EXECUTES that pipeline once just for the
+    schema — the join's own run then executes it again.  Callers joining a
+    computed/aggregated side should ``.materialize()`` it first (measured
+    9.2s -> 3.3s on the sf0.1 fact join); plain reads and map_batches
+    chains are fine as-is (schema needs one block).
+
     Skew (BASELINE.json "salted keys to tame skew"): pass ``hot_keys``
     (e.g. from ``detect_hot_keys``) and a hot LEFT key's rows are sprayed
     across ``salt`` consecutive buckets while the matching RIGHT rows are
