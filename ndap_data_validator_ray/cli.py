@@ -3,6 +3,7 @@
     python -m ndap_data_validator_ray.cli synth    --out DIR --rows N [...]
     python -m ndap_data_validator_ray.cli validate --data DIR --out DIR [...]
     python -m ndap_data_validator_ray.cli baseline --data DIR --out FILE
+    python -m ndap_data_validator_ray.cli query    NAME --sf-dir DIR [--out F]
 
 On a real cluster each subcommand is launched with
 ``ray job submit -- python -m ndap_data_validator_ray.cli ...`` and
@@ -66,6 +67,16 @@ def main(argv: list[str] | None = None) -> int:
     bp.add_argument("--out", required=True)
     bp.add_argument("--num-cpus", type=int, default=None)
 
+    qp = sub.add_parser("query", help="run a registry query over a tables directory")
+    qp.add_argument("name", nargs="?", default=None,
+                    help="query name (omit with --list to enumerate)")
+    qp.add_argument("--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+                    help="directory of {region,nation,...}.parquet tables")
+    qp.add_argument("--out", default=None, help="write result parquet here instead of stdout")
+    qp.add_argument("--limit", type=int, default=20, help="stdout preview rows")
+    qp.add_argument("--list", action="store_true", help="list available queries")
+    qp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(getattr(args, "num_cpus", None))
 
@@ -110,6 +121,36 @@ def main(argv: list[str] | None = None) -> int:
 
         save_clean_baseline(args.data, args.out)
         print(json.dumps({"baseline": args.out}))
+    elif args.cmd == "query":
+        from ndap_data_validator_ray.pipelines.queries import REGISTRY
+
+        if args.list or args.name is None:
+            for name, (_fn, sql) in sorted(REGISTRY.items()):
+                print(f"{name}\t{'oracle' if sql else 'rows-only'}")
+            import ray
+
+            ray.shutdown()
+            return 0
+        if args.name not in REGISTRY:
+            print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+            return 2
+        fn, _sql = REGISTRY[args.name]
+        result = fn(args.sf_dir)
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            result = result.to_pandas()
+        elif not isinstance(result, pd.DataFrame):  # a Dataset
+            result = result.to_pandas()
+        if args.out:
+            result.to_parquet(args.out, index=False)
+            print(json.dumps({"query": args.name, "rows": int(len(result)), "out": args.out}))
+        else:
+            print(json.dumps({"query": args.name, "rows": int(len(result)),
+                              "columns": list(map(str, result.columns))}))
+            with pd.option_context("display.width", 200, "display.max_columns", 50):
+                print(result.head(args.limit).to_string(index=False))
 
     import ray
 

@@ -61,3 +61,30 @@ def test_cli_missing_data_dir_fails_cleanly(tmp_path):
     )
     assert out.returncode == 2
     assert "not found" in out.stderr
+
+
+def test_cli_query_subcommand(tmp_path):
+    # --list needs no data
+    out = subprocess.run(
+        [sys.executable, "-m", "ndap_data_validator_ray.cli", "query", "--list"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert out.returncode == 0
+    lines = [l for l in out.stdout.splitlines() if "\t" in l]
+    assert any(l.startswith("tpch_q1\toracle") for l in lines)
+    assert len(lines) >= 80
+
+    # run one query to parquet
+    dest = str(tmp_path / "q.parquet")
+    r = _run(["query", "orders_priority_stats", "--sf-dir", "/root/testdata/sf0.001",
+              "--out", dest, "--num-cpus", "4"])
+    assert r["rows"] > 0 and os.path.isfile(dest)
+
+    # unknown name fails cleanly
+    bad = subprocess.run(
+        [sys.executable, "-m", "ndap_data_validator_ray.cli", "query", "nope"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert bad.returncode == 2 and "unknown query" in bad.stderr
