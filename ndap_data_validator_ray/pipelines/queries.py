@@ -3064,6 +3064,134 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data curation: decontamination and mixture sampling
+# ---------------------------------------------------------------------------
+
+def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
+    """Benchmark n-gram decontamination (the GPT-3-style eval-leak filter):
+    docs with ``doc_id % 17 == 0`` act as the held-out benchmark set; the
+    output lists every corpus doc sharing ≥1 word-3-gram with it, with the
+    count of distinct overlapping grams.  Benchmark grams are collected
+    once and broadcast (``ray.put`` → actor ``__init__``); the corpus
+    streams through one map_batches with no shuffle
+    (stages/decontaminate.py)."""
+    from ndap_data_validator_ray.stages.decontaminate import benchmark_overlap
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 17 == 0)), batch_format="pyarrow"
+    )
+    corpus = docs.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 17 != 0)), batch_format="pyarrow"
+    )
+    out = benchmark_overlap(corpus, bench, "text", "doc_id", n=3, concurrency=(2, 8)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DECONTAM_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      ELSE [array_to_string(ws, ' ')] END AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0
+), corpus AS (
+  SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 17 <> 0
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM corpus c JOIN bench b ON c.gram = b.gram
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
+_KNUTH32 = 2654435761  # Knuth multiplicative hash; exact in int64 SQL arithmetic
+
+
+def mixture_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-source mixture sampling (training-data mixing):
+    source ``srcK`` is kept at rate ``((K % 4) + 1) / 8`` by a stable
+    multiplicative key hash — pure streaming filter, no shuffle, no RNG
+    state, identical rows on rerun/resume (same property as
+    ``stratified_sample_orders`` but with per-group rates).  Thresholds
+    are exact 32-bit integers so SQL and numpy agree bit-for-bit."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH32)) % np.uint64(1 << 32)
+        srcnum = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 32), pa.int64()).to_numpy()
+        thresh = ((srcnum % 4) + 1).astype(np.uint64) * np.uint64(1 << 29)
+        return batch.filter(pa.array(h < thresh))
+
+    out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_MIXTURE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * {_KNUTH32}) % 4294967296 <
+      ((CAST(substr(source, 4) AS BIGINT) % 4) + 1) * 536870912
+ORDER BY doc_id
+"""
+
+
+def tpch_q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape: distribution of customers by how many
+    non-URGENT orders they placed (zero included).  Composition stress:
+    filtered bucketed count-per-custkey → LEFT bucketed join onto the
+    customer keys (aggregated side materialized per the schema-probe
+    invariant) → tiny final distribution fold via per-batch value_counts
+    partials merged on the driver."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    filtered = orders.map_batches(
+        lambda t: t.filter(pc.not_equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("o_custkey", as_index=False).size().rename(columns={"size": "c_count"})
+        g["c_count"] = g["c_count"].astype(np.int64)
+        return g.rename(columns={"o_custkey": "c_custkey"})
+
+    def count_merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby("c_custkey", as_index=False)["c_count"].sum()
+
+    counts = bucketed_groupby(
+        filtered, ["c_custkey"], count_partial, count_merge, n_buckets=16
+    ).materialize()
+    customers = _read(sf_dir, "customer", columns=["c_custkey"])
+    joined = bucketed_join(customers, counts, on=["c_custkey"], how="left", n_buckets=16)
+
+    def dist_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["c_count"].fillna(0).astype(np.int64).value_counts()
+        return pd.DataFrame(
+            {"c_count": vc.index.to_numpy(np.int64), "custdist": vc.to_numpy(np.int64)}
+        )
+
+    parts = joined.map_batches(dist_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out.sort_values(["custdist", "c_count"], ascending=False).reset_index(drop=True)
+
+
+_TPCH_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3141,6 +3269,9 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "user_customer_full_outer": (user_customer_full_outer, _FULL_OUTER_SQL),
     "event_users_customers_setops": (event_users_customers_setops, _SETOPS_SQL),
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _TPCH_Q3_SQL),
+    "tpch_q13_customer_distribution": (tpch_q13_customer_distribution, _TPCH_Q13_SQL),
+    "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
+    "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
     "monthly_revenue_trend": (monthly_revenue_trend, _MONTHLY_SQL),
     "mode_priority_by_status": (mode_priority_by_status, _MODE_SQL),

@@ -436,3 +436,61 @@ def test_containment_pairs_oversized_groups_surfaced():
     out = containment_pairs(ds, "text", "doc_id", min_shared=1, fp_group_cap=8, stats=stats)
     assert stats["oversized_fp_groups"] > 0  # never silent
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# decontamination (broadcast benchmark n-gram filter)
+# ---------------------------------------------------------------------------
+
+def _decontam_fixture():
+    rng = np.random.default_rng(41)
+    # vocabulary large enough that chance trigram overlap is improbable —
+    # only the PLANTED spans should contaminate
+    words = np.array([f"w{i:03d}" for i in range(400)])
+    corpus = [" ".join(rng.choice(words, 40)) for _ in range(30)]
+    bench = [" ".join(rng.choice(words, 25)) for _ in range(5)]
+    # plant leaks: corpus docs 3 and 7 embed a verbatim benchmark span
+    corpus[3] = corpus[3] + " " + " ".join(bench[0].split()[5:15])
+    corpus[7] = " ".join(bench[2].split()[0:12]) + " " + corpus[7]
+    corpus_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": corpus})
+    )
+    bench_ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(100, 105, dtype=np.int64), "text": bench})
+    )
+    return corpus, bench, corpus_ds, bench_ds
+
+
+def test_benchmark_overlap_finds_planted_leaks():
+    from ndap_data_validator_ray.functions.hashing import word_ngrams
+    from ndap_data_validator_ray.stages.decontaminate import benchmark_overlap
+
+    corpus, bench, corpus_ds, bench_ds = _decontam_fixture()
+    got = benchmark_overlap(corpus_ds, bench_ds, "text", "doc_id", n=3).to_pandas()
+    got = got.set_index("doc_id")["n_overlap"]
+
+    # exact single-process twin
+    bgrams = set()
+    for t in bench:
+        bgrams |= word_ngrams(t, 3)
+    want = {i: len(word_ngrams(t, 3) & bgrams) for i, t in enumerate(corpus)
+            if word_ngrams(t, 3) & bgrams}
+    assert dict(got) == want
+    assert 3 in want and 7 in want  # the planted leaks are found
+
+
+def test_decontaminate_removes_only_leaked_docs():
+    from ndap_data_validator_ray.functions.hashing import word_ngrams
+    from ndap_data_validator_ray.stages.decontaminate import decontaminate
+
+    corpus, bench, corpus_ds, bench_ds = _decontam_fixture()
+    clean = decontaminate(corpus_ds, bench_ds, "text", "doc_id", n=3).to_pandas()
+    bgrams = set()
+    for t in bench:
+        bgrams |= word_ngrams(t, 3)
+    want_ids = [i for i, t in enumerate(corpus) if not (word_ngrams(t, 3) & bgrams)]
+    assert sorted(clean["doc_id"]) == want_ids
+    # pass-through keeps all original columns and exact text
+    kept = clean.sort_values("doc_id").reset_index(drop=True)
+    assert list(kept.columns) == ["doc_id", "text"]
+    assert all(kept["text"].to_numpy() == np.array(corpus, dtype=object)[want_ids])
