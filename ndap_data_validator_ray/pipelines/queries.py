@@ -2378,6 +2378,94 @@ ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10
 """
 
 
+def tpch_q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (six tables): region→nation resolved on the driver
+    (tiny), supplier and the nation-filtered customer map broadcast via
+    ``ray.put`` (dims never shuffle; at true dim-table scale the customer
+    side would swap to a second bucketed join — documented, not needed
+    for a dim), both fact scans PRUNE to ASIA rows before the single
+    orders⋈lineitem bucketed exchange, and the per-nation fold ships only
+    per-batch (nationkey, revenue) partials to the driver."""
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia_rk = region.loc[region["r_name"] == "ASIA", "r_regionkey"].to_numpy()
+    nat = nation[nation["n_regionkey"].isin(asia_rk)]
+    nkeys = nat["n_nationkey"].to_numpy()
+    name_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nkeys)].sort_values("s_suppkey")
+    sup_ref = ray.put((sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy()))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nkeys)].sort_values("c_custkey")
+    cust_ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
+
+    def orders_kept(batch: pd.DataFrame) -> pd.DataFrame:
+        ckeys, cnat = ray.get(cust_ref)
+        m = (batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)
+        kept = batch.loc[m]
+        pos = np.searchsorted(ckeys, kept["o_custkey"].to_numpy())
+        pos = np.clip(pos, 0, len(ckeys) - 1)
+        hit = ckeys[pos] == kept["o_custkey"].to_numpy()
+        return pd.DataFrame(
+            {"o_orderkey": kept["o_orderkey"].to_numpy()[hit], "c_nationkey": cnat[pos[hit]]}
+        )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_kept, batch_format="pandas")
+
+    def li_kept(batch: pd.DataFrame) -> pd.DataFrame:
+        skeys, snat = ray.get(sup_ref)
+        lk = batch["l_suppkey"].to_numpy()
+        pos = np.clip(np.searchsorted(skeys, lk), 0, len(skeys) - 1)
+        hit = skeys[pos] == lk
+        part = pd.DataFrame(
+            {
+                "o_orderkey": batch["l_orderkey"].to_numpy()[hit],
+                "s_nationkey": snat[pos[hit]],
+                "revenue": (batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy()[hit],
+            }
+        )
+        # per-batch combiner before the exchange
+        return part.groupby(["o_orderkey", "s_nationkey"], as_index=False)["revenue"].sum()
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_kept, batch_format="pandas")
+
+    joined = bucketed_join(li, orders, on=["o_orderkey"], how="inner", n_buckets=16)
+
+    def nation_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch["c_nationkey"] == batch["s_nationkey"]]
+        return kept.groupby("s_nationkey", as_index=False)["revenue"].sum()
+
+    parts = joined.map_batches(nation_partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("s_nationkey", as_index=False)["revenue"].sum()
+    out["n_name"] = out["s_nationkey"].map(name_of)
+    out["revenue"] = _r2(out["revenue"])
+    return out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)[
+        ["n_name", "revenue"]
+    ]
+
+
+_TPCH_Q5_SQL = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Statistical aggregates / date functions / grouping sets (round 3)
 # ---------------------------------------------------------------------------
@@ -3270,6 +3358,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "event_users_customers_setops": (event_users_customers_setops, _SETOPS_SQL),
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _TPCH_Q3_SQL),
     "tpch_q13_customer_distribution": (tpch_q13_customer_distribution, _TPCH_Q13_SQL),
+    "tpch_q5_local_supplier_volume": (tpch_q5_local_supplier_volume, _TPCH_Q5_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
