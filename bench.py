@@ -125,6 +125,9 @@ _QUERY_NAMES = [
     "events_time_window_stats",
     "repetition_scores_documents",
     "centroid_assign_embeddings",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    "decontaminate_documents",
 ]
 
 

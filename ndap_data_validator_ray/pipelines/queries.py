@@ -2470,6 +2470,69 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 # Statistical aggregates / date functions / grouping sets (round 3)
 # ---------------------------------------------------------------------------
 
+def linreg_price_qty_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Per-group simple linear regression (extendedprice ~ quantity) from
+    the SAME mergeable one-pass moment partials as the corr op —
+    slope/intercept/r² finalized on the driver from six numbers per
+    group, never a second data pass (the distributed OLS building
+    block)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["l_quantity"].astype(np.float64)
+        y = batch["l_extendedprice"].astype(np.float64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "n": 1,
+                "sx": x,
+                "sxx": x * x,
+                "sy": y,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()
+    )
+    n = parts["n"].astype(np.float64)
+    ssxy = parts["sxy"] - parts["sx"] * parts["sy"] / n
+    ssxx = parts["sxx"] - parts["sx"] ** 2 / n
+    ssyy = parts["syy"] - parts["sy"] ** 2 / n
+    slope = ssxy / ssxx
+    out = pd.DataFrame(
+        {
+            "l_returnflag": parts["l_returnflag"],
+            "n": parts["n"].astype(np.int64),
+            "slope": _r6(slope),
+            "intercept": _r6((parts["sy"] - slope * parts["sx"]) / n),
+            "r2": _r6(ssxy * ssxy / (ssxx * ssyy)),
+        }
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_LINREG_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def price_qty_corr_by_flag(sf_dir: str) -> pd.DataFrame:
     """Second-moment statistics per group — stddev, sample covariance and
     Pearson correlation of (quantity, extendedprice) — from mergeable
@@ -3133,6 +3196,18 @@ SELECT vec_id, centroid_id FROM scored WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def bpe_merges_documents(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE vocabulary training (20 merges) over the documents
+    corpus — iterative broadcast + per-batch pre-aggregated pair-count
+    partials (stages/bpe.py).  Iterative and engine-defined, so
+    rows-only; block-order independence and an exact single-process twin
+    are pinned by tests."""
+    from ndap_data_validator_ray.stages.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, "text", n_merges=20)
+
+
 def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations, deterministic init
     = vec_id < 8): per-iteration broadcast centroids + per-batch partial
@@ -3359,6 +3434,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q3_shipping_priority": (tpch_q3_shipping_priority, _TPCH_Q3_SQL),
     "tpch_q13_customer_distribution": (tpch_q13_customer_distribution, _TPCH_Q13_SQL),
     "tpch_q5_local_supplier_volume": (tpch_q5_local_supplier_volume, _TPCH_Q5_SQL),
+    "linreg_price_qty_by_flag": (linreg_price_qty_by_flag, _LINREG_SQL),
+    "bpe_merges_documents": (bpe_merges_documents, None),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),

@@ -494,3 +494,86 @@ def test_decontaminate_removes_only_leaked_docs():
     kept = clean.sort_values("doc_id").reset_index(drop=True)
     assert list(kept.columns) == ["doc_id", "text"]
     assert all(kept["text"].to_numpy() == np.array(corpus, dtype=object)[want_ids])
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (iterative broadcast + pair-count partials)
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(texts, n_merges):
+    """Independent single-process BPE twin (Sennrich-style)."""
+    from collections import Counter
+
+    freqs = Counter()
+    for t in texts:
+        freqs.update(t.lower().split())
+    words = {w: list(w) for w in freqs}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for w, syms in words.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), c = best
+        if c < 2:
+            break
+        merges.append((rank, a, b, c))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+_BPE_CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the lazy dog sleeps while the quick fox runs",
+    "lower lowest newer newest wider widest",
+    "low low low lower lower newest newest newest newest",
+    "hugging the puggy bug snugly",
+]
+
+
+def test_bpe_train_matches_reference_twin():
+    from ndap_data_validator_ray.stages.bpe import bpe_train
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": _BPE_CORPUS}))
+    got = bpe_train(ds, "text", n_merges=12)
+    want = _bpe_reference(_BPE_CORPUS, 12)
+    assert list(map(tuple, got.to_records(index=False))) == want
+
+
+def test_bpe_train_block_order_independent():
+    from ndap_data_validator_ray.stages.bpe import bpe_train
+
+    df = pd.DataFrame({"text": _BPE_CORPUS})
+    one = bpe_train(ray.data.from_pandas(df), "text", n_merges=8)
+    # five single-row blocks in reversed order
+    many = bpe_train(
+        ray.data.from_pandas([df.iloc[[i]] for i in range(len(df) - 1, -1, -1)]),
+        "text",
+        n_merges=8,
+    )
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_bpe_encode_counts_tokens_under_merges():
+    from ndap_data_validator_ray.stages.bpe import apply_merges, bpe_encode, bpe_train
+
+    ds = ray.data.from_pandas(pd.DataFrame({"text": _BPE_CORPUS}))
+    merges = [(r[1], r[2]) for r in bpe_train(ds, "text", n_merges=10).itertuples(index=False)]
+    out = bpe_encode(ds, "text", merges).to_pandas().sort_index()
+    for t, n in zip(_BPE_CORPUS, out["n_bpe_tokens"]):
+        want = sum(len(apply_merges(w, merges)) for w in t.lower().split())
+        assert n == want
+        assert n < sum(len(w) for w in t.split())  # merges actually compress
