@@ -2378,6 +2378,34 @@ ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10
 """
 
 
+def fuzzy_part_names(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy entity resolution on part names: distinct-name pairs within
+    2 edits that share a blocking key (last name token) — blocked
+    Levenshtein with the vectorized pair-DP kernel, occurrence counts
+    from the bucketed two-phase aggregate (stages/fuzzy.py).  Blocking
+    is part of the op's semantics and is mirrored in the SQL twin."""
+    from ndap_data_validator_ray.stages.fuzzy import fuzzy_name_pairs
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+    out = fuzzy_name_pairs(ds, "p_name", max_dist=2)
+    return out
+
+
+_FUZZY_PART_SQL = """
+WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.cnt AS count_a, b.cnt AS count_b
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND string_split(a.p_name, ' ')[-1] = string_split(b.p_name, ' ')[-1]
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
 def tpch_q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape (six tables): region→nation resolved on the driver
     (tiny), supplier and the nation-filtered customer map broadcast via
@@ -3436,6 +3464,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q5_local_supplier_volume": (tpch_q5_local_supplier_volume, _TPCH_Q5_SQL),
     "linreg_price_qty_by_flag": (linreg_price_qty_by_flag, _LINREG_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
+    "fuzzy_part_names": (fuzzy_part_names, _FUZZY_PART_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),

@@ -577,3 +577,78 @@ def test_bpe_encode_counts_tokens_under_merges():
         want = sum(len(apply_merges(w, merges)) for w in t.lower().split())
         assert n == want
         assert n < sum(len(w) for w in t.split())  # merges actually compress
+
+
+# ---------------------------------------------------------------------------
+# vectorized Levenshtein + fuzzy entity resolution
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
+    return dp[len(b)]
+
+
+def test_levenshtein_batch_matches_scalar_dp():
+    from ndap_data_validator_ray.functions.strdist import levenshtein_batch
+
+    rng = np.random.default_rng(13)
+    alpha = list("abcde")
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("same", "same")]
+    pairs += [
+        ("".join(rng.choice(alpha, rng.integers(0, 12))),
+         "".join(rng.choice(alpha, rng.integers(0, 12))))
+        for _ in range(200)
+    ]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = levenshtein_batch(a, b)
+    want = np.array([_lev_ref(x, y) for x, y in pairs], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fuzzy_name_pairs_blocked_exact():
+    import duckdb
+
+    from ndap_data_validator_ray.stages.fuzzy import fuzzy_name_pairs
+
+    df = pd.DataFrame({"nm": [
+        "cold widget", "gold widget", "cold widget", "bold widget",
+        "large bolt", "small bolt", "large bolt", "blue rod",
+        "glue rod", "lone name",
+    ]})
+    stats = {}
+    got = fuzzy_name_pairs(ray.data.from_pandas(df), "nm", max_dist=2, stats=stats)
+    assert stats["oversized_blocks"] == 0
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql("""
+        WITH names AS (SELECT nm, CAST(COUNT(*) AS BIGINT) cnt FROM t GROUP BY nm)
+        SELECT a.nm name_a, b.nm name_b,
+               CAST(levenshtein(a.nm, b.nm) AS BIGINT) dist,
+               a.cnt count_a, b.cnt count_b
+        FROM names a JOIN names b ON a.nm < b.nm
+         AND string_split(a.nm,' ')[-1] = string_split(b.nm,' ')[-1]
+        WHERE levenshtein(a.nm, b.nm) <= 2 ORDER BY name_a, name_b
+    """).df()
+    want["dist"] = want["dist"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["dist"].dtype == np.int64 and got["count_a"].dtype == np.int64
+    # sanity: cross-block pair (bolt vs widget) never emitted even if close
+    assert not ((got["name_a"] == "large bolt") & (got["name_b"].str.contains("widget"))).any()
+
+
+def test_fuzzy_name_pairs_oversized_block_surfaced():
+    from ndap_data_validator_ray.stages.fuzzy import fuzzy_name_pairs
+
+    # 30 names, all one block ("zz") -> over cap of 10: skipped but COUNTED
+    df = pd.DataFrame({"nm": [f"name{i:02d} zz" for i in range(30)]})
+    stats = {}
+    got = fuzzy_name_pairs(ray.data.from_pandas(df), "nm", max_dist=2,
+                           block_cap=10, stats=stats)
+    assert stats["oversized_blocks"] == 1
+    assert len(got) == 0
