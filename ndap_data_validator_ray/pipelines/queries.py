@@ -2561,6 +2561,71 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def outlier_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Per-group z-score outlier detection (o_totalprice vs its
+    o_orderpriority group): pass 1 folds tiny per-group moment partials
+    (n, Σx, Σx²) to the driver, pass 2 re-streams the table with the
+    5-row (mean, std) table broadcast in the batch closure and emits
+    only rows with |z| > 1.5 — the canonical two-pass anomaly scan (no
+    shuffle of row data; threshold 1.5 because the fixture's uniform
+    price distribution has no 3-sigma tail, max |z| ~ 1.8)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def moment_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["o_totalprice"].astype(np.float64)
+        g = pd.DataFrame(
+            {"o_orderpriority": batch["o_orderpriority"], "n": 1, "sx": x, "sxx": x * x}
+        )
+        return g.groupby("o_orderpriority", as_index=False).sum()
+
+    parts = (
+        ds.map_batches(moment_partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx")
+        )
+        .to_pandas()
+    )
+    n = parts["n"].astype(np.float64)
+    mean = parts["sx"] / n
+    # sample stddev to match SQL stddev_samp
+    std = np.sqrt((parts["sxx"] - parts["sx"] ** 2 / n) / (n - 1))
+    stats_ref = ray.put(
+        {p: (m, s) for p, m, s in zip(parts["o_orderpriority"], mean, std)}
+    )
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        stats = ray.get(stats_ref)
+        ms = batch["o_orderpriority"].map({k: v[0] for k, v in stats.items()})
+        ss = batch["o_orderpriority"].map({k: v[1] for k, v in stats.items()})
+        z = (batch["o_totalprice"].astype(np.float64) - ms) / ss
+        m = (np.abs(z) > 1.5).to_numpy()
+        kept = batch.loc[m, ["o_orderkey", "o_orderpriority", "o_totalprice"]]
+        kept = kept.assign(z=_r6(z[m]))
+        return kept.astype(
+            {"o_orderkey": np.int64, "o_orderpriority": object,
+             "o_totalprice": np.float64, "z": np.float64}
+        )
+
+    out = ds.map_batches(flag, batch_format="pandas").to_pandas()
+    out["o_totalprice"] = _r2(out["o_totalprice"])
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_OUTLIER_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS p, AVG(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS o_totalprice,
+       ROUND((o_totalprice - s.m) / s.sd, 6) AS z
+FROM orders JOIN s ON o_orderpriority = s.p
+WHERE ABS((o_totalprice - s.m) / s.sd) > 1.5
+ORDER BY o_orderkey
+"""
+
+
 def price_qty_corr_by_flag(sf_dir: str) -> pd.DataFrame:
     """Second-moment statistics per group — stddev, sample covariance and
     Pearson correlation of (quantity, extendedprice) — from mergeable
@@ -3465,6 +3530,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "linreg_price_qty_by_flag": (linreg_price_qty_by_flag, _LINREG_SQL),
     "bpe_merges_documents": (bpe_merges_documents, None),
     "fuzzy_part_names": (fuzzy_part_names, _FUZZY_PART_SQL),
+    "outlier_orders_by_priority": (outlier_orders_by_priority, _OUTLIER_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
