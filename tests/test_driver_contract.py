@@ -32,7 +32,7 @@ def test_entry_module_contract():
             name.startswith(p)
             for p in ("clips_", "fingerprints", "minhash", "simhash", "ngram_jaccard_documents",
                       "knn_embeddings_", "embedding_near", "image_", "video_", "infer_roles",
-                      "role_validation", "kmeans_", "pack_", "containment_")
+                      "role_validation", "kmeans_", "pack_", "containment_", "bpe_")
         ), f"unexpected rows-only query {name!r}"
 
 
