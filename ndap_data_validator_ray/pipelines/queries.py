@@ -3447,6 +3447,106 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 """
 
 
+def curation_funnel_documents(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END curation funnel — the composed keep/drop decision of a
+    training-data pipeline, one flag column per stage: quality filter
+    (length + repetition thresholds, same semantics as
+    ``filter_documents_quality``), exact prefix-40 dedup among quality
+    survivors (keep lowest doc_id), and benchmark decontamination (same
+    gram rule as ``decontaminate_documents``).  One streaming pass
+    computes the per-doc quality + contamination flags (bench grams
+    broadcast once), ONE bucketed exchange on the dedup prefix resolves
+    group minima — three stages, one shuffle."""
+    from ndap_data_validator_ray.functions.hashing import word_ngrams
+    from ndap_data_validator_ray.functions.text import repetition_stats
+    from ndap_data_validator_ray.stages.decontaminate import collect_gram_set
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 17 == 0)), batch_format="pyarrow"
+    )
+    grams_ref = collect_gram_set(bench, "text", 3)
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["doc_id"] % 17 != 0]
+        grams = ray.get(grams_ref)
+        st = repetition_stats(batch["text"])
+        q = (
+            (st["n_tokens"].to_numpy() >= 20) & (st["top_token_frac"].to_numpy() <= 0.13)
+        ).astype(np.int64)
+        c = np.fromiter(
+            (len(word_ngrams(t or "", 3) & grams) == 0 for t in batch["text"]),
+            dtype=np.int64,
+            count=len(batch),
+        )
+        return pd.DataFrame(
+            {
+                "prefix": batch["text"].str.slice(0, 40).to_numpy(),
+                "doc_id": batch["doc_id"].to_numpy(),
+                "q": q,
+                "c": c,
+            }
+        )
+
+    def dedup_merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.reset_index(drop=True)
+        qmask = part["q"] == 1
+        mins = part.loc[qmask].groupby("prefix")["doc_id"].min()
+        min_for_row = part["prefix"].map(mins)
+        d = (qmask & (part["doc_id"] == min_for_row)).astype(np.int64)
+        out = part[["doc_id", "q", "c"]].copy()
+        out["d"] = d.to_numpy()
+        return out
+
+    flagged = bucketed_groupby(
+        docs.map_batches(flags, batch_format="pandas"), ["prefix"], lambda b: b, dedup_merge,
+        n_buckets=16,
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "doc_id": flagged["doc_id"].astype(np.int64),
+            "quality_keep": flagged["q"].astype(np.int64),
+            "dedup_keep": (flagged["q"] * flagged["d"]).astype(np.int64),
+            "final_keep": (flagged["q"] * flagged["d"] * flagged["c"]).astype(np.int64),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_CURATION_FUNNEL_SQL = """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM corpus),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+q AS (SELECT co.doc_id, co.text,
+        CASE WHEN COALESCE(n_tokens, 0) >= 20
+              AND COALESCE(CAST(mx AS DOUBLE) / n_tokens, 0.0) <= 0.13 THEN 1 ELSE 0 END AS q
+      FROM corpus co LEFT JOIN agg USING (doc_id)),
+ded AS (SELECT doc_id, q, text,
+        CASE WHEN q = 1 AND doc_id = MIN(CASE WHEN q = 1 THEN doc_id END)
+                  OVER (PARTITION BY substr(text, 1, 40)) THEN 1 ELSE 0 END AS d
+        FROM q),
+allg AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+grams AS (SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      ELSE [array_to_string(ws, ' ')] END AS g
+  FROM allg),
+bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 17 <> 0) c
+  JOIN bgrams b ON c.gram = b.gram)
+SELECT ded.doc_id,
+       CAST(q AS BIGINT) AS quality_keep,
+       CAST(q * d AS BIGINT) AS dedup_keep,
+       CAST(q * d * (CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS final_keep
+FROM ded LEFT JOIN contaminated ct ON ded.doc_id = ct.doc_id
+ORDER BY ded.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3531,6 +3631,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bpe_merges_documents": (bpe_merges_documents, None),
     "fuzzy_part_names": (fuzzy_part_names, _FUZZY_PART_SQL),
     "outlier_orders_by_priority": (outlier_orders_by_priority, _OUTLIER_SQL),
+    "curation_funnel_documents": (curation_funnel_documents, _CURATION_FUNNEL_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
