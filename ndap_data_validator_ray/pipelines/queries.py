@@ -2378,6 +2378,64 @@ ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_orderkey LIMIT 10
 """
 
 
+def tpch_q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (scalar subquery + anti join): customers with an
+    account balance above the positive-balance average who never placed
+    an URGENT order, counted per market segment (plain no-orders is
+    vacuous on this fixture — every customer has orders).  The scalar
+    average folds from streaming (sum, n) partials; the threshold rides
+    the batch closure (broadcast scalar); the no-urgent-orders predicate
+    is the Bloom-prefiltered bucketed anti join with a NON-EMPTY verify
+    leg; the final per-segment fold is a tiny aggregate."""
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def avg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pos = batch.loc[batch["c_acctbal"] > 0, "c_acctbal"].astype(np.float64)
+        return pd.DataFrame({"s": [pos.sum()], "n": [np.int64(len(pos))]})
+
+    parts = cust.map_batches(avg_partial, batch_format="pandas").to_pandas()
+    threshold = float(parts["s"].sum() / parts["n"].sum())
+
+    rich = cust.map_batches(
+        lambda b, _t=threshold: b[b["c_acctbal"] > _t], batch_format="pandas"
+    )
+    urgent = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    idle_rich = bloom_anti_join(rich, urgent, probe_on="c_custkey", build_on="o_custkey")
+
+    def seg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("c_custkey", "size"), totacctbal=("c_acctbal", "sum")
+        )
+        g["numcust"] = g["numcust"].astype(np.int64)
+        return g
+
+    out = (
+        idle_rich.map_batches(seg_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("c_mktsegment", as_index=False)
+        .agg(numcust=("numcust", "sum"), totacctbal=("totacctbal", "sum"))
+    )
+    out["numcust"] = out["numcust"].astype(np.int64)
+    out["totacctbal"] = _r2(out["totacctbal"])
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_TPCH_Q22_SQL = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def fuzzy_part_names(sf_dir: str) -> pd.DataFrame:
     """Fuzzy entity resolution on part names: distinct-name pairs within
     2 edits that share a blocking key (last name token) — blocked
@@ -3632,6 +3690,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "fuzzy_part_names": (fuzzy_part_names, _FUZZY_PART_SQL),
     "outlier_orders_by_priority": (outlier_orders_by_priority, _OUTLIER_SQL),
     "curation_funnel_documents": (curation_funnel_documents, _CURATION_FUNNEL_SQL),
+    "tpch_q22_idle_rich_customers": (tpch_q22_idle_rich_customers, _TPCH_Q22_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
