@@ -133,8 +133,6 @@ def tpch_q1(sf_dir: str) -> pd.DataFrame:
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
     )
 
-    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
-
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         # per-batch combiner: derive + pre-aggregate sums/counts (means
         # are finalized from sums so the partial algebra stays additive)
@@ -150,10 +148,12 @@ def tpch_q1(sf_dir: str) -> pd.DataFrame:
             count_order=("l_quantity", "size"),
         )
 
-    def merge(p: pd.DataFrame) -> pd.DataFrame:
-        return p.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-
-    out = bucketed_groupby(ds, ["l_returnflag", "l_linestatus"], partial, merge, n_buckets=8).to_pandas()
+    # 6 groups total: each block's partial is <=6 rows, so the driver fold
+    # sees O(blocks x 6) rows at ANY scale — a bucket shuffle here costs
+    # ~5 s of exchange machinery to move a few hundred rows (measured at
+    # sf0.1; bucketed_groupby is for HIGH-cardinality keys)
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
     out["avg_qty"] = _r6(out["sum_qty"] / out["count_order"])
     out["avg_price"] = _r6(out["sum_base_price"] / out["count_order"])
     out["avg_disc"] = _r6(out["sum_disc"] / out["count_order"])
@@ -2021,8 +2021,6 @@ def stratified_sample_orders(sf_dir: str) -> pd.DataFrame:
     sample predicate is a pure batch filter — no shuffle, no driver state,
     and reruns/resumes pick the identical rows (checkpoint-safe, unlike
     RNG sampling)."""
-    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
-
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
     def sample_partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -2033,10 +2031,13 @@ def stratified_sample_orders(sf_dir: str) -> pd.DataFrame:
         g["n_sampled"] = g["n_sampled"].astype(np.int64)
         return g
 
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
-        return part.groupby("o_orderpriority", as_index=False)[["n_sampled", "sum_price"]].sum()
-
-    out = bucketed_groupby(ds, ["o_orderpriority"], sample_partial, merge, n_buckets=8).to_pandas()
+    # 5 strata: partials are <=5 rows per block — driver fold, no shuffle
+    out = (
+        ds.map_batches(sample_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("o_orderpriority", as_index=False)[["n_sampled", "sum_price"]]
+        .sum()
+    )
     out["sum_price"] = _r2(out["sum_price"])
     return out.sort_values("o_orderpriority").reset_index(drop=True)[
         ["o_orderpriority", "n_sampled", "sum_price"]
@@ -2580,18 +2581,12 @@ def linreg_price_qty_by_flag(sf_dir: str) -> pd.DataFrame:
         )
         return g.groupby("l_returnflag", as_index=False).sum()
 
+    # 3 groups: moment partials are <=3 rows per block — driver fold
     parts = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("sy", alias_name="sy"),
-            Sum("syy", alias_name="syy"),
-            Sum("sxy", alias_name="sxy"),
-        )
         .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
     )
     n = parts["n"].astype(np.float64)
     ssxy = parts["sxy"] - parts["sx"] * parts["sy"] / n
@@ -2636,13 +2631,12 @@ def outlier_orders_by_priority(sf_dir: str) -> pd.DataFrame:
         )
         return g.groupby("o_orderpriority", as_index=False).sum()
 
+    # 5 groups: moment partials are <=5 rows per block — driver fold
     parts = (
         ds.map_batches(moment_partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(
-            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx")
-        )
         .to_pandas()
+        .groupby("o_orderpriority", as_index=False)
+        .sum()
     )
     n = parts["n"].astype(np.float64)
     mean = parts["sx"] / n
@@ -2707,18 +2701,12 @@ def price_qty_corr_by_flag(sf_dir: str) -> pd.DataFrame:
         )
         return g.groupby("l_returnflag", as_index=False).sum()
 
+    # 3 groups: moment partials are <=3 rows per block — driver fold
     parts = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("sy", alias_name="sy"),
-            Sum("syy", alias_name="syy"),
-            Sum("sxy", alias_name="sxy"),
-        )
         .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
     )
     n = parts["n"].astype(np.float64)
     var_x = (parts["sxx"] - parts["sx"] ** 2 / n) / (n - 1)
