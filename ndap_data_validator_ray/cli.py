@@ -77,6 +77,15 @@ def main(argv: list[str] | None = None) -> int:
     qp.add_argument("--list", action="store_true", help="list available queries")
     qp.add_argument("--num-cpus", type=int, default=None)
 
+    cp = sub.add_parser("curate", help="quality-filter + dedup + decontaminate a documents table")
+    cp.add_argument("--data", required=True, help="parquet file/dir with (doc_id, text, ...)")
+    cp.add_argument("--out", required=True, help="output dir: kept/ parquet + curation_summary.json")
+    cp.add_argument("--bench", default=None, help="parquet of benchmark docs to decontaminate against")
+    cp.add_argument("--min-tokens", type=int, default=20)
+    cp.add_argument("--max-top-frac", type=float, default=0.13)
+    cp.add_argument("--prefix-len", type=int, default=40)
+    cp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     _ensure_ray(getattr(args, "num_cpus", None))
 
@@ -121,6 +130,18 @@ def main(argv: list[str] | None = None) -> int:
 
         save_clean_baseline(args.data, args.out)
         print(json.dumps({"baseline": args.out}))
+    elif args.cmd == "curate":
+        from ndap_data_validator_ray.pipelines.curation import curate_documents
+
+        if not os.path.exists(args.data):
+            print(f"error: --data path not found: {args.data}", file=sys.stderr)
+            return 2
+        summary = curate_documents(
+            args.data, args.out, bench_path=args.bench,
+            min_tokens=args.min_tokens, max_top_frac=args.max_top_frac,
+            prefix_len=args.prefix_len,
+        )
+        print(json.dumps(summary))
     elif args.cmd == "query":
         from ndap_data_validator_ray.pipelines.queries import REGISTRY
 

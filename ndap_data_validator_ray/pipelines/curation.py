@@ -1,0 +1,157 @@
+"""Document-curation pipeline: quality filter → exact prefix dedup →
+benchmark decontamination → partitioned parquet of kept docs.
+
+The productized form of the curation funnel (``pipelines/queries.
+curation_funnel_documents`` is the oracled per-doc-flag twin): given a
+documents table and an optional benchmark table, write the surviving
+corpus and report per-stage counts.
+
+Execution shape (one full-data exchange, one light exchange):
+
+1. ``map_batches`` computes the per-doc quality flag and (if a benchmark
+   is given) the contamination flag — bench grams are collected once and
+   broadcast (``stages/decontaminate.collect_gram_set``); full rows ride
+   along.
+2. ONE bucketed exchange on the dedup prefix resolves keep-lowest-id
+   among quality survivors and immediately filters, so the written
+   output streams out of the reducers — the corpus crosses the wire
+   exactly once (any exact dedup that must emit survivors pays one
+   full-data shuffle; there is no cheaper shape).
+3. Funnel counts come from a flags-only twin pipeline (prefix + three
+   int64 flags per doc — O(rows x ~50 bytes), no text), the same
+   main-pass/side-scan split as the flagship clip pipeline.
+
+Resumable output: ``write_parquet`` under ``<out>/kept`` (one file per
+block); the summary JSON is written last, so a summary's presence marks
+a completed run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from ndap_data_validator_ray.functions.hashing import word_ngrams
+from ndap_data_validator_ray.functions.text import repetition_stats
+from ndap_data_validator_ray.stages.decontaminate import collect_gram_set
+from ndap_data_validator_ray.stages.groupby import BUCKET_COL, default_n_buckets, stable_bucket
+
+
+def _flag_batch(
+    batch: pd.DataFrame,
+    text_col: str,
+    grams_ref,
+    min_tokens: int,
+    max_top_frac: float,
+    prefix_len: int,
+) -> pd.DataFrame:
+    st = repetition_stats(batch[text_col])
+    q = (
+        (st["n_tokens"].to_numpy() >= min_tokens)
+        & (st["top_token_frac"].to_numpy() <= max_top_frac)
+    ).astype(np.int64)
+    if grams_ref is not None:
+        grams = ray.get(grams_ref)
+        c = np.fromiter(
+            (len(word_ngrams(t or "", 3) & grams) == 0 for t in batch[text_col]),
+            dtype=np.int64,
+            count=len(batch),
+        )
+    else:
+        c = np.ones(len(batch), dtype=np.int64)
+    out = batch.copy()
+    out["_q"] = q
+    out["_c"] = c
+    out["_prefix"] = batch[text_col].str.slice(0, prefix_len)
+    return out
+
+
+def _dedup_flag(part: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    part = part.reset_index(drop=True)
+    qmask = part["_q"] == 1
+    mins = part.loc[qmask].groupby("_prefix")[id_col].min()
+    min_for_row = part["_prefix"].map(mins)
+    part["_d"] = (qmask & (part[id_col] == min_for_row)).astype(np.int64).to_numpy()
+    return part
+
+
+def curate_documents(
+    data_path: str,
+    out_dir: str,
+    bench_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_top_frac: float = 0.13,
+    prefix_len: int = 40,
+    n_buckets: int | None = None,
+) -> dict:
+    """Run the funnel over ``data_path`` (parquet file/dir of documents);
+    write survivors to ``<out_dir>/kept`` and return the stage counts."""
+    n_buckets = n_buckets or default_n_buckets()
+    grams_ref = (
+        collect_gram_set(ray.data.read_parquet(bench_path), text_col, 3)
+        if bench_path
+        else None
+    )
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _flag_batch(batch, text_col, grams_ref, min_tokens, max_top_frac, prefix_len)
+        out[BUCKET_COL] = stable_bucket(out["_prefix"], n_buckets)
+        return out
+
+    def keep_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        part = _dedup_flag(group.drop(columns=[BUCKET_COL]), id_col)
+        kept = part[(part["_q"] == 1) & (part["_d"] == 1) & (part["_c"] == 1)]
+        return kept.drop(columns=["_q", "_c", "_d", "_prefix"])
+
+    kept_dir = os.path.join(out_dir, "kept")
+    (
+        ray.data.read_parquet(data_path)
+        .map_batches(flags, batch_format="pandas")
+        .groupby(BUCKET_COL)
+        .map_groups(keep_bucket, batch_format="pandas")
+        .write_parquet(kept_dir)
+    )
+
+    # flags-only funnel twin: prefix + three int64 flags per doc, no text
+    def flag_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        part = _dedup_flag(batch, id_col)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(part))],
+                "q": [part["_q"].sum()],
+                "qd": [(part["_q"] * part["_d"]).sum()],
+                "qdc": [(part["_q"] * part["_d"] * part["_c"]).sum()],
+            }
+        )
+
+    light = (
+        ray.data.read_parquet(data_path, columns=[id_col, text_col])
+        .map_batches(flags, batch_format="pandas")
+        .map_batches(
+            lambda b: b[[id_col, "_q", "_c", "_prefix", BUCKET_COL]], batch_format="pandas"
+        )
+        .groupby(BUCKET_COL)
+        .map_groups(
+            lambda g: flag_counts(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    summary = {
+        "input_docs": int(light["n"].sum()),
+        "quality_kept": int(light["q"].sum()),
+        "dedup_kept": int(light["qd"].sum()),
+        "final_kept": int(light["qdc"].sum()),
+        "decontaminated": bench_path is not None,
+        "kept_path": kept_dir,
+    }
+    with open(os.path.join(out_dir, "curation_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

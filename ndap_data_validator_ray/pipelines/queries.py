@@ -3493,6 +3493,44 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 """
 
 
+def compact_latest_events(sf_dir: str) -> pd.DataFrame:
+    """CDC/upsert compaction: keep the LATEST event per (user_id,
+    event_type), ordered by (ts, event_id) — the keep-latest-by-key
+    reduction behind changelog compaction and snapshot builds.  The
+    per-batch combiner keeps at most one row per key before the ONE
+    bucketed exchange, so shuffle volume is bounded by key cardinality,
+    not event volume.  Timestamps are emitted as epoch microseconds so
+    both sides hash identically."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def keep_latest(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["ts", "event_id"])
+        return b.groupby(["user_id", "event_type"], as_index=False).tail(1)
+
+    out = bucketed_groupby(
+        ds, ["user_id", "event_type"], keep_latest, keep_latest, n_buckets=16
+    ).to_pandas()
+    out["ts_us"] = out["ts"].astype("datetime64[us]").astype(np.int64)
+    out["value"] = _r6(out["value"])
+    return (
+        out[["user_id", "event_type", "event_id", "ts_us", "value"]]
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+_COMPACT_LATEST_SQL = """
+SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       ROUND(value, 6) AS value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id, event_type
+"""
+
+
 def curation_funnel_documents(sf_dir: str) -> pd.DataFrame:
     """END-TO-END curation funnel — the composed keep/drop decision of a
     training-data pipeline, one flag column per stage: quality filter
@@ -3679,6 +3717,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "outlier_orders_by_priority": (outlier_orders_by_priority, _OUTLIER_SQL),
     "curation_funnel_documents": (curation_funnel_documents, _CURATION_FUNNEL_SQL),
     "tpch_q22_idle_rich_customers": (tpch_q22_idle_rich_customers, _TPCH_Q22_SQL),
+    "compact_latest_events": (compact_latest_events, _COMPACT_LATEST_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),

@@ -88,3 +88,56 @@ def test_cli_query_subcommand(tmp_path):
         env={**os.environ, "RAY_ADDRESS": "local"},
     )
     assert bad.returncode == 2 and "unknown query" in bad.stderr
+
+
+def test_cli_curate_matches_duckdb_funnel(tmp_path):
+    import duckdb
+    import pandas as pd
+
+    data = "/root/testdata/sf0.001/documents.parquet"
+    # benchmark set: every 17th doc, written to its own parquet
+    bench_path = str(tmp_path / "bench.parquet")
+    docs = pd.read_parquet(data)
+    docs[docs["doc_id"] % 17 == 0].to_parquet(bench_path, index=False)
+
+    out_dir = str(tmp_path / "curated")
+    r = _run(["curate", "--data", data, "--bench", bench_path,
+              "--out", out_dir, "--num-cpus", "4"])
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{data}')")
+    want = con.sql("""
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+q AS (SELECT d.doc_id, d.text,
+        CASE WHEN COALESCE(n_tokens, 0) >= 20
+              AND COALESCE(CAST(mx AS DOUBLE) / n_tokens, 0.0) <= 0.13 THEN 1 ELSE 0 END AS q
+      FROM documents d LEFT JOIN agg USING (doc_id)),
+ded AS (SELECT doc_id, q, text,
+        CASE WHEN q = 1 AND doc_id = MIN(CASE WHEN q = 1 THEN doc_id END)
+                  OVER (PARTITION BY substr(text, 1, 40)) THEN 1 ELSE 0 END AS d
+        FROM q),
+allg AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+grams AS (SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      ELSE [array_to_string(ws, ' ')] END AS g FROM allg),
+bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
+contaminated AS (SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams) c JOIN bgrams b ON c.gram = b.gram)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS q,
+       CAST(SUM(q*d) AS BIGINT) AS qd,
+       CAST(SUM(q*d*(CASE WHEN ct.doc_id IS NULL THEN 1 ELSE 0 END)) AS BIGINT) AS qdc
+FROM ded LEFT JOIN contaminated ct ON ded.doc_id = ct.doc_id
+""").df().iloc[0]
+    assert r["input_docs"] == int(want["n"])
+    assert r["quality_kept"] == int(want["q"])
+    assert r["dedup_kept"] == int(want["qd"])
+    assert r["final_kept"] == int(want["qdc"])
+
+    # written corpus is readable, has the full schema, and only kept docs
+    kept = pd.read_parquet(os.path.join(out_dir, "kept"))
+    assert len(kept) == r["final_kept"] > 0
+    assert set(docs.columns) <= set(kept.columns)
+    assert os.path.isfile(os.path.join(out_dir, "curation_summary.json"))
