@@ -3493,6 +3493,73 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 """
 
 
+def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel conversion (view → click → purchase, each step
+    strictly AFTER the previous one and within a 24 h conversion window,
+    per user): the sequence-matching analytics op.  Funnel-relevant rows (3 of 5 event types, three
+    columns) ride ONE bucketed exchange on user_id; inside a bucket the
+    step times resolve with vectorized per-user min/merge chains (no
+    per-user Python loop); each bucket emits three counters and the
+    driver folds O(n_buckets) rows."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    steps = ["view", "click", "purchase"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["event_type"].isin(steps)]
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            part[part["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t1")
+        )
+        win = pd.Timedelta(hours=24)
+        clicks = part[part["event_type"] == "click"].merge(t1, on="user_id")
+        ok2 = (clicks["ts"] > clicks["t1"]) & (clicks["ts"] <= clicks["t1"] + win)
+        t2 = clicks[ok2].groupby("user_id")["ts"].min().rename("t2")
+        buys = part[part["event_type"] == "purchase"].merge(t2, on="user_id")
+        ok3 = (buys["ts"] > buys["t2"]) & (buys["ts"] <= buys["t2"] + win)
+        t3 = buys[ok3].groupby("user_id")["ts"].min()
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(len(t1))],
+                "n_click": [np.int64(len(t2))],
+                "n_purchase": [np.int64(len(t3))],
+            }
+        )
+
+    parts = bucketed_groupby(ds, ["user_id"], partial, merge, n_buckets=16).to_pandas()
+    return pd.DataFrame(
+        {
+            "step_idx": np.arange(1, 4, dtype=np.int64),
+            "step": steps,
+            "n_users": [
+                np.int64(parts["n_view"].sum()),
+                np.int64(parts["n_click"].sum()),
+                np.int64(parts["n_purchase"].sum()),
+            ],
+        }
+    )
+
+
+_FUNNEL_CONV_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL '24 hours' GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL '24 hours' GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+) ORDER BY step_idx
+"""
+
+
 def compact_latest_events(sf_dir: str) -> pd.DataFrame:
     """CDC/upsert compaction: keep the LATEST event per (user_id,
     event_type), ordered by (ts, event_id) — the keep-latest-by-key
@@ -3718,6 +3785,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "curation_funnel_documents": (curation_funnel_documents, _CURATION_FUNNEL_SQL),
     "tpch_q22_idle_rich_customers": (tpch_q22_idle_rich_customers, _TPCH_Q22_SQL),
     "compact_latest_events": (compact_latest_events, _COMPACT_LATEST_SQL),
+    "funnel_conversion_events": (funnel_conversion_events, _FUNNEL_CONV_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
