@@ -3493,6 +3493,67 @@ SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
 """
 
 
+def reconcile_order_snapshots(sf_dir: str) -> pd.DataFrame:
+    """Snapshot reconciliation (the data-diff op between two exports of
+    the same table): classify every key as only_in_a / only_in_b /
+    changed / unchanged via ONE full-outer bucketed join, then fold tiny
+    per-batch status counts on the driver.  The two snapshots are
+    derived deterministically from orders (B drops keys %10==7, adds
+    keys %10==9 that A lacks, and bumps prices on keys %10==3) so the
+    SQL twin sees byte-identical inputs."""
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def snap_a(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        keep = k % 10 != 9
+        return pa.table({"k": pa.array(k[keep]), "pa": pc.filter(t["o_totalprice"], pa.array(keep))})
+
+    def snap_b(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy()
+        keep = k % 10 != 7
+        price = t["o_totalprice"].to_numpy().astype(np.float64)
+        price = price + np.where(k % 10 == 3, 1.0, 0.0)
+        return pa.table({"k": pa.array(k[keep]), "pb": pa.array(price[keep])})
+
+    a = orders.map_batches(snap_a, batch_format="pyarrow")
+    b = orders.map_batches(snap_b, batch_format="pyarrow")
+    j = bucketed_join(a, b, on=["k"], how="outer", n_buckets=16)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        status = np.where(
+            batch["pa"].isna(),
+            "only_in_b",
+            np.where(
+                batch["pb"].isna(),
+                "only_in_a",
+                np.where(batch["pa"] != batch["pb"], "changed", "unchanged"),
+            ),
+        )
+        vc = pd.Series(status).value_counts()
+        return pd.DataFrame({"status": vc.index, "n": vc.to_numpy(np.int64)})
+
+    parts = j.map_batches(classify, batch_format="pandas").to_pandas()
+    out = parts.groupby("status", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("status").reset_index(drop=True)
+
+
+_RECONCILE_SQL = """
+WITH a AS (SELECT o_orderkey AS k, o_totalprice AS pa FROM orders WHERE o_orderkey % 10 <> 9),
+b AS (SELECT o_orderkey AS k,
+             o_totalprice + CASE WHEN o_orderkey % 10 = 3 THEN 1.0 ELSE 0 END AS pb
+      FROM orders WHERE o_orderkey % 10 <> 7)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN a.k IS NULL THEN 'only_in_b'
+              WHEN b.k IS NULL THEN 'only_in_a'
+              WHEN pa <> pb THEN 'changed' ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+) GROUP BY status ORDER BY status
+"""
+
+
 def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel conversion (view → click → purchase, each step
     strictly AFTER the previous one and within a 24 h conversion window,
@@ -3786,6 +3847,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q22_idle_rich_customers": (tpch_q22_idle_rich_customers, _TPCH_Q22_SQL),
     "compact_latest_events": (compact_latest_events, _COMPACT_LATEST_SQL),
     "funnel_conversion_events": (funnel_conversion_events, _FUNNEL_CONV_SQL),
+    "reconcile_order_snapshots": (reconcile_order_snapshots, _RECONCILE_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
