@@ -3554,6 +3554,108 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM (
 """
 
 
+def cohort_retention_events(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort-retention matrix (cohort = a user's first active
+    week; cell = distinct users from that cohort active at each week
+    offset).  One bucketed exchange on user_id carrying per-batch
+    DEDUPED (user, week) pairs; users are disjoint across buckets so each
+    bucket emits exact (cohort, offset) counts and the driver folds the
+    tiny low-cardinality matrix.  Weeks are Monday-truncated via epoch-day
+    arithmetic ((days + 3) // 7 — 1970-01-01 is a Thursday) to match
+    DuckDB's date_trunc('week')."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (batch["ts"] - pd.Timestamp(0)) // pd.Timedelta(days=1)
+        w = ((days + 3) // 7).astype("int64")
+        return pd.DataFrame(
+            {"user_id": batch["user_id"].to_numpy(), "w": w.to_numpy()}
+        ).drop_duplicates()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        uw = part.drop_duplicates()
+        cw = uw.groupby("user_id")["w"].min().rename("cw")
+        uw = uw.merge(cw, on="user_id")
+        uw["week_offset"] = uw["w"] - uw["cw"]
+        g = uw.groupby(["cw", "week_offset"]).size().reset_index(name="n_users")
+        return g
+
+    parts = bucketed_groupby(ds, ["user_id"], partial, merge, n_buckets=16).to_pandas()
+    out = parts.groupby(["cw", "week_offset"], as_index=False)["n_users"].sum()
+    week_start = pd.Timestamp(0) + (out["cw"] * 7 - 3) * pd.Timedelta(days=1)
+    out["cohort_week"] = week_start.dt.strftime("%Y-%m-%d")
+    out["week_offset"] = out["week_offset"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (
+        out[["cohort_week", "week_offset", "n_users"]]
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+
+
+_COHORT_SQL = """
+WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+c AS (SELECT user_id, MIN(w) AS cw FROM uw GROUP BY 1)
+SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', c.cw, uw.w) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c ON uw.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume orders): a high-cardinality groupby
+    with HAVING, joined back to the fact's parent table.  Per-order
+    quantity sums ride ONE bucketed exchange (per-batch pre-agg first);
+    the HAVING filter shrinks the result to a small key set which is
+    broadcast (ray.put once, Arrow index_in per batch) into a streaming
+    orders scan — no second shuffle."""
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return g[g["l_quantity"] > 250.0]
+
+    heavy = bucketed_groupby(li, ["l_orderkey"], partial, merge, n_buckets=32).to_pandas()
+    cols = ["o_orderkey", "o_custkey", "o_orderdate", "total_qty"]
+    if heavy.empty:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    qty = dict(
+        zip(heavy["l_orderkey"].astype("int64"), heavy["l_quantity"].astype(np.float64))
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = attach_lookup(orders, qty, "o_orderkey", "total_qty")
+    out = tagged.map_batches(
+        lambda t: t.drop_null(), batch_format="pyarrow"
+    ).to_pandas()
+    out["o_orderdate"] = pd.to_datetime(out["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    out["total_qty"] = _r2(out["total_qty"])
+    return (
+        out[cols]
+        .sort_values(["total_qty", "o_orderkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+_TPCH_Q18_SQL = """
+SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1, 2, 3
+HAVING SUM(l_quantity) > 250
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
 def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel conversion (view → click → purchase, each step
     strictly AFTER the previous one and within a 24 h conversion window,
@@ -3848,6 +3950,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "compact_latest_events": (compact_latest_events, _COMPACT_LATEST_SQL),
     "funnel_conversion_events": (funnel_conversion_events, _FUNNEL_CONV_SQL),
     "reconcile_order_snapshots": (reconcile_order_snapshots, _RECONCILE_SQL),
+    "cohort_retention_events": (cohort_retention_events, _COHORT_SQL),
+    "tpch_q18_large_orders": (tpch_q18_large_orders, _TPCH_Q18_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
