@@ -652,3 +652,96 @@ def test_fuzzy_name_pairs_oversized_block_surfaced():
                            block_cap=10, stats=stats)
     assert stats["oversized_blocks"] == 1
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation / cohort retention / Q18 (planted-edge fixtures;
+# the sf0.001/sf0.01 oracle gate covers the full-table path)
+# ---------------------------------------------------------------------------
+
+def _duck_views(tmp_path, **frames):
+    import duckdb
+
+    con = duckdb.connect()
+    for name, df in frames.items():
+        path = str(tmp_path / f"{name}.parquet")
+        df.to_parquet(path)
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def test_reconcile_snapshots_all_four_statuses(tmp_path):
+    from ndap_data_validator_ray.pipelines.queries import _RECONCILE_SQL, reconcile_order_snapshots
+
+    # keys hit every %10 class: 9 -> only_in_b, 7 -> only_in_a,
+    # 3 -> changed, rest -> unchanged
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(1, 41, dtype=np.int64),
+            "o_totalprice": np.round(np.linspace(10.0, 500.0, 40), 2),
+        }
+    )
+    con = _duck_views(tmp_path, orders=orders)
+    want = con.sql(_RECONCILE_SQL).df()
+    got = reconcile_order_snapshots(str(tmp_path))
+    assert sorted(got["status"]) == ["changed", "only_in_a", "only_in_b", "unchanged"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert got["n"].dtype == np.int64
+
+
+def test_cohort_retention_monday_boundary(tmp_path):
+    from ndap_data_validator_ray.pipelines.queries import _COHORT_SQL, cohort_retention_events
+
+    # 2024-01-07 is a Sunday, 2024-01-08 a Monday: adjacent days land in
+    # different Monday-truncated weeks; user 2 has a 3-week gap; user 3 has
+    # two events in one week (must dedup to one active cell)
+    ts = pd.to_datetime(
+        [
+            "2024-01-07 23:59:59", "2024-01-08 00:00:00",   # u1: offsets 0,1
+            "2024-01-02 12:00:00", "2024-01-23 12:00:00",   # u2: offsets 0,3
+            "2024-01-10 01:00:00", "2024-01-10 02:00:00",   # u3: offset 0 once
+        ]
+    ).astype("datetime64[us]")
+    events = pd.DataFrame({"user_id": np.array([1, 1, 2, 2, 3, 3], dtype=np.int64), "ts": ts})
+    con = _duck_views(tmp_path, events=events)
+    want = con.sql(_COHORT_SQL).df()
+    got = cohort_retention_events(str(tmp_path))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # u1's Sunday event belongs to the PRIOR week, so u1 and u2 share the
+    # 2024-01-01 cohort: u1 active at offsets 0,1 and u2 at 0,3
+    c0 = got[got["cohort_week"] == "2024-01-01"]
+    assert c0["week_offset"].tolist() == [0, 1, 3]
+    assert c0["n_users"].tolist() == [2, 1, 1]
+    assert got["week_offset"].dtype == np.int64 and got["n_users"].dtype == np.int64
+
+
+def test_q18_having_threshold_boundary(tmp_path):
+    from ndap_data_validator_ray.pipelines.queries import _TPCH_Q18_SQL, tpch_q18_large_orders
+
+    # order 1 sums to exactly 250 (excluded: strict >), order 2 to 250.5
+    # (kept), order 3 well below
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": np.array([1, 1, 2, 2, 3], dtype=np.int64),
+            "l_quantity": np.array([100.0, 150.0, 200.0, 50.5, 10.0]),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([1, 2, 3], dtype=np.int64),
+            "o_custkey": np.array([11, 22, 33], dtype=np.int64),
+            "o_orderdate": pd.to_datetime(["2024-03-01", "2024-03-02", "2024-03-03"]).date,
+        }
+    )
+    con = _duck_views(tmp_path, lineitem=lineitem, orders=orders)
+    want = con.sql(_TPCH_Q18_SQL).df()
+    got = tpch_q18_large_orders(str(tmp_path))
+    assert got["o_orderkey"].tolist() == [2]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    assert got["o_orderkey"].dtype == np.int64 and got["total_qty"].dtype == np.float64
