@@ -3656,6 +3656,81 @@ ORDER BY total_qty DESC, o_orderkey
 """
 
 
+def tpch_q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top-20 customers): R-flagged
+    lineitem revenue pre-summed per order (bucketed combiner), date-window
+    orders join it with ONE bucketed exchange, per-customer sums ride a
+    second key-bounded exchange, and the distributed top-20 (per-block
+    local top-k, driver merge) leaves only 20 rows — customer/nation
+    attributes are then attached from dim-side scans filtered to those 20
+    keys (dims never shuffle)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def li_revenue(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[batch["l_returnflag"] == "R"]
+        return pd.DataFrame(
+            {
+                "o_orderkey": kept["l_orderkey"],
+                "revenue": kept["l_extendedprice"] * (1.0 - kept["l_discount"]),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+    fact = sum_by_key(
+        li.map_batches(li_revenue, batch_format="pandas"), ["o_orderkey"], ["revenue"]
+    ).materialize()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi), ["o_orderkey", "o_custkey"]],
+        batch_format="pandas",
+    )
+    joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
+    per_cust = sum_by_key(
+        joined.map_batches(lambda b: b[["o_custkey", "revenue"]], batch_format="pandas"),
+        ["o_custkey"],
+        ["revenue"],
+    )
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(revenue=_r2(batch["revenue"]))
+        return batch.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(20)
+
+    top = local_topk(per_cust.map_batches(local_topk, batch_format="pandas").to_pandas())
+    keys = np.sort(top["o_custkey"].to_numpy().astype(np.int64))
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(
+            lambda b: b[np.isin(b["c_custkey"].to_numpy(), keys)], batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["c_acctbal"] = _r2(out["c_acctbal"])
+    out = out.sort_values(["revenue", "c_custkey"], ascending=[False, True])
+    return out[["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]].reset_index(drop=True)
+
+
+_TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, revenue, ROUND(c_acctbal, 2) AS c_acctbal, n_name
+FROM (
+  SELECT o.o_custkey, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 20
+) t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c_custkey
+"""
+
+
 def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel conversion (view → click → purchase, each step
     strictly AFTER the previous one and within a 24 h conversion window,
@@ -3952,6 +4027,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "reconcile_order_snapshots": (reconcile_order_snapshots, _RECONCILE_SQL),
     "cohort_retention_events": (cohort_retention_events, _COHORT_SQL),
     "tpch_q18_large_orders": (tpch_q18_large_orders, _TPCH_Q18_SQL),
+    "tpch_q10_returned_items": (tpch_q10_returned_items, _TPCH_Q10_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
