@@ -128,6 +128,11 @@ _QUERY_NAMES = [
     "tpch_q5_local_supplier_volume",
     "tpch_q13_customer_distribution",
     "decontaminate_documents",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "cohort_retention_events",
+    "funnel_conversion_events",
+    "reconcile_order_snapshots",
 ]
 
 
