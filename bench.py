@@ -133,6 +133,7 @@ _QUERY_NAMES = [
     "cohort_retention_events",
     "funnel_conversion_events",
     "reconcile_order_snapshots",
+    "peak_concurrent_users_events",
 ]
 
 

@@ -3731,6 +3731,83 @@ ORDER BY revenue DESC, c_custkey
 """
 
 
+def peak_concurrent_users_events(sf_dir: str) -> pd.DataFrame:
+    """Peak concurrent users per day (interval-overlap / sweep-line op):
+    each user's daily activity interval [first ts, last ts] becomes a
+    (+1 at start, -1 at end) point pair; a DISTRIBUTED global running sum
+    over (ts asc, delta desc) — range-partitioned sort with exact per-range
+    prefix sums, `stages/sort.global_running_sum` — yields the concurrency
+    at every change point, and per-day maxima fold on the driver.  Ties
+    order arrivals before departures so touching intervals count as
+    concurrent; intervals never cross midnight by construction so the
+    running sum returns to zero at each day boundary."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.sort import global_running_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.assign(day=batch["ts"].dt.floor("D"))
+            .groupby(["user_id", "day"], as_index=False)["ts"]
+            .agg(s="min", e="max")
+        )
+        return g
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["user_id", "day"], as_index=False).agg(
+            s=("s", "min"), e=("e", "max")
+        )
+
+    iv = bucketed_groupby(ds, ["user_id"], partial, merge, n_buckets=16)
+
+    def to_points(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": np.concatenate([batch["day"], batch["day"]]),
+                "ts": np.concatenate([batch["s"], batch["e"]]),
+                "delta": np.concatenate(
+                    [
+                        np.ones(len(batch), dtype=np.int64),
+                        -np.ones(len(batch), dtype=np.int64),
+                    ]
+                ),
+            }
+        )
+
+    pts = iv.map_batches(to_points, batch_format="pandas")
+    run = global_running_sum(
+        pts, order_by=["ts", "delta"], ascending=[True, False], val="delta", out="conc"
+    )
+
+    def day_max(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("day", as_index=False)["conc"].max()
+        return g
+
+    parts = run.map_batches(day_max, batch_format="pandas").to_pandas()
+    out = parts.groupby("day", as_index=False)["conc"].max()
+    out["day"] = pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d")
+    out["peak_users"] = out["conc"].astype("int64")
+    return out[["day", "peak_users"]].sort_values("day").reset_index(drop=True)
+
+
+_PEAK_CONC_SQL = """
+WITH iv AS (
+  SELECT user_id, date_trunc('day', ts) AS day, MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT day, s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, e AS ts, -1 AS delta FROM iv
+), run AS (
+  SELECT day, SUM(delta) OVER (ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(MAX(conc) AS BIGINT) AS peak_users
+FROM run GROUP BY 1 ORDER BY 1
+"""
+
+
 def funnel_conversion_events(sf_dir: str) -> pd.DataFrame:
     """Ordered funnel conversion (view → click → purchase, each step
     strictly AFTER the previous one and within a 24 h conversion window,
@@ -4028,6 +4105,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "cohort_retention_events": (cohort_retention_events, _COHORT_SQL),
     "tpch_q18_large_orders": (tpch_q18_large_orders, _TPCH_Q18_SQL),
     "tpch_q10_returned_items": (tpch_q10_returned_items, _TPCH_Q10_SQL),
+    "peak_concurrent_users_events": (peak_concurrent_users_events, _PEAK_CONC_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),

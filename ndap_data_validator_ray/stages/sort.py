@@ -120,3 +120,91 @@ def global_rank(
         .groupby(_PID_COL)
         .map_groups(rank_partition, batch_format="pandas")
     )
+
+
+def global_running_sum(
+    ds: "ray.data.Dataset",
+    order_by: list[str],
+    val: str,
+    ascending: list[bool] | None = None,
+    out: str = "running",
+    n_parts: int | None = None,
+    sample_per_block: int = 64,
+) -> "ray.data.Dataset":
+    """Append ``SUM(val) OVER (ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)`` — the distributed un-partitioned running aggregate (the
+    sweep-line primitive).  Same three passes as :func:`global_rank`, but
+    pass 2 sums ``val`` per range partition instead of counting rows, so
+    each reducer starts from the exact prefix SUM of every earlier range
+    and one cumsum finishes its slice.  Ties on the first order column
+    share a partition, so tie ordering resolves inside one reducer; rows
+    tied on the FULL order tuple get order-dependent individual values
+    (same as SQL ROWS framing) but an order-invariant multiset."""
+    if ascending is None:
+        ascending = [True] * len(order_by)
+    if len(ascending) != len(order_by):
+        raise ValueError("ascending must match order_by")
+    first, first_asc = order_by[0], ascending[0]
+    n_parts = n_parts or 32
+
+    def sample(batch: pd.DataFrame) -> pd.DataFrame:
+        k = _order_key(batch, first, first_asc)
+        if not len(k):
+            return pd.DataFrame({"s": k})
+        idx = np.linspace(0, len(k) - 1, min(sample_per_block, len(k))).astype(np.int64)
+        return pd.DataFrame({"s": np.sort(k)[idx]})
+
+    pooled = np.sort(
+        ds.map_batches(sample, batch_format="pandas").to_pandas()["s"].to_numpy()
+    )
+    if not len(pooled):
+        return ds.map_batches(
+            lambda b: b.assign(**{out: np.int64([])}), batch_format="pandas"
+        )
+    q = np.linspace(0, len(pooled) - 1, n_parts + 1)[1:-1].astype(np.int64)
+    boundaries = np.unique(pooled[q])
+
+    def pid_of(batch: pd.DataFrame) -> np.ndarray:
+        return np.searchsorted(boundaries, _order_key(batch, first, first_asc), side="right")
+
+    def sum_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pid = pid_of(batch)
+        v = batch[val].to_numpy().astype(np.float64)
+        s = np.bincount(pid, weights=v, minlength=len(boundaries) + 1)
+        return pd.DataFrame({"pid": np.arange(len(s), dtype=np.int64), "v": s})
+
+    sums = (
+        ds.map_batches(sum_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("pid")["v"]
+        .sum()
+        .reindex(range(len(boundaries) + 1), fill_value=0.0)
+        .to_numpy()
+    )
+    prefix = np.concatenate([[0.0], np.cumsum(sums)[:-1]])
+    pre_ref = ray.put(prefix)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[_PID_COL] = pid_of(batch)
+        return batch
+
+    def run_partition(group: pd.DataFrame) -> pd.DataFrame:
+        pre = ray.get(pre_ref)
+        pid = int(group[_PID_COL].iloc[0])
+        group = group.drop(columns=[_PID_COL]).sort_values(
+            order_by, ascending=ascending, kind="stable", ignore_index=True
+        )
+        v = group[val].to_numpy()
+        if np.issubdtype(v.dtype, np.integer):
+            # integer input -> exact int64 running sum (prefix sums of ints
+            # are integral; the float64 exchange is exact below 2^53)
+            group[out] = np.int64(round(pre[pid])) + np.cumsum(v.astype(np.int64))
+        else:
+            group[out] = pre[pid] + np.cumsum(v.astype(np.float64))
+        return group
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby(_PID_COL)
+        .map_groups(run_partition, batch_format="pandas")
+    )

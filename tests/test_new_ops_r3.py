@@ -745,3 +745,66 @@ def test_q18_having_threshold_boundary(tmp_path):
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
     assert got["o_orderkey"].dtype == np.int64 and got["total_qty"].dtype == np.float64
+
+
+def test_global_running_sum_matches_sql_window():
+    import duckdb
+
+    from ndap_data_validator_ray.stages.sort import global_running_sum
+
+    rng = np.random.RandomState(7)
+    n = 500
+    # duplicate ts values force first-column ties into one partition;
+    # float vals exercise the non-integer path
+    df = pd.DataFrame(
+        {
+            "ts": rng.randint(0, 80, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "v": np.round(rng.randn(n), 3),
+        }
+    )
+    got = (
+        global_running_sum(
+            ray.data.from_pandas(df), order_by=["ts", "id"], val="v", out="run", n_parts=8
+        )
+        .to_pandas()
+        .sort_values(["ts", "id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.sql(
+        "SELECT ts, id, v, SUM(v) OVER (ORDER BY ts, id ROWS UNBOUNDED PRECEDING) AS run "
+        "FROM t ORDER BY ts, id"
+    ).df()
+    np.testing.assert_allclose(got["run"].to_numpy(), want["run"].to_numpy(), atol=1e-9)
+
+
+def test_global_running_sum_integer_stays_int64():
+    from ndap_data_validator_ray.stages.sort import global_running_sum
+
+    df = pd.DataFrame(
+        {
+            "ts": np.repeat(np.arange(10, dtype=np.int64), 4),
+            "delta": np.tile(np.array([1, 1, -1, -1], dtype=np.int64), 10),
+            "id": np.arange(40, dtype=np.int64),
+        }
+    )
+    got = (
+        global_running_sum(
+            ray.data.from_pandas(df),
+            order_by=["ts", "delta", "id"],
+            ascending=[True, False, True],
+            val="delta",
+            out="conc",
+            n_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["ts", "id"])
+        .reset_index(drop=True)
+    )
+    assert got["conc"].dtype == np.int64
+    # arrivals sort before departures at each ts: conc peaks at 2, ends at 0
+    per_ts_max = got.groupby("ts")["conc"].max()
+    assert (per_ts_max == 2).all()
+    assert got.sort_values(["ts", "id"]).groupby("ts")["conc"].last().eq(0).all()
