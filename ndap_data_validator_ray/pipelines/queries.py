@@ -1107,14 +1107,14 @@ def revenue_by_priority_join(sf_dir: str) -> pd.DataFrame:
         g = batch.groupby("o_orderpriority", as_index=False).agg(revenue=("revenue", "sum"), n_orders=("revenue", "size"))
         return g
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
-    )
+    # 5 groups -> <=5 partial rows per block: fold on the driver (the
+    # low-cardinality rule; a groupby exchange here pays seconds of
+    # machinery to move a few hundred rows — same conversion as tpch_q1).
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)[["revenue", "n_orders"]].sum()
     out["revenue"] = _r2(out["revenue"])
-    return out
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
 
 
 _REVENUE_JOIN_SQL = """
@@ -3657,42 +3657,56 @@ ORDER BY total_qty DESC, o_orderkey
 
 
 def tpch_q10_returned_items(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q10 shape (returned-item revenue, top-20 customers): R-flagged
-    lineitem revenue pre-summed per order (bucketed combiner), date-window
-    orders join it with ONE bucketed exchange, per-customer sums ride a
-    second key-bounded exchange, and the distributed top-20 (per-block
-    local top-k, driver merge) leaves only 20 rows — customer/nation
-    attributes are then attached from dim-side scans filtered to those 20
-    keys (dims never shuffle)."""
+    """TPC-H Q10 shape (returned-item revenue, top-20 customers): the
+    3-month date window keeps ~4% of orders — a bounded small side, so it
+    is broadcast ONCE (ray.put, Arrow index_in per batch — the Q18
+    attach_lookup pattern) into a streaming Arrow lineitem scan instead of
+    paying a bucketed exchange of the fact.  The scan filters R-flagged
+    rows, computes revenue, and tags each row with its window customer (or
+    null -> dropped); per-customer sums then ride ONE key-bounded bucketed
+    exchange of tiny partials, the distributed top-20 (per-block local
+    top-k, driver merge) leaves 20 rows, and customer/nation attributes
+    attach from dim-side scans filtered to those keys (dims never
+    shuffle).  At extreme SF the window side grows O(SF) and the broadcast
+    would fall back to the bucketed join this replaced."""
+    from ndap_data_validator_ray.stages.broadcast import attach_lookup
     from ndap_data_validator_ray.stages.groupby import sum_by_key
-    from ndap_data_validator_ray.stages.join import bucketed_join
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
 
-    def li_revenue(batch: pd.DataFrame) -> pd.DataFrame:
-        kept = batch[batch["l_returnflag"] == "R"]
-        return pd.DataFrame(
-            {
-                "o_orderkey": kept["l_orderkey"],
-                "revenue": kept["l_extendedprice"] * (1.0 - kept["l_discount"]),
-            }
-        )
+    def window_orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        lo_s = pa.scalar(lo.to_pydatetime()).cast(d.type)
+        hi_s = pa.scalar(hi.to_pydatetime()).cast(d.type)
+        mask = pc.and_(pc.greater_equal(d, lo_s), pc.less(d, hi_s))
+        return t.filter(mask).select(["o_orderkey", "o_custkey"])
+
+    win = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(window_orders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["c_custkey", "c_name", "revenue", "c_acctbal", "n_name"]
+    if win.empty:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+    cust_of = dict(
+        zip(win["o_orderkey"].astype("int64"), win["o_custkey"].astype("int64"))
+    )
+
+    def li_revenue(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(kept["l_extendedprice"], pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        return pa.table({"l_orderkey": kept["l_orderkey"], "revenue": rev})
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
-    fact = sum_by_key(
-        li.map_batches(li_revenue, batch_format="pandas"), ["o_orderkey"], ["revenue"]
-    ).materialize()
-
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
-        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi), ["o_orderkey", "o_custkey"]],
-        batch_format="pandas",
-    )
-    joined = bucketed_join(fact, orders, on=["o_orderkey"], how="inner")
-    per_cust = sum_by_key(
-        joined.map_batches(lambda b: b[["o_custkey", "revenue"]], batch_format="pandas"),
-        ["o_custkey"],
-        ["revenue"],
-    )
+    fact = attach_lookup(
+        li.map_batches(li_revenue, batch_format="pyarrow"),
+        cust_of,
+        "l_orderkey",
+        "o_custkey",
+        keep=["o_custkey", "revenue"],
+    ).map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
+    per_cust = sum_by_key(fact, ["o_custkey"], ["revenue"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(revenue=_r2(batch["revenue"]))

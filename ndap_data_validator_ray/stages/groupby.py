@@ -89,8 +89,12 @@ def bucketed_groupby(
 
     def partial_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         part = batch_partial(batch)
-        part[BUCKET_COL] = stable_bucket(part[key_cols] if len(key_cols) > 1 else part[key_cols[0]], n_buckets)
-        return part
+        # .assign (not in-place setitem): batch_partial may return a slice
+        # of the input batch, and writing into a slice sprays
+        # SettingWithCopyWarning across every worker log line.
+        return part.assign(
+            **{BUCKET_COL: stable_bucket(part[key_cols] if len(key_cols) > 1 else part[key_cols[0]], n_buckets)}
+        )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         out = local_merge(group.drop(columns=[BUCKET_COL]))
