@@ -36,6 +36,38 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return h
 
 
+def md5_lower64(token: str) -> int:
+    """Lower 8 bytes of MD5 as a little-endian uint64 — the exact twin of
+    DuckDB's ``md5_number_lower``, so any signature built from it can be
+    recomputed verbatim by a SQL oracle (verified: both yield
+    10575884659879408057 for 'hello')."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(token.encode("utf-8", "replace")).digest()[8:16], "little")
+
+
+def md5_lower64_batch(tokens, cache: dict | None = None) -> np.ndarray:
+    """Vector of ``md5_lower64`` over a token sequence.  Hashes each
+    DISTINCT token once (documents repeat tokens heavily) and optionally
+    memoizes across calls via ``cache`` (an actor-resident dict)."""
+    toks = np.asarray(tokens, dtype=object)
+    if not len(toks):
+        return np.array([], dtype=np.uint64)
+    uniq, inv = np.unique(toks, return_inverse=True)
+    if cache is None:
+        vals = np.fromiter((md5_lower64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    else:
+        vals = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            v = cache.get(t)
+            if v is None:
+                v = md5_lower64(t)
+                if len(cache) < 1_000_000:  # bound actor-resident memo
+                    cache[t] = v
+            vals[i] = v
+    return vals[inv]
+
+
 def word_ngrams(text: str, n: int = 3) -> set[str]:
     ws = text.split()
     if len(ws) < n:

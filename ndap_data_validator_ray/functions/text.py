@@ -125,8 +125,15 @@ def quality_score(texts: pd.Series) -> np.ndarray:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Stable 64-bit document fingerprint (full-content hash)."""
-    return pd.util.hash_array(texts.fillna("").to_numpy(dtype=object), categorize=False).astype(np.uint64)
+    """Stable 64-bit document fingerprint: lower 8 MD5 bytes, little-endian
+    — the exact twin of DuckDB's ``md5_number_lower``, so fingerprints are
+    verifiable by a SQL oracle and content-addressed across engines (the
+    previous pandas ``hash_array`` was engine-private)."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64
+
+    return np.fromiter(
+        (md5_lower64(str(t)) for t in texts.fillna("")), dtype=np.uint64, count=len(texts)
+    )
 
 
 def rolling_fingerprints(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> np.ndarray:

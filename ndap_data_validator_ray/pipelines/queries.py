@@ -740,8 +740,8 @@ FROM r ORDER BY doc_id
 
 
 def fingerprints_documents(sf_dir: str) -> pd.DataFrame:
-    """64-bit content fingerprints (rows-only; stable across engines but the
-    hash function is engine-defined, so no SQL oracle)."""
+    """64-bit content fingerprints (lower-64 MD5, the DuckDB
+    ``md5_number_lower`` twin — value-hash oracled since round 4)."""
     from ndap_data_validator_ray.functions.text import fingerprint64
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
@@ -768,11 +768,58 @@ def minhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_pairs_documents(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    """SimHash near-dup pairs within Hamming distance 3, fully DuckDB-
+    oracled: token hash is the md5_number_lower twin, and the 4x16-bit
+    slice recall is EXACT at Hamming<=3 by pigeonhole, so the distributed
+    bucket+verify output equals SQL's all-pairs XOR/bit_count scan."""
     from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=(2, 8))
+    out = simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=(2, 8), token_hash="md5")
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["hamming"] = out["hamming"].astype("int64")
+    return out
+
+
+_FINGERPRINTS_SQL = """
+SELECT doc_id,
+  CAST(CASE WHEN m > 9223372036854775807
+            THEN CAST(m AS HUGEINT) - 18446744073709551616
+            ELSE CAST(m AS HUGEINT) END AS BIGINT) AS fingerprint
+FROM (SELECT doc_id, md5_number_lower(COALESCE(text, '')) AS m FROM documents)
+ORDER BY doc_id
+"""
+
+
+_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+), votes AS (
+  SELECT doc_id, b,
+    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bits
+  GROUP BY doc_id, b
+), sig_raw AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id,
+    CAST(CASE WHEN COALESCE(s.s, 0) > 9223372036854775807
+              THEN COALESCE(s.s, 0) - 18446744073709551616
+              ELSE COALESCE(s.s, 0) END AS BIGINT) AS sig
+  FROM documents d LEFT JOIN sig_raw s USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def ngram_jaccard_documents(sf_dir: str) -> pd.DataFrame:
@@ -867,6 +914,41 @@ def knn_embeddings_lsh(sf_dir: str) -> pd.DataFrame:
     qids, qmat = _query_vectors(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return lsh_topk(ds, qids, qmat, k=10, concurrency=2)[["query_id", "neighbor_id", "rank"]]
+
+
+def _knn_recall_rows(sf_dir: str, approx: pd.DataFrame, method: str) -> pd.DataFrame:
+    """Recall@10 of an approximate ANN result against the in-engine exact
+    brute-force top-k (itself value-hash oracled via ``knn_embeddings``):
+    the oracle-adjacent gate for LSH/IVF, whose bucket contents no SQL can
+    reproduce.  One row per query vector."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, qids, qmat, k=10, concurrency=2)
+    ex = exact.groupby("query_id")["neighbor_id"].apply(set)
+    ap = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = [
+        {
+            "query_id": int(q),
+            "method": method,
+            "recall_at_10": round(len(ex[q] & ap.get(q, set())) / max(1, len(ex[q])), 6),
+        }
+        for q in sorted(ex.index)
+    ]
+    return pd.DataFrame(rows)
+
+
+def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Per-query recall@10 of the LSH ANN vs exact brute force (rows-only;
+    gated by tests/test_similarity.py recall floors)."""
+    return _knn_recall_rows(sf_dir, knn_embeddings_lsh(sf_dir), "lsh")
+
+
+def knn_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """Per-query recall@10 of the IVF ANN vs exact brute force (rows-only;
+    gated by tests/test_similarity.py recall floors)."""
+    return _knn_recall_rows(sf_dir, knn_embeddings_ivf(sf_dir), "ivf")
 
 
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
@@ -1429,6 +1511,37 @@ def infer_roles_lineitem(sf_dir: str) -> pd.DataFrame:
         for f in sch
     ]
     return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+
+# DESCRIBE-based twin of functions/coercion.guess_role + guess_datatype_option
+# (reference validation.py:22-31,189-197): the same dtype/name-token CASE
+# ladder over DuckDB's view of the identical parquet schema.
+_INFER_ROLES_SQL = """
+WITH cols AS (
+  SELECT column_name AS "column", column_type AS dt FROM (DESCRIBE lineitem)
+), c AS (
+  SELECT "column", dt,
+    (dt = 'DATE' OR dt LIKE 'TIMESTAMP%') AS is_temporal,
+    (lower("column") LIKE '%date%' OR lower("column") LIKE '%time%'
+     OR lower("column") LIKE '%year%' OR lower("column") LIKE '%month%') AS has_time_token,
+    dt IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT',
+           'UTINYINT','USMALLINT','UINTEGER','UBIGINT') AS is_int,
+    dt IN ('FLOAT','REAL','DOUBLE') AS is_float
+  FROM cols
+)
+SELECT "column",
+  CASE WHEN is_temporal OR has_time_token THEN 'Time'
+       WHEN is_int OR is_float THEN 'Measures'
+       ELSE 'Others' END AS role,
+  CASE WHEN is_temporal OR has_time_token THEN ''
+       WHEN is_int THEN 'integer' WHEN is_float THEN 'float'
+       ELSE '' END AS measure_type,
+  CASE WHEN dt = 'BOOLEAN' THEN 'boolean'
+       WHEN is_int THEN 'integer' WHEN is_float THEN 'float'
+       WHEN is_temporal THEN 'datetime'
+       ELSE 'string' END AS datatype
+FROM c ORDER BY "column"
+"""
 
 
 def time_format_events(sf_dir: str) -> pd.DataFrame:
@@ -4040,7 +4153,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "orders_priority_stats": (orders_priority_stats, _ORDERS_PRIORITY_SQL),
     "csv_orders_priority_stats": (csv_orders_priority_stats, _ORDERS_PRIORITY_SQL),
     "coerce_bool_dates_events": (coerce_bool_dates_events, _COERCE_BOOL_DATES_SQL),
-    "infer_roles_lineitem": (infer_roles_lineitem, None),
+    "infer_roles_lineitem": (infer_roles_lineitem, _INFER_ROLES_SQL),
     "events_by_type": (events_by_type, _EVENTS_BY_TYPE_SQL),
     "events_hourly_activity": (events_hourly_activity, _EVENTS_HOURLY_SQL),
     "events_sessionization": (events_sessionization, _SESSIONS_SQL),
@@ -4065,14 +4178,16 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "char_stats_documents": (char_stats_documents, _CHAR_STATS_SQL),
     "lang_id_documents": (lang_id_documents, _lang_id_sql()),
     "quality_scores_documents": (quality_scores_documents, _quality_sql()),
-    "fingerprints_documents": (fingerprints_documents, None),
+    "fingerprints_documents": (fingerprints_documents, _FINGERPRINTS_SQL),
     "minhash_pairs_documents": (minhash_pairs_documents, None),
-    "simhash_pairs_documents": (simhash_pairs_documents, None),
+    "simhash_pairs_documents": (simhash_pairs_documents, _SIMHASH_SQL),
     "ngram_jaccard_documents": (ngram_jaccard_documents, None),
     "ngram_jaccard_exact_documents": (ngram_jaccard_exact_documents, _NGRAM_EXACT_SQL),
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
+    "knn_lsh_recall": (knn_lsh_recall, None),
+    "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,
         r"SELECT doc_id, COALESCE(array_length(regexp_extract_all(text, "
         r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]')), 0) AS n_subword_tokens "

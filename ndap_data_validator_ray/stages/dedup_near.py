@@ -362,17 +362,29 @@ def connected_components(pairs: pd.DataFrame, all_ids: pd.Series | None = None) 
 
 
 class SimHashStage:
-    """Batch stage: text -> 64-bit simhash (stored signed for Arrow)."""
+    """Batch stage: text -> 64-bit simhash (stored signed for Arrow).
 
-    def __init__(self, text_col: str, id_col: str):
+    ``token_hash``: "fast" (pandas hash_array, engine-private) or "md5"
+    (functions.hashing.md5_lower64 — the DuckDB ``md5_number_lower`` twin,
+    which makes the whole simhash pipeline SQL-oracleable).  The banding/
+    bucket/verify machinery downstream is identical either way."""
+
+    def __init__(self, text_col: str, id_col: str, token_hash: str = "fast"):
         self.text_col = text_col
         self.id_col = id_col
+        self.token_hash = token_hash
+        self._memo: dict = {}  # per-actor md5 memo (init once per actor)
+
+    def _hash_tokens(self, toks: np.ndarray) -> np.ndarray:
+        if self.token_hash == "md5":
+            return hs.md5_lower64_batch(toks, self._memo)
+        return pd.util.hash_array(toks, categorize=False)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for text in batch[self.text_col].fillna(""):
             toks = np.array(text.lower().split(), dtype=object)
-            th = pd.util.hash_array(toks, categorize=False) if len(toks) else np.array([], dtype=np.uint64)
+            th = self._hash_tokens(toks) if len(toks) else np.array([], dtype=np.uint64)
             out.append(np.int64(hs.simhash64(th).astype(np.int64)))
         return pd.DataFrame({self.id_col: batch[self.id_col], "simhash": out})
 
@@ -385,14 +397,18 @@ def simhash_near_pairs(
     concurrency: int | tuple = 4,
     verify_cap: int = 512,
     stats: dict | None = None,
+    token_hash: str = "fast",
 ) -> pd.DataFrame:
     """SimHash near-dup pairs: bucket on 4 x 16-bit signature slices (any
     pair within Hamming distance <= 3 of 64 bits shares at least one
-    untouched 16-bit slice by pigeonhole), verify Hamming inside buckets.
-    Over-cap buckets follow the star/sub-bucket policy (module docstring);
-    pass ``stats={}`` to observe ``oversized_buckets``."""
+    untouched 16-bit slice by pigeonhole — so recall is EXACT, not
+    probabilistic), verify Hamming inside buckets.  Over-cap buckets follow
+    the star/sub-bucket policy (module docstring); pass ``stats={}`` to
+    observe ``oversized_buckets``.  ``token_hash="md5"`` makes the output
+    bit-for-bit reproducible by a DuckDB oracle (see SimHashStage)."""
     sigs = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        SimHashStage,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, token_hash=token_hash),
         batch_format="pandas", concurrency=concurrency,
     )
 

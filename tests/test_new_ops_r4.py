@@ -1,0 +1,146 @@
+"""Round-4 gates: ANN recall floors, md5-twin hashing, distributed
+candidate-pair verification."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- oracle-adjacent ANN gates (round-3 verdict item 4) --------------------
+
+def test_knn_lsh_recall_floor():
+    """LSH ANN recall@10 vs the oracled exact brute force.  Deterministic
+    (seeded hyperplanes, fixed fixture): multiprobe=1 measured mean 0.54
+    at sf0.001 / 0.68 at sf0.01 — floors set with safety margin."""
+    from ndap_data_validator_ray.pipelines.queries import knn_lsh_recall
+
+    r = knn_lsh_recall(SF)
+    assert list(r.columns) == ["query_id", "method", "recall_at_10"]
+    assert len(r) == 5
+    assert r["recall_at_10"].mean() >= 0.4
+    assert r["recall_at_10"].min() >= 0.2
+
+
+def test_knn_ivf_recall_floor():
+    from ndap_data_validator_ray.pipelines.queries import knn_ivf_recall
+
+    r = knn_ivf_recall(SF)
+    assert len(r) == 5
+    assert r["recall_at_10"].mean() >= 0.6
+    assert r["recall_at_10"].min() >= 0.5
+
+
+def test_lsh_multiprobe_improves_recall():
+    """Hamming-1 multiprobe must strictly dominate exact-bucket probing on
+    the same tables (same seeds, same data)."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((400, 16)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": [list(v) for v in mat]})
+    ds = ray.data.from_pandas(df)
+    qids = np.array([0, 1, 2, 3, 4])
+
+    def recall(multiprobe: int) -> float:
+        exact = brute_force_topk(ds, qids, mat[:5], k=5, concurrency=2)
+        approx = lsh_topk(
+            ds, qids, mat[:5], k=5, n_planes=8, n_tables=4, concurrency=2, multiprobe=multiprobe
+        )
+        hits = total = 0
+        for qi in qids:
+            e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+            a = set(approx[approx["query_id"] == qi]["neighbor_id"])
+            hits += len(e & a)
+            total += len(e)
+        return hits / total
+
+    assert recall(1) >= recall(0)
+    assert recall(1) >= 0.4
+
+
+# --- md5_lower64: the DuckDB md5_number_lower twin --------------------------
+
+def test_md5_lower64_matches_duckdb():
+    import duckdb
+
+    from ndap_data_validator_ray.functions.hashing import md5_lower64, md5_lower64_batch
+
+    toks = ["hello", "", "x", "naïve", "a b", "12345"]
+    got = [md5_lower64(t) for t in toks]
+    want = [
+        duckdb.sql("SELECT md5_number_lower(?)", params=[t]).fetchone()[0] for t in toks
+    ]
+    assert got == want
+    # batch path agrees with the scalar path and honors the memo cache
+    cache: dict = {}
+    arr = md5_lower64_batch(toks * 3, cache)
+    assert arr.tolist() == (got * 3)
+    assert set(cache) == set(toks)
+
+
+def test_fingerprint64_is_md5_twin():
+    from ndap_data_validator_ray.functions.hashing import md5_lower64
+    from ndap_data_validator_ray.functions.text import fingerprint64
+
+    s = pd.Series(["doc one", None, ""])
+    got = fingerprint64(s)
+    assert got[0] == np.uint64(md5_lower64("doc one"))
+    assert got[1] == got[2] == np.uint64(md5_lower64(""))  # null -> ''
+
+
+def test_simhash_md5_token_hash_deterministic():
+    """The md5 token-hash path must give the same signature regardless of
+    batch split / actor (pure function of the text)."""
+    from ndap_data_validator_ray.stages.dedup_near import SimHashStage
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha  beta\tgamma"]})
+    stage = SimHashStage("text", "doc_id", token_hash="md5")
+    out1 = stage(df)
+    out2 = SimHashStage("text", "doc_id", token_hash="md5")(df.iloc[::-1].reset_index(drop=True))
+    # whitespace runs collapse identically -> same token stream -> same sig
+    assert out1["simhash"].iloc[0] == out1["simhash"].iloc[1]
+    assert set(out1["simhash"]) == set(out2["simhash"])
+
+
+# --- distributed pair verification (round-3 verdict items 1/2) --------------
+
+def test_verify_pairs_distributed_scores_and_dedupes():
+    from ndap_data_validator_ray.stages.dedup_near import verify_pairs_distributed
+
+    payload = ray.data.from_pandas(
+        pd.DataFrame({"id": np.arange(6, dtype=np.int64), "val": [float(i) for i in range(6)]})
+    )
+    # duplicate candidate rows must collapse to one scored edge
+    cands = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "id_a": np.array([0, 0, 1, 2], dtype=np.int64),
+                "id_b": np.array([5, 5, 4, 3], dtype=np.int64),
+            }
+        )
+    )
+
+    def scorer(a: pd.Series, b: pd.Series) -> np.ndarray:
+        return np.asarray(a, dtype=np.float64) + np.asarray(b, dtype=np.float64)
+
+    out = verify_pairs_distributed(cands, payload, "id", "val", scorer, "s")
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert out[["id_a", "id_b"]].values.tolist() == [[0, 5], [1, 4], [2, 3]]
+    assert out["s"].tolist() == [5.0, 5.0, 5.0]
+    # int64 ids survive the exchanges exactly (no float upcast)
+    assert out["id_a"].dtype == np.int64 and out["id_b"].dtype == np.int64
+
+
+def test_no_driver_text_dict_in_dedup_near():
+    """Regression guard for verdict items 1/2: the near-dup verify legs must
+    not materialize a driver-side payload dict from a full-corpus scan."""
+    import inspect
+
+    import ndap_data_validator_ray.stages.dedup_near as dn
+
+    src = inspect.getsource(dn)
+    assert ".to_dict()" not in src
+    assert "_minhash_sigs_for_ids" not in src
