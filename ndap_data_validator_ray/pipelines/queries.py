@@ -2604,39 +2604,53 @@ def tpch_q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
     cust = cust[cust["c_nationkey"].isin(nkeys)].sort_values("c_custkey")
     cust_ref = ray.put((cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
 
-    def orders_kept(batch: pd.DataFrame) -> pd.DataFrame:
+    def orders_kept(t: pa.Table) -> pa.Table:
+        # Arrow date-window filter first (zero-copy scan), numpy broadcast
+        # lookup only on the surviving rows
         ckeys, cnat = ray.get(cust_ref)
-        m = (batch["o_orderdate"] >= lo) & (batch["o_orderdate"] < hi)
-        kept = batch.loc[m]
-        pos = np.searchsorted(ckeys, kept["o_custkey"].to_numpy())
-        pos = np.clip(pos, 0, len(ckeys) - 1)
-        hit = ckeys[pos] == kept["o_custkey"].to_numpy()
-        return pd.DataFrame(
-            {"o_orderkey": kept["o_orderkey"].to_numpy()[hit], "c_nationkey": cnat[pos[hit]]}
+        d = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        ok = kept["o_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ckeys, ok), 0, max(len(ckeys) - 1, 0))
+        hit = ckeys[pos] == ok if len(ckeys) else np.zeros(len(ok), dtype=bool)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kept["o_orderkey"].to_numpy()[hit], pa.int64()),
+                "c_nationkey": pa.array(cnat[pos[hit]], pa.int64()),
+            }
         )
 
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_kept, batch_format="pandas")
+    ).map_batches(orders_kept, batch_format="pyarrow")
 
-    def li_kept(batch: pd.DataFrame) -> pd.DataFrame:
+    def li_kept(t: pa.Table) -> pa.Table:
         skeys, snat = ray.get(sup_ref)
-        lk = batch["l_suppkey"].to_numpy()
-        pos = np.clip(np.searchsorted(skeys, lk), 0, len(skeys) - 1)
-        hit = skeys[pos] == lk
-        part = pd.DataFrame(
+        lk = t["l_suppkey"].to_numpy()
+        pos = np.clip(np.searchsorted(skeys, lk), 0, max(len(skeys) - 1, 0))
+        hit = skeys[pos] == lk if len(skeys) else np.zeros(len(lk), dtype=bool)
+        rev = (
+            t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+        )[hit]
+        part = pa.table(
             {
-                "o_orderkey": batch["l_orderkey"].to_numpy()[hit],
-                "s_nationkey": snat[pos[hit]],
-                "revenue": (batch["l_extendedprice"] * (1.0 - batch["l_discount"])).to_numpy()[hit],
+                "o_orderkey": pa.array(t["l_orderkey"].to_numpy()[hit], pa.int64()),
+                "s_nationkey": pa.array(snat[pos[hit]], pa.int64()),
+                "revenue": pa.array(rev, pa.float64()),
             }
         )
-        # per-batch combiner before the exchange
-        return part.groupby(["o_orderkey", "s_nationkey"], as_index=False)["revenue"].sum()
+        # per-batch Arrow combiner before the exchange
+        return part.group_by(["o_orderkey", "s_nationkey"]).aggregate(
+            [("revenue", "sum")]
+        ).rename_columns(["o_orderkey", "s_nationkey", "revenue"])
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
-    ).map_batches(li_kept, batch_format="pandas")
+    ).map_batches(li_kept, batch_format="pyarrow")
 
     joined = bucketed_join(li, orders, on=["o_orderkey"], how="inner", n_buckets=16)
 
@@ -3731,14 +3745,19 @@ def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native pre-agg: the full block never converts to pandas
+        return t.group_by("l_orderkey").aggregate([("l_quantity", "sum")]).rename_columns(
+            ["l_orderkey", "l_quantity"]
+        )
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
         return g[g["l_quantity"] > 250.0]
 
-    heavy = bucketed_groupby(li, ["l_orderkey"], partial, merge, n_buckets=32).to_pandas()
+    heavy = bucketed_groupby(
+        li, ["l_orderkey"], partial, merge, n_buckets=32, partial_format="pyarrow"
+    ).to_pandas()
     cols = ["o_orderkey", "o_custkey", "o_orderdate", "total_qty"]
     if heavy.empty:
         return pd.DataFrame({c: pd.Series(dtype="object") for c in cols})

@@ -76,19 +76,25 @@ def stable_bucket(keys: pd.Series | pd.DataFrame, n_buckets: int) -> np.ndarray:
 def bucketed_groupby(
     ds: "ray.data.Dataset",
     key_cols: list[str],
-    batch_partial: Callable[[pd.DataFrame], pd.DataFrame],
+    batch_partial: Callable,
     local_merge: Callable[[pd.DataFrame], pd.DataFrame],
     n_buckets: int = 64,
+    partial_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """Two-phase grouped aggregation.
 
-    ``batch_partial``: pandas batch -> partial rows (must carry key_cols).
+    ``batch_partial``: batch -> partial rows (must carry key_cols).
     ``local_merge``: all partial rows of one bucket -> final rows for every
     key in that bucket.  Output excludes the bucket column.
+
+    ``partial_format="pyarrow"`` feeds ``batch_partial`` zero-copy Arrow
+    tables (it may return an Arrow table or a DataFrame) — the scan-side
+    chain then never pays an Arrow->pandas copy of the FULL block; only the
+    already-aggregated partial (<= n_keys-in-block rows) converts for
+    bucketing and the exchange.
     """
 
-    def partial_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        part = batch_partial(batch)
+    def bucketize(part: pd.DataFrame) -> pd.DataFrame:
         # .assign (not in-place setitem): batch_partial may return a slice
         # of the input batch, and writing into a slice sprays
         # SettingWithCopyWarning across every worker log line.
@@ -96,41 +102,83 @@ def bucketed_groupby(
             **{BUCKET_COL: stable_bucket(part[key_cols] if len(key_cols) > 1 else part[key_cols[0]], n_buckets)}
         )
 
+    def partial_with_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        return bucketize(batch_partial(batch))
+
+    def partial_with_bucket_arrow(batch) -> pd.DataFrame:
+        part = batch_partial(batch)
+        if not isinstance(part, pd.DataFrame):
+            part = part.to_pandas()
+        return bucketize(part)
+
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         out = local_merge(group.drop(columns=[BUCKET_COL]))
         return out
 
-    return ds.map_batches(partial_with_bucket, batch_format="pandas").groupby(BUCKET_COL).map_groups(
-        merge, batch_format="pandas"
-    )
+    if partial_format == "pyarrow":
+        mapped = ds.map_batches(partial_with_bucket_arrow, batch_format="pyarrow")
+    else:
+        mapped = ds.map_batches(partial_with_bucket, batch_format="pandas")
+    return mapped.groupby(BUCKET_COL).map_groups(merge, batch_format="pandas")
 
 
 def sum_by_key(
-    ds: "ray.data.Dataset", key_cols: list[str], value_cols: list[str], n_buckets: int = 64
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    value_cols: list[str],
+    n_buckets: int = 64,
+    partial_format: str = "pyarrow",
 ) -> "ray.data.Dataset":
     """Convenience: SUM(value_cols) GROUP BY key_cols, bucketed.
 
-    SQL NULL-group semantics: null keys form ONE group (dropna=False;
-    pandas' default would silently drop them)."""
+    SQL NULL-group semantics: null keys form ONE group (Arrow ``group_by``
+    and pandas ``dropna=False`` both do this; pandas' default would
+    silently drop them).  The default partial is Arrow-native
+    (``Table.group_by``): the full block never converts to pandas — only
+    the per-block partial does (round-3 verdict item 5)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.groupby(key_cols, as_index=False, dropna=False)[value_cols].sum()
+    if partial_format == "pyarrow":
+        import pyarrow as pa
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            agg = batch.group_by(key_cols).aggregate([(v, "sum") for v in value_cols])
+            return agg.rename_columns(list(key_cols) + list(value_cols))
+
+    else:
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.groupby(key_cols, as_index=False, dropna=False)[value_cols].sum()
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby(key_cols, as_index=False, dropna=False)[value_cols].sum()
 
-    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)
+    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets, partial_format=partial_format)
 
 
-def count_by_key(ds: "ray.data.Dataset", key_cols: list[str], n_buckets: int = 64, count_col: str = "cnt") -> "ray.data.Dataset":
+def count_by_key(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    n_buckets: int = 64,
+    count_col: str = "cnt",
+    partial_format: str = "pyarrow",
+) -> "ray.data.Dataset":
     """Convenience: COUNT(*) GROUP BY key_cols, bucketed (null keys
     form one group, as in SQL — see sum_by_key)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby(key_cols, as_index=False, dropna=False).size()
-        return g.rename(columns={"size": count_col})
+    if partial_format == "pyarrow":
+        import pyarrow as pa
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            agg = batch.group_by(key_cols).aggregate([([], "count_all")])
+            return agg.rename_columns(list(key_cols) + [count_col])
+
+    else:
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch.groupby(key_cols, as_index=False, dropna=False).size()
+            return g.rename(columns={"size": count_col})
 
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         return part.groupby(key_cols, as_index=False, dropna=False)[count_col].sum()
 
-    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets)
+    return bucketed_groupby(ds, key_cols, partial, merge, n_buckets, partial_format=partial_format)

@@ -30,8 +30,9 @@ def test_entry_module_contract():
     for name in no_oracle:
         assert any(
             name.startswith(p)
-            for p in ("clips_", "fingerprints", "minhash", "simhash", "ngram_jaccard_documents",
-                      "knn_embeddings_", "embedding_near", "image_", "video_", "infer_roles",
+            for p in ("clips_", "minhash", "ngram_jaccard_documents",
+                      "knn_embeddings_", "knn_lsh_recall", "knn_ivf_recall",
+                      "embedding_near", "image_", "video_",
                       "role_validation", "kmeans_", "pack_", "containment_", "bpe_")
         ), f"unexpected rows-only query {name!r}"
 
