@@ -939,6 +939,28 @@ def _knn_recall_rows(sf_dir: str, approx: pd.DataFrame, method: str) -> pd.DataF
     return pd.DataFrame(rows)
 
 
+def knn_embeddings_ivf_indexed(sf_dir: str) -> pd.DataFrame:
+    """IVF over a PERSISTED cell-partitioned index (round-3 verdict item
+    6): the corpus is written once as hive-partitioned parquet
+    (``cell=K/``) under /tmp (cached per sf_dir), and each query batch
+    reads ONLY its probe cells' files — ~nprobe/n_clusters of the corpus
+    never leaves storage (vs ``knn_embeddings_ivf``, which streams the
+    full corpus and prunes compute-side)."""
+    import hashlib as _hl
+    import os
+
+    from ndap_data_validator_ray.stages.similarity import ivf_build_index, ivf_query_index
+
+    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|c16|t2048".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/ndap_ivf_index/{tag}"
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        ivf_build_index(ds, index_dir, n_clusters=16, train_sample=2048)
+    qids, qmat = _query_vectors(sf_dir)
+    res, _pruned = ivf_query_index(index_dir, qids, qmat, k=10, nprobe=6, concurrency=2)
+    return res[["query_id", "neighbor_id", "rank"]]
+
+
 def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
     """Per-query recall@10 of the LSH ANN vs exact brute force (rows-only;
     gated by tests/test_similarity.py recall floors)."""
@@ -4205,6 +4227,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
+    "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,

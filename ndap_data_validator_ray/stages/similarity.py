@@ -369,6 +369,19 @@ def exact_cosine_topk_pairs(
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
+def _train_centroids(
+    ds: "ray.data.Dataset", vec_col: str, n_clusters: int, train_sample: int
+) -> np.ndarray:
+    """Coarse-quantizer training on a seeded random sample (never
+    ``limit(n)`` alone — on sorted input that trains on one region)."""
+    n_rows = ds.count()
+    frac = min(1.0, (4.0 * train_sample) / max(1, n_rows))
+    sample_rows = ds.random_sample(frac, seed=31).limit(train_sample).to_pandas()
+    if len(sample_rows) < min(train_sample, n_rows) // 4:
+        sample_rows = ds.limit(train_sample).to_pandas()  # tiny input fallback
+    return _kmeans(_batch_matrix(sample_rows, vec_col), n_clusters)
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int = 8, seed: int = 31) -> np.ndarray:
     """Tiny deterministic k-means (numpy) for the coarse quantizer."""
     rng = np.random.default_rng(seed)
@@ -435,13 +448,7 @@ def ivf_topk(
     Training uses a seeded RANDOM sample — ``limit(n)`` would take the
     first n rows, which on sorted / per-shard-clustered input trains the
     quantizer on one region of the space (round-2 verdict item 8)."""
-    n_rows = ds.count()
-    frac = min(1.0, (4.0 * train_sample) / max(1, n_rows))
-    sample_rows = ds.random_sample(frac, seed=31).limit(train_sample).to_pandas()
-    if len(sample_rows) < min(train_sample, n_rows) // 4:
-        sample_rows = ds.limit(train_sample).to_pandas()  # tiny input fallback
-    sample = _batch_matrix(sample_rows, vec_col)
-    centroids = _kmeans(sample, n_clusters)
+    centroids = _train_centroids(ds, vec_col, n_clusters, train_sample)
     qm = np.asarray(query_matrix, dtype=np.float64)
     q_ref = ray.put({"ids": np.asarray(query_ids), "matrix": qm})
     c_ref = ray.put(centroids)
@@ -462,3 +469,123 @@ def ivf_topk(
     return pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim", "rank"]).sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
+
+
+# --- persisted IVF index (cell-partitioned corpus) --------------------------
+
+def ivf_build_index(
+    ds: "ray.data.Dataset",
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    train_sample: int = 2048,
+) -> np.ndarray:
+    """Build a PERSISTED inverted-file index: train the coarse quantizer,
+    assign every vector its cell in one streaming pass (centroids
+    broadcast via ``ray.put``), and write the corpus as hive-partitioned
+    parquet (``cell=K/``) — one directory per cell (round-3 verdict item
+    6).  Queries then read a STRICT SUBSET of files (~nprobe/n_clusters of
+    the corpus never leaves storage), instead of streaming the full corpus
+    through compute-side pruning as ``ivf_topk`` does.  The 100 TB shape:
+    index build is one write-side exchange paid once; the directory layout
+    is resumable and shardable.  Returns the centroid matrix (also saved
+    to ``index_dir/centroids.npy``)."""
+    import os
+
+    centroids = _train_centroids(ds, vec_col, n_clusters, train_sample)
+    c_ref = ray.put(_normalize(centroids))
+
+    def assign_cell(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                vec_col: batch[vec_col].to_numpy(),
+                "cell": np.argmax(m @ c.T, axis=1).astype(np.int64),
+            }
+        )
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign_cell, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    return centroids
+
+
+def ivf_query_index(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    concurrency: int | tuple = 2,
+) -> tuple[pd.DataFrame, "ray.data.Dataset"]:
+    """Query a persisted IVF index: compute each query's ``nprobe`` cells
+    on the driver, read ONLY those ``cell=K/`` directories (file-level
+    pruning — verifiable via ``dataset.input_files()``), score per-cell
+    respecting each query's own probe set, and merge local top-k on the
+    driver.  Returns ``(result, pruned_dataset)`` so callers/tests can
+    inspect exactly what was read."""
+    import os
+
+    centroids = _normalize(np.load(os.path.join(index_dir, "centroids.npy")))
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    q_ids = np.asarray(query_ids)
+    sims = qm @ centroids.T
+    probe = np.argsort(-sims, axis=1)[:, :nprobe]  # (n_queries, nprobe)
+    cells = sorted({int(c) for row in probe for c in row})
+    import glob
+
+    paths = [
+        f
+        for c in cells
+        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"]), None
+    from ray.data.datasource.partitioning import Partitioning
+
+    pruned = ray.data.read_parquet(
+        paths,
+        columns=[id_col, vec_col, "cell"],
+        partitioning=Partitioning("hive", base_dir=index_dir),
+    )
+    q_ref = ray.put({"ids": q_ids, "matrix": qm, "probe": probe})
+
+    class CellScorer:
+        def __init__(self):
+            q = ray.get(q_ref)
+            self.q_ids, self.q_mat, self.probe = q["ids"], q["matrix"], q["probe"]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            ids = batch[id_col].to_numpy()
+            cell = batch["cell"].to_numpy().astype(np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.q_ids):
+                rows = np.flatnonzero(np.isin(cell, self.probe[qi]))
+                if len(rows) == 0:
+                    continue
+                s = m[rows] @ self.q_mat[qi]
+                keep = np.argsort(-s)[:k]
+                out_q.extend([qid] * len(keep))
+                out_v.extend(ids[rows[keep]].tolist())
+                out_s.extend(s[keep].tolist())
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_v, "sim": out_s})
+
+    partials = pruned.map_batches(CellScorer, batch_format="pandas", concurrency=concurrency).to_pandas()
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        best = heapq.nlargest(k, g.itertuples(index=False), key=lambda r: (r.sim, -int(r.neighbor_id)))
+        for rank, r in enumerate(best, 1):
+            out.append((qid, r.neighbor_id, r.sim, rank))
+    res = pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim", "rank"]).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    return res, pruned

@@ -144,3 +144,50 @@ def test_no_driver_text_dict_in_dedup_near():
     src = inspect.getsource(dn)
     assert ".to_dict()" not in src
     assert "_minhash_sigs_for_ids" not in src
+
+
+# --- persisted IVF index (round-3 verdict item 6) ----------------------------
+
+def test_ivf_index_prunes_files_and_keeps_recall(tmp_path):
+    from ndap_data_validator_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((600, 16)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(600), "embedding": [list(v) for v in mat]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(ds, idx, n_clusters=8, train_sample=600)
+
+    import os
+
+    cell_dirs = [d for d in os.listdir(idx) if d.startswith("cell=")]
+    assert len(cell_dirs) >= 6  # corpus actually spread across cells
+
+    qids = np.array([0, 1, 2])
+    res, pruned = ivf_query_index(idx, qids, mat[:3], k=5, nprobe=2, concurrency=2)
+    # STRICT file subset: nprobe=2 of >=6 cells -> at most 6 of the cell
+    # dirs are ever read (union over 3 queries), provably not all of them
+    read_cells = {f.split("cell=")[1].split("/")[0] for f in pruned.input_files()}
+    assert len(read_cells) < len(cell_dirs)
+    assert len(read_cells) <= 6
+
+    # every result's neighbor must come from a probed cell, and recall vs
+    # exact stays useful
+    exact = brute_force_topk(ds, qids, mat[:3], k=5, concurrency=2)
+    hits = total = 0
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["neighbor_id"])
+        a = set(res[res["query_id"] == qi]["neighbor_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.4
+
+    # the indexed variant agrees with the streaming ivf_topk contract:
+    # rank column is 1..k per query
+    for qi in qids:
+        ranks = res[res["query_id"] == qi]["rank"].tolist()
+        assert ranks == list(range(1, len(ranks) + 1))
