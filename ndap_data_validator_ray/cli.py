@@ -87,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and (args.list or args.name is None):
+        # metadata-only: the registry import needs no Ray session, so don't
+        # pay multi-second Ray startup just to print names
+        from ndap_data_validator_ray.pipelines.queries import REGISTRY
+
+        for name, (_fn, sql) in sorted(REGISTRY.items()):
+            print(f"{name}\t{'oracle' if sql else 'rows-only'}")
+        return 0
+
     _ensure_ray(getattr(args, "num_cpus", None))
 
     if args.cmd in ("validate", "baseline") and not os.path.isdir(args.data):
@@ -145,13 +155,6 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         from ndap_data_validator_ray.pipelines.queries import REGISTRY
 
-        if args.list or args.name is None:
-            for name, (_fn, sql) in sorted(REGISTRY.items()):
-                print(f"{name}\t{'oracle' if sql else 'rows-only'}")
-            import ray
-
-            ray.shutdown()
-            return 0
         if args.name not in REGISTRY:
             print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
             return 2

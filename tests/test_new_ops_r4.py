@@ -191,3 +191,27 @@ def test_ivf_index_prunes_files_and_keeps_recall(tmp_path):
     for qi in qids:
         ranks = res[res["query_id"] == qi]["rank"].tolist()
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+# --- int64-exact distributed running sum (round-3 ADVICE) --------------------
+
+def test_global_running_sum_int64_exact_past_2_53():
+    """Integer inputs accumulate in int64 end-to-end: prefixes beyond
+    2^53 (where float64 silently rounds) must stay exact."""
+    from ndap_data_validator_ray.stages.sort import global_running_sum
+
+    # first value lands past 2^53 with an ODD prefix; the +2 steps keep
+    # every later prefix odd, i.e. unrepresentable in float64
+    vals = np.array([2**53 + 1, 2, 2, 2, 2, 2, 2, 2], dtype=np.int64)
+    df = pd.DataFrame({"k": np.arange(8, dtype=np.int64), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (
+        global_running_sum(ds, ["k"], "v", out="run", n_parts=4)
+        .to_pandas()
+        .sort_values("k")
+    )
+    expect = np.cumsum(vals)
+    assert out["run"].to_numpy().tolist() == expect.tolist()
+    assert out["run"].dtype == np.int64
+    # float64 could NOT represent these: proves the int path is live
+    assert any(int(np.float64(int(x))) != int(x) for x in expect)
