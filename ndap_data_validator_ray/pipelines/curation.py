@@ -13,13 +13,12 @@ Execution shape (one full-data exchange, one light exchange):
    broadcast (``stages/decontaminate.collect_gram_set``); full rows ride
    along.
 2. ONE bucketed exchange on the dedup prefix resolves keep-lowest-id
-   among quality survivors and immediately filters, so the written
-   output streams out of the reducers — the corpus crosses the wire
-   exactly once (any exact dedup that must emit survivors pays one
-   full-data shuffle; there is no cheaper shape).
-3. Funnel counts come from a flags-only twin pipeline (prefix + three
-   int64 flags per doc — O(rows x ~50 bytes), no text), the same
-   main-pass/side-scan split as the flagship clip pipeline.
+   among quality survivors; the flagged reducer output is materialized
+   (the shuffle produced those blocks anyway), so the corpus crosses the
+   wire exactly once and every flag is computed exactly once.
+3. Funnel counts and the kept-corpus write are both cheap column passes
+   over the materialized flagged blocks (4 int64s per block to the
+   driver; filter + column drop for the write).
 
 Resumable output: ``write_parquet`` under ``<out>/kept`` (one file per
 block); the summary JSON is written last, so a summary's presence marks
@@ -106,44 +105,44 @@ def curate_documents(
         out[BUCKET_COL] = stable_bucket(out["_prefix"], n_buckets)
         return out
 
-    def keep_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        part = _dedup_flag(group.drop(columns=[BUCKET_COL]), id_col)
-        kept = part[(part["_q"] == 1) & (part["_d"] == 1) & (part["_c"] == 1)]
-        return kept.drop(columns=["_q", "_c", "_d", "_prefix"])
+    def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return _dedup_flag(group.drop(columns=[BUCKET_COL]), id_col)
 
-    kept_dir = os.path.join(out_dir, "kept")
-    (
+    # ONE pass computes every flag (round-3 ADVICE: the old flags-only twin
+    # re-ran repetition_stats + the benchmark gram intersection over the
+    # full corpus just to produce four counters, doubling the dominant CPU
+    # cost).  The flagged exchange output is materialized — the shuffle has
+    # produced those blocks anyway — and both consumers below are cheap
+    # column reads over it.
+    flagged = (
         ray.data.read_parquet(data_path)
         .map_batches(flags, batch_format="pandas")
         .groupby(BUCKET_COL)
-        .map_groups(keep_bucket, batch_format="pandas")
-        .write_parquet(kept_dir)
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .materialize()
     )
 
-    # flags-only funnel twin: prefix + three int64 flags per doc, no text
+    kept_dir = os.path.join(out_dir, "kept")
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch[(batch["_q"] == 1) & (batch["_d"] == 1) & (batch["_c"] == 1)]
+        return kept.drop(columns=["_q", "_c", "_d", "_prefix"])
+
+    flagged.map_batches(keep, batch_format="pandas").write_parquet(kept_dir)
+
+    # funnel counters: a flags-column fold over the materialized blocks
+    # (4 int64s per block to the driver, zero flag recomputation)
     def flag_counts(batch: pd.DataFrame) -> pd.DataFrame:
-        part = _dedup_flag(batch, id_col)
         return pd.DataFrame(
             {
-                "n": [np.int64(len(part))],
-                "q": [part["_q"].sum()],
-                "qd": [(part["_q"] * part["_d"]).sum()],
-                "qdc": [(part["_q"] * part["_d"] * part["_c"]).sum()],
+                "n": [np.int64(len(batch))],
+                "q": [batch["_q"].sum()],
+                "qd": [(batch["_q"] * batch["_d"]).sum()],
+                "qdc": [(batch["_q"] * batch["_d"] * batch["_c"]).sum()],
             }
         )
 
-    light = (
-        ray.data.read_parquet(data_path, columns=[id_col, text_col])
-        .map_batches(flags, batch_format="pandas")
-        .map_batches(
-            lambda b: b[[id_col, "_q", "_c", "_prefix", BUCKET_COL]], batch_format="pandas"
-        )
-        .groupby(BUCKET_COL)
-        .map_groups(
-            lambda g: flag_counts(g.drop(columns=[BUCKET_COL])), batch_format="pandas"
-        )
-        .to_pandas()
-    )
+    light = flagged.map_batches(flag_counts, batch_format="pandas").to_pandas()
     summary = {
         "input_docs": int(light["n"].sum()),
         "quality_kept": int(light["q"].sum()),

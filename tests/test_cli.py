@@ -118,11 +118,12 @@ ded AS (SELECT doc_id, q, text,
         CASE WHEN q = 1 AND doc_id = MIN(CASE WHEN q = 1 THEN doc_id END)
                   OVER (PARTITION BY substr(text, 1, 40)) THEN 1 ELSE 0 END AS d
         FROM q),
-allg AS (SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws FROM documents),
+allg AS (SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws FROM documents),
 grams AS (SELECT doc_id,
     CASE WHEN len(ws) >= 3
       THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
-      ELSE [array_to_string(ws, ' ')] END AS g FROM allg),
+      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+      ELSE CAST([] AS VARCHAR[]) END AS g FROM allg),
 bgrams AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0),
 contaminated AS (SELECT DISTINCT c.doc_id
   FROM (SELECT doc_id, unnest(g) AS gram FROM grams) c JOIN bgrams b ON c.gram = b.gram)

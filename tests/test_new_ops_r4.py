@@ -215,3 +215,43 @@ def test_global_running_sum_int64_exact_past_2_53():
     assert out["run"].dtype == np.int64
     # float64 could NOT represent these: proves the int path is live
     assert any(int(np.float64(int(x))) != int(x) for x in expect)
+
+
+# --- tokenizer parity: engine word_ngrams vs SQL oracle fragment -------------
+
+def test_gram_sql_fragment_matches_engine_on_tricky_whitespace():
+    """Round-3 ADVICE: the oracles' old string_split(text, ' ') diverged
+    from the engine's any-whitespace str.split() on newlines, runs of
+    spaces, and empty text.  The normalized regexp_split fragment must
+    agree on exactly those inputs."""
+    import duckdb
+
+    from ndap_data_validator_ray.functions.hashing import word_ngrams
+
+    texts = [
+        "plain three token doc",
+        "double  space",
+        "newline\nseparated tokens here",
+        "tab\tand\nmix  of runs",
+        "",
+        "  leading and trailing  ",
+        "two tokens",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (SELECT unnest(range(7)) AS doc_id)")
+    con.execute("ALTER TABLE d ADD COLUMN text VARCHAR")
+    for i, t in enumerate(texts):
+        con.execute("UPDATE d SET text = ? WHERE doc_id = ?", [t, i])
+    rows = con.execute(r"""
+        WITH tok AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws FROM d
+        )
+        SELECT doc_id,
+          CASE WHEN len(ws) >= 3
+            THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+            WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+            ELSE CAST([] AS VARCHAR[]) END AS g
+        FROM tok ORDER BY doc_id
+    """).fetchall()
+    for (doc_id, g), t in zip(rows, texts):
+        assert set(g) == word_ngrams(t, 3), (t, g, word_ngrams(t, 3))
