@@ -81,16 +81,16 @@ def _headline_clips(num_cpus: int) -> dict:
         ClipRunConfig(
             out_dir=out_dir,
             run_id="BENCH",
-            # FIXED pool at 80% of CPUs: Ray's autoscaling pool ramps too
-            # slowly to reach its max on a bounded run (measured 2.6x
-            # slower).  Round 3 tested a bigger pool (14/16): it STARVES —
-            # one read CPU feeds ~12 decode actors (620 MB/s read vs 52
-            # MB/s/actor decode), and the read + uniqueness-scan +
-            # union-write tasks need ~2.5 CPUs between them, so pushing the
-            # pool past 80% just converts decode-bound into read-bound with
-            # idle actors (measured 72% pool busy at 14 actors vs 88% at
-            # 12).  Proportional at both cluster sizes (fair N vs 4N).
-            audio_concurrency=max(2, int(num_cpus * 0.8)),
+            # TASK-mode fused stage (round-4, verdict item 8): Ray fuses
+            # read->decode->validate->compact into one task chain and packs
+            # every CPU with no pool-split ramp gaps.  Measured at 50k/32
+            # CPUs: 12.9-13.2k clips/s vs 7.5-8.6k for the fixed 80% actor
+            # pool (2026-08-18, two fresh-process reps each).  The actor
+            # pool (audio_concurrency=max(2, int(num_cpus*0.8))) remains
+            # the CLI default for real model-loading decoders with
+            # GPU/heap affinity; round-3 pool-size findings are recorded
+            # in BASELINE.md.
+            audio_concurrency=None,
             batch_size=512,
             resume=False,
             full_decode=True,
