@@ -86,11 +86,18 @@ def _headline_clips(num_cpus: int) -> dict:
             # every CPU with no pool-split ramp gaps.  Measured at 50k/32
             # CPUs: 12.9-13.2k clips/s vs 7.5-8.6k for the fixed 80% actor
             # pool (2026-08-18, two fresh-process reps each).  The actor
-            # pool (audio_concurrency=max(2, int(num_cpus*0.8))) remains
-            # the CLI default for real model-loading decoders with
-            # GPU/heap affinity; round-3 pool-size findings are recorded
-            # in BASELINE.md.
-            audio_concurrency=None,
+            # pool (NDAP_BENCH_AUDIO_MODE=actor -> max(2, 0.8*cpus)) stays
+            # selectable: it is the CLI default for real model-loading
+            # decoders, and --scaling pins it because the task path
+            # saturates this box's ~500 MB/s read bandwidth at 16+ CPUs
+            # (faster at EVERY level, but the ceiling flattens the N->4N
+            # ratio; a real cluster adds read bandwidth with nodes).
+            # Both modes' numbers are recorded in BASELINE.md.
+            audio_concurrency=(
+                max(2, int(num_cpus * 0.8))
+                if os.environ.get("NDAP_BENCH_AUDIO_MODE", "task") == "actor"
+                else None
+            ),
             batch_size=512,
             resume=False,
             full_decode=True,
@@ -207,6 +214,12 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             NDAP_BENCH_ONLY_HEADLINE="1",
             NDAP_BENCH_CLIPS=scaling_rows,
+            # actor pool for the scaling evidence (same config at BOTH
+            # levels): the task path is faster at every level but pins
+            # this box's read bandwidth at 16+ CPUs, so its N->4N ratio
+            # measures the disk, not the engine (see _headline_clips and
+            # BASELINE.md; override with NDAP_BENCH_AUDIO_MODE=task)
+            NDAP_BENCH_AUDIO_MODE=os.environ.get("NDAP_BENCH_AUDIO_MODE", "actor"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env, capture_output=True, text=True, check=True

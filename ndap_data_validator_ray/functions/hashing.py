@@ -214,6 +214,32 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
     return out
 
 
+def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a whole batch: ``token_hashes``
+    is the concatenation of every doc's token hashes, ``offsets`` the
+    doc boundaries (len = n_docs + 1).  One (tokens, 64) bit expansion +
+    a segmented cumsum-difference replaces the per-doc Python loop
+    (empty docs — equal offsets — correctly get signature 0, which
+    ``np.add.reduceat`` would botch).  Unit weights (the engine's only
+    use)."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not len(token_hashes):
+        return out
+    h = token_hashes.astype(np.uint64)
+    votes = (
+        ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        .astype(np.int32)
+        * 2 - 1
+    )
+    cs = np.zeros((len(h) + 1, 64), dtype=np.int64)
+    np.cumsum(votes, axis=0, out=cs[1:])
+    seg = cs[offsets[1:]] - cs[offsets[:-1]]  # (n_docs, 64) per-bit vote sums
+    bits = seg > 0
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
     """Vectorized Hamming distance of an array of uint64 against one value."""
     x = np.bitwise_xor(a.astype(np.uint64), b)

@@ -940,6 +940,48 @@ def _knn_recall_rows(sf_dir: str, approx: pd.DataFrame, method: str) -> pd.DataF
     return pd.DataFrame(rows)
 
 
+def order_chain_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components (stages/cc.py — the 100 TB
+    dedup-clustering path: min-label propagation + pointer jumping, only
+    bucketed exchanges, one convergence scalar per round to the driver)
+    over a graph SQL can also label: each customer's orders sorted by key
+    and chained consecutively, so every component is exactly one
+    customer's order set and the min-id label equals
+    ``MIN(o_orderkey) OVER (PARTITION BY o_custkey)``.  Chains are up to
+    ~40 long — multi-hop propagation is genuinely exercised (pointer
+    jumping converges in O(log L) rounds).  Single-order customers are
+    isolated nodes fed via ``nodes=``."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def chain_edges(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["o_custkey", "o_orderkey"])
+        ck = p["o_custkey"].to_numpy()
+        ok = p["o_orderkey"].to_numpy().astype(np.int64)
+        if len(ok) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        same = ck[1:] == ck[:-1]
+        return pd.DataFrame({"id_a": ok[:-1][same], "id_b": ok[1:][same]})
+
+    edges = bucketed_groupby(orders, ["o_custkey"], lambda b: b, chain_edges).materialize()
+    nodes = orders.map_batches(
+        lambda t: pa.table({"node": t["o_orderkey"]}), batch_format="pyarrow"
+    )
+    comp = distributed_connected_components(edges, nodes=nodes).to_pandas()
+    comp = comp.rename(columns={"node": "o_orderkey"})
+    comp["o_orderkey"] = comp["o_orderkey"].astype("int64")
+    comp["component"] = comp["component"].astype("int64")
+    return comp.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ORDER_CHAIN_CC_SQL = """
+SELECT o_orderkey, MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+FROM orders ORDER BY o_orderkey
+"""
+
+
 def knn_embeddings_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     """IVF over a PERSISTED cell-partitioned index (round-3 verdict item
     6): the corpus is written once as hive-partitioned parquet
@@ -4231,6 +4273,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
+    "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,

@@ -381,12 +381,15 @@ class SimHashStage:
         return pd.util.hash_array(toks, categorize=False)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch[self.text_col].fillna(""):
-            toks = np.array(text.lower().split(), dtype=object)
-            th = self._hash_tokens(toks) if len(toks) else np.array([], dtype=np.uint64)
-            out.append(np.int64(hs.simhash64(th).astype(np.int64)))
-        return pd.DataFrame({self.id_col: batch[self.id_col], "simhash": out})
+        # batched: one concatenated token-hash array + segmented bit-vote
+        # (hashing.simhash64_batch) instead of a per-doc Python loop
+        tok_lists = [t.lower().split() for t in batch[self.text_col].fillna("")]
+        offsets = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in tok_lists], out=offsets[1:])
+        flat = np.array([w for ts in tok_lists for w in ts], dtype=object)
+        th = self._hash_tokens(flat) if len(flat) else np.array([], dtype=np.uint64)
+        sigs = hs.simhash64_batch(th, offsets).astype(np.int64)
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(), "simhash": sigs})
 
 
 def simhash_near_pairs(
