@@ -940,6 +940,29 @@ def _knn_recall_rows(sf_dir: str, approx: pd.DataFrame, method: str) -> pd.DataF
     return pd.DataFrame(rows)
 
 
+def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup clustering, the full 100 TB dedup flow: MinHash
+    LSH recall → distributed signature verify (no driver payload dict) →
+    DISTRIBUTED connected components (stages/cc.py) → per-cluster
+    min-doc_id representative.  Emits only clustered docs (component size
+    >= 2), with their representative (rows-only: LSH recall is
+    engine-defined; the CC stage itself is oracled via
+    ``order_chain_components`` and the pair stage via planted tests)."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=(2, 8))
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "cluster_rep": pd.Series([], dtype=np.int64)})
+    edges = ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)).materialize()
+    comp = distributed_connected_components(edges).to_pandas()
+    comp = comp.rename(columns={"node": "doc_id", "component": "cluster_rep"})
+    comp["doc_id"] = comp["doc_id"].astype(np.int64)
+    comp["cluster_rep"] = comp["cluster_rep"].astype(np.int64)
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
 def order_chain_components(sf_dir: str) -> pd.DataFrame:
     """Distributed connected components (stages/cc.py — the 100 TB
     dedup-clustering path: min-label propagation + pointer jumping, only
@@ -4274,6 +4297,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
+    "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,

@@ -2,7 +2,12 @@
 with Ray and its oracle SQL with DuckDB on the same sf dir; compare
 row-count, column names, and order-insensitive values.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` archives the full result (per-query status, rows, wall time)
+— committed per round as ORACLE_LOCAL_r{N}.json so the queries outside
+the driver's sampled gate carry durable evidence (round-3 verdict item
+9).
 """
 
 from __future__ import annotations
@@ -66,8 +71,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -86,6 +97,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = 0
+    results: dict[str, dict] = {}
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
@@ -94,25 +106,44 @@ def main() -> int:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as exc:
             print(f"FAIL {name}: ray error: {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail", "err": f"ray error: {type(exc).__name__}: {exc}"}
             failures += 1
             continue
         dt = time.time() - t0
         if sql is None:
             print(f"ok   {name}: rows-only ({len(ray_df)} rows, {dt:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": int(len(ray_df)), "sec": round(dt, 2)}
             continue
         try:
             sql_df = con.execute(sql).df()
         except Exception as exc:
             print(f"FAIL {name}: sql error: {exc}")
+            results[name] = {"status": "fail", "err": f"sql error: {exc}"}
             failures += 1
             continue
         problems = compare(name, ray_df, sql_df)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:400]}
         else:
             print(f"OK   {name}: {len(ray_df)} rows match ({dt:.1f}s)")
+            results[name] = {"status": "match", "rows": int(len(ray_df)), "sec": round(dt, 2)}
     print(f"\n{failures} failures")
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(results),
+            "match": sum(1 for r in results.values() if r["status"] == "match"),
+            "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 

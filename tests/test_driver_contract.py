@@ -30,7 +30,7 @@ def test_entry_module_contract():
     for name in no_oracle:
         assert any(
             name.startswith(p)
-            for p in ("clips_", "minhash", "ngram_jaccard_documents",
+            for p in ("clips_", "minhash", "near_dup_clusters", "ngram_jaccard_documents",
                       "knn_embeddings_", "knn_lsh_recall", "knn_ivf_recall",
                       "embedding_near", "image_", "video_",
                       "role_validation", "kmeans_", "pack_", "containment_", "bpe_")

@@ -309,3 +309,36 @@ def test_distributed_cc_matches_driver_union_find():
         got.astype({"node": np.int64, "component": np.int64}),
         want.astype({"node": np.int64, "component": np.int64}),
     )
+
+
+def test_near_dup_clusters_planted():
+    """End-to-end dedup flow: a planted trio of near-identical docs must
+    land in ONE cluster with the min doc_id as representative."""
+    import ray.data
+
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest while the hunters sleep soundly at home"
+    )
+    rows = [{"doc_id": i, "text": f"unique filler document number {i} " + "content " * (10 + i % 7)} for i in range(40)]
+    rows += [
+        {"doc_id": 100, "text": base},
+        {"doc_id": 101, "text": base + " tonight"},
+        {"doc_id": 102, "text": base.replace("green", "dark")},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2)
+    planted = pairs[(pairs["id_a"] >= 100) & (pairs["id_b"] >= 100)]
+    assert len(planted) >= 2  # recall found the trio
+    comp = (
+        distributed_connected_components(
+            ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)).materialize(),
+            n_buckets=8,
+        )
+        .to_pandas()
+        .set_index("node")["component"]
+    )
+    assert comp.loc[100] == comp.loc[101] == comp.loc[102] == 100
