@@ -254,6 +254,10 @@ def verify_pairs_distributed(
         scores = np.asarray(scorer(p["_pla"], p["ida"].map(lut)), dtype=np.float64)
         return pd.DataFrame({"id_a": p["idb"].to_numpy(), "id_b": p["ida"].to_numpy(), score_col: scores})
 
+    # payload feeds BOTH exchanges — materialize once so the (possibly
+    # expensive) payload derivation (signatures, gram sets) is computed a
+    # single time instead of per exchange; blocks spill if corpus-sized
+    payload = payload.materialize()
     tagged1 = cands.map_batches(tag_pairs, batch_format="pandas").union(
         payload.map_batches(tag_payload, batch_format="pandas")
     )
