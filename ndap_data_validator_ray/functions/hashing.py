@@ -19,7 +19,7 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     vectorized: sliding windows over the byte array -> polynomial hash in
     uint64 wraparound arithmetic + a splitmix-style finalizer.  ~50x faster
     than building per-shingle Python strings (the round-2 hot loop of
-    ``MinHashStage``); hash VALUES differ from the round-2 string hashes,
+    ``minhash_lsh_pairs`` sig scan); hash VALUES differ from round 2,
     which is fine — only signature similarity semantics are contractual."""
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) < k:
@@ -112,7 +112,7 @@ def char_shingles_batch(texts: list[str], k: int = 5) -> tuple[np.ndarray, np.nd
     doc i).  Hash-identical to per-doc ``char_shingles`` (same windows,
     same polynomial; docs shorter than k are space-padded the same way) —
     this is the cross-doc vectorization of the per-doc loop that dominated
-    ``MinHashStage.__call__``: one sliding-window/hash kernel over the
+    the minhash sig scan: one sliding-window/hash kernel over the
     whole batch, boundary-crossing windows dropped by a vectorized
     range-gather."""
     if not texts:

@@ -3,15 +3,16 @@
 Ray-Data-first shapes (ray_guide near-dup pattern, public MinHash/LSH
 literature — Broder '97; SimHash — Charikar '02):
 
-- **MinHash+LSH**: per-batch vectorized shingle->minhash, explode each doc
-  into slim ``(doc_id, band_id, band_hash, sig_hash)`` rows (the 512-byte
-  signature itself is NOT shipped per band — a 64-bit hash of it rides
-  along for exact-dup grouping, ~16x fewer shuffle bytes than round 2),
-  hash-shuffle ``groupby(["band_id","band_hash"])`` so only banded
-  candidates co-locate, emit candidate PAIRS from each bucket, then verify
-  candidates by recomputing signatures for just the candidate doc set
-  (one column-pruned filtered scan — candidates are LSH-small by
-  construction).  Connected components on the verified edge set.
+- **MinHash+LSH**: ONE vectorized shingle->minhash scan produces the
+  materialized (doc_id, sig) map; bands derive from it as slim
+  ``(doc_id, band_id, band_hash, sig_hash)`` rows (the 512-byte signature
+  is NOT shipped per band — a 64-bit hash rides along for exact-dup
+  grouping), hash-shuffle ``groupby(["band_id","band_hash"])`` so only
+  banded candidates co-locate, emit candidate PAIRS from each bucket,
+  then verify DISTRIBUTED (``verify_pairs_distributed``: the sig map
+  attaches to both pair endpoints via two bucketed exchanges — no driver
+  payload dict).  Connected components on the verified edge set
+  (driver union-find here; ``stages/cc.py`` at scale).
 - **SimHash**: 64-bit signatures per batch; near-dup buckets keyed by
   16-bit signature slices so pairs within Hamming distance d<=3 collide in
   at least one slice bucket (pigeonhole).
@@ -38,47 +39,6 @@ import ray.data
 from ndap_data_validator_ray.functions import hashing as hs
 
 _EMPTY_PAIRS = {"id_a": [], "id_b": [], "_oversized": []}
-
-
-class MinHashStage:
-    """Actor-pool batch stage: text -> slim LSH band rows.
-
-    Emits (doc_id, band_id, band_hash, sig_hash) — 32 bytes/row instead of
-    shipping the full signature per band row; ``sig_hash`` (a stable hash
-    of the whole signature) lets over-cap buckets group exact dups without
-    the signature bytes."""
-
-    def __init__(self, text_col: str, id_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 5):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.num_perm = num_perm
-        self.bands = bands
-        self.shingle_k = shingle_k
-        hs._perms(num_perm, 7)  # warm the permutation cache once per actor
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n_bands = self.bands
-        texts = batch[self.text_col].fillna("")
-        n_docs = len(texts)
-        if n_docs == 0:
-            return pd.DataFrame(
-                {self.id_col: [], "band_id": [], "band_hash": [], "sig_hash": []}
-            )
-        # shingling + signatures are vectorized ACROSS docs: one
-        # sliding-window hash pass over the batch's concatenated bytes,
-        # then minimum.reduceat over doc boundaries (no per-doc loop)
-        h, offs = hs.char_shingles_batch(texts.tolist(), self.shingle_k)
-        sig_mat = hs.minhash_signature_matrix_concat(h, offs, self.num_perm)
-        band_hash = hs.lsh_bands_matrix(sig_mat, n_bands).astype(np.int64)  # (n, bands)
-        sig_hash = hs.lsh_bands_matrix(sig_mat, 1).astype(np.int64)[:, 0]  # whole-sig fingerprint
-        return pd.DataFrame(
-            {
-                self.id_col: np.repeat(batch[self.id_col].to_numpy(), n_bands),
-                "band_id": np.tile(np.arange(n_bands, dtype=np.int64), n_docs),
-                "band_hash": band_hash.ravel(),
-                "sig_hash": np.repeat(sig_hash, n_bands),
-            }
-        )
 
 
 def _emit_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
@@ -287,19 +247,48 @@ def minhash_lsh_pairs(
     cross-sub-bucket candidates were skipped (surfaced, never silent).
 
     Fully distributed verify (round-3 verdict items 1/2): candidate pairs
-    never materialize on the driver — signatures are recomputed as a
-    streaming ``(doc_id, sig)`` scan and attached to both pair endpoints
-    via two bucketed exchanges (``verify_pairs_distributed``); similarity
-    is the vectorized signature-agreement fraction inside each reducer.
-    Only the confirmed edge list reaches the driver."""
+    never materialize on the driver — signatures are attached to both pair
+    endpoints via two bucketed exchanges (``verify_pairs_distributed``);
+    similarity is the vectorized signature-agreement fraction inside each
+    reducer.  Only the confirmed edge list reaches the driver.
+
+    Signatures (the expensive kernel: shingle hashing + permutation mins)
+    are computed ONCE: a slim materialized (doc_id, sig-bytes) scan feeds
+    both the band derivation (bands are a pure function of the signature)
+    and the verify payload — the round-3 shape recomputed shingles for
+    the verify leg."""
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
-    banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands),
-        batch_format="pandas",
-        concurrency=concurrency,
-    )
+    shingle_k = 5
+
+    def sig_scan(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [str(t) for t in batch[text_col].fillna("")]
+        if not texts:
+            return pd.DataFrame({id_col: batch[id_col], "sig": pd.Series([], dtype=object)})
+        h, offs = hs.char_shingles_batch(texts, shingle_k)
+        sig_mat = hs.minhash_signature_matrix_concat(h, offs, num_perm)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "sig": [s.tobytes() for s in sig_mat]})
+
+    # plain task stage (auto-scales; tuple concurrency is actor-only)
+    sigs = ds.map_batches(sig_scan, batch_format="pandas").materialize()
+
+    def bands_from_sig(batch: pd.DataFrame) -> pd.DataFrame:
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pd.DataFrame({id_col: [], "band_id": [], "band_hash": [], "sig_hash": []})
+        sig_mat = np.frombuffer(b"".join(batch["sig"].tolist()), dtype=np.uint64).reshape(n_docs, -1)
+        band_hash = hs.lsh_bands_matrix(sig_mat, bands).astype(np.int64)  # (n, bands)
+        sig_hash = hs.lsh_bands_matrix(sig_mat, 1).astype(np.int64)[:, 0]  # whole-sig fingerprint
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(batch[id_col].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n_docs),
+                "band_hash": band_hash.ravel(),
+                "sig_hash": np.repeat(sig_hash, bands),
+            }
+        )
+
+    banded = sigs.map_batches(bands_from_sig, batch_format="pandas")
 
     def candidates_bucket(group: pd.DataFrame) -> pd.DataFrame:
         frames = [
@@ -316,18 +305,6 @@ def minhash_lsh_pairs(
     cands, empty = _split_sentinels(cands_raw, stats)
     if empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
-
-    shingle_k = 5
-
-    def sig_scan(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = [str(t) for t in batch[text_col].fillna("")]
-        if not texts:
-            return pd.DataFrame({id_col: batch[id_col], "sig": pd.Series([], dtype=object)})
-        h, offs = hs.char_shingles_batch(texts, shingle_k)
-        sig_mat = hs.minhash_signature_matrix_concat(h, offs, num_perm)
-        return pd.DataFrame({id_col: batch[id_col].to_numpy(), "sig": [s.tobytes() for s in sig_mat]})
-
-    sigs = ds.map_batches(sig_scan, batch_format="pandas")
 
     def sig_agreement(sig_a: pd.Series, sig_b: pd.Series) -> np.ndarray:
         a = np.frombuffer(b"".join(sig_a.tolist()), dtype=np.uint64).reshape(len(sig_a), -1)
