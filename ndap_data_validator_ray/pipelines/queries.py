@@ -940,6 +940,48 @@ def _knn_recall_rows(sf_dir: str, approx: pd.DataFrame, method: str) -> pd.DataF
     return pd.DataFrame(rows)
 
 
+_KNUTH32 = 2654435761  # Knuth multiplicative hash; exact in int64 SQL arithmetic
+
+
+def sample_per_source_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic k-per-group sampling (training-data per-source cap):
+    keep the 5 docs with the smallest stable key hash per source — the
+    shuffle-free distributed reservoir.  Each block ships at most
+    k x n_groups candidate rows (local per-group top-k inside
+    map_batches), the driver merges the tiny partials, and reruns pick
+    IDENTICAL rows (hash order, no RNG — resume-safe).  Exact-oracled via
+    ROW_NUMBER over the same Knuth-hash ordering."""
+    k = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH32)) % np.uint64(1 << 32)
+        part = pd.DataFrame(
+            {"source": batch["source"].to_numpy(), "doc_id": ids.astype(np.int64), "h": h.astype(np.int64)}
+        )
+        return part.sort_values(["h", "doc_id"]).groupby("source", as_index=False).head(k)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = (
+        parts.sort_values(["h", "doc_id"])
+        .groupby("source", as_index=False)
+        .head(k)[["source", "doc_id"]]
+    )
+    return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
+
+_SAMPLE_PER_SOURCE_SQL = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY (doc_id * {_KNUTH32}) % 4294967296, doc_id
+    ) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY source, doc_id
+"""
+
+
 def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dup clustering, the full 100 TB dedup flow: MinHash
     LSH recall → distributed signature verify (no driver payload dict) →
@@ -3626,9 +3668,6 @@ GROUP BY c.doc_id ORDER BY c.doc_id
 """
 
 
-_KNUTH32 = 2654435761  # Knuth multiplicative hash; exact in int64 SQL arithmetic
-
-
 def mixture_sample_documents(sf_dir: str) -> pd.DataFrame:
     """Deterministic per-source mixture sampling (training-data mixing):
     source ``srcK`` is kept at rate ``((K % 4) + 1) / 8`` by a stable
@@ -4298,6 +4337,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
+    "sample_per_source_documents": (sample_per_source_documents, _SAMPLE_PER_SOURCE_SQL),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,
