@@ -982,6 +982,50 @@ SELECT source, doc_id FROM (
 """
 
 
+def incremental_dedup_documents(sf_dir: str) -> pd.DataFrame:
+    """Incremental (cross-run) exact dedup: new docs (odd doc_id) are kept
+    only if their CONTENT doesn't already exist in the prior corpus (even
+    doc_id) — the arriving-shard-vs-existing-corpus shape of a continuous
+    ingestion pipeline.  Keys are 64-bit md5 content fingerprints
+    (functions/text.fingerprint64 — 8 bytes ride the anti join instead of
+    document text), probed through ``stages/bloom.bloom_anti_join``:
+    bloom misses short-circuit with no shuffle; only bloom hits pay the
+    bucketed exact verify.  Oracle compares on text equality (identical
+    modulo md5 collision).  Intra-batch new-vs-new duplicates are
+    deliberately kept (NOT EXISTS semantics)."""
+    from ndap_data_validator_ray.functions.text import fingerprint64
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "fp": fingerprint64(batch["text"].fillna("").str.slice(0, 40)).astype(np.int64),
+            }
+        )
+
+    fps = docs.map_batches(fp, batch_format="pandas").materialize()
+    new = fps.map_batches(lambda b: b[b["doc_id"] % 2 == 1], batch_format="pandas")
+    prior = fps.map_batches(lambda b: b[b["doc_id"] % 2 == 0], batch_format="pandas")
+    out = bloom_anti_join(new, prior, "fp", "fp").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
+_INCREMENTAL_DEDUP_SQL = """
+SELECT doc_id FROM documents d
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents p
+    WHERE p.doc_id % 2 = 0
+      AND substr(COALESCE(p.text, ''), 1, 40) = substr(COALESCE(d.text, ''), 1, 40)
+  )
+ORDER BY doc_id
+"""
+
+
 def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     """End-to-end near-dup clustering, the full 100 TB dedup flow: MinHash
     LSH recall → distributed signature verify (no driver payload dict) →
@@ -4338,6 +4382,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "sample_per_source_documents": (sample_per_source_documents, _SAMPLE_PER_SOURCE_SQL),
+    "incremental_dedup_documents": (incremental_dedup_documents, _INCREMENTAL_DEDUP_SQL),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
     "subword_token_counts": (subword_token_counts,
