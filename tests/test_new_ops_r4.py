@@ -262,31 +262,32 @@ def test_gram_sql_fragment_matches_engine_on_tricky_whitespace():
 def test_distributed_cc_chain_star_ring_and_isolated():
     from ndap_data_validator_ray.stages.cc import distributed_connected_components
 
-    # long chain 0-1-2-...-299 (needs pointer jumping: 50 naive rounds
-    # would NOT converge a 300-chain; log2(300) ~ 9 will), a star at 1000,
-    # a ring 2000..2009, and isolated nodes 3000/3001
-    chain = [(i, i + 1) for i in range(299)]
+    # long chain 0-1-2-...-59 with max_rounds=20: naive min-propagation
+    # moves the label one hop per round and would need 59 rounds, so
+    # convergence inside 20 PROVES the pointer-jump path is live
+    # (log2(60) ~ 6).  Plus a star, a ring, and isolated nodes.
+    chain = [(i, i + 1) for i in range(59)]
     star = [(1000, 1000 + i) for i in range(1, 8)]
     ring = [(2000 + i, 2000 + (i + 1) % 10) for i in range(10)]
     edges = pd.DataFrame(chain + star + ring, columns=["id_a", "id_b"]).astype(np.int64)
-    nodes = pd.DataFrame({"node": np.concatenate([np.arange(300), np.array([3000, 3001])]).astype(np.int64)})
+    nodes = pd.DataFrame({"node": np.concatenate([np.arange(60), np.array([3000, 3001])]).astype(np.int64)})
     out = (
         distributed_connected_components(
             ray.data.from_pandas(edges).repartition(4),
             nodes=ray.data.from_pandas(nodes),
             n_buckets=8,
-            max_rounds=50,
+            max_rounds=20,
         )
         .to_pandas()
         .sort_values("node")
     )
     lab = dict(zip(out["node"], out["component"]))
-    assert all(lab[i] == 0 for i in range(300))           # chain collapses to min
+    assert all(lab[i] == 0 for i in range(60))            # chain collapses to min
     assert all(lab[1000 + i] == 1000 for i in range(8))   # star
     assert all(lab[2000 + i] == 2000 for i in range(10))  # ring
     assert lab[3000] == 3000 and lab[3001] == 3001        # isolated
     # every node labeled exactly once
-    assert len(out) == len(set(out["node"])) == 300 + 8 + 10 + 2
+    assert len(out) == len(set(out["node"])) == 60 + 8 + 10 + 2
 
 
 def test_distributed_cc_matches_driver_union_find():
