@@ -1,0 +1,139 @@
+"""Round-5 gates: distributed edge-list clustering (no driver hop), Q10
+broadcast-size guard, vectorized pair kernels, simhash memory chunking."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- Q10 broadcast-size guard (round-4 verdict item 2) ----------------------
+
+def test_q10_join_fallback(monkeypatch):
+    """Forcing the broadcast cap to 0 routes the windowed orders side
+    through bucketed_join; both paths must emit identical rows."""
+    import ndap_data_validator_ray.pipelines.queries as q
+
+    broadcast = q.tpch_q10_returned_items(SF)
+    monkeypatch.setattr(q, "_Q10_BROADCAST_CAP", 0)
+    joined = q.tpch_q10_returned_items(SF)
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert len(broadcast) == 20
+
+
+# --- as_dataset verify path (round-4 verdict item 1) -------------------------
+
+def _near_dup_corpus() -> pd.DataFrame:
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = []
+    for i in range(40):
+        if i % 4 == 0 and i > 0:
+            rows.append((i, base + f" tail{i}"))
+        else:
+            rows.append((i, f"unique document number {i} " + " ".join(f"w{i}_{j}" for j in range(60))))
+    return pd.DataFrame({"doc_id": np.array([r[0] for r in rows], dtype=np.int64),
+                         "text": [r[1] for r in rows]})
+
+
+def test_minhash_as_dataset_equals_pandas():
+    """Dataset-returning mode is the same edge set as the pandas return —
+    the 100 TB path (verify reducers -> CC, no driver hop) loses nothing."""
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    ds = ray.data.from_pandas(_near_dup_corpus()).repartition(4)
+    p_pd = minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2)
+    p_ds = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2, as_dataset=True)
+        .to_pandas()[["id_a", "id_b", "sim"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(p_pd, p_ds)
+    assert len(p_pd) > 0
+
+
+def test_near_dup_clusters_planted_trio_distributed():
+    """LSH -> distributed verify (as_dataset) -> distributed CC, end to end
+    with a planted near-dup trio: all three land in one cluster whose rep
+    is the min doc_id, with no pandas hop between verify and CC."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.dedup_near import minhash_lsh_pairs
+
+    df = _near_dup_corpus()
+    ds = ray.data.from_pandas(df).repartition(4)
+    edges = (
+        minhash_lsh_pairs(ds, "text", "doc_id", threshold=0.5, concurrency=2, as_dataset=True)
+        .map_batches(lambda b: b[["id_a", "id_b"]], batch_format="pandas")
+        .materialize()
+    )
+    assert edges.count() > 0
+    comp = distributed_connected_components(edges).to_pandas()
+    planted = {i for i in range(40) if i % 4 == 0 and i > 0}
+    got = comp.set_index("node")["component"].to_dict()
+    assert planted <= set(got)
+    assert {got[i] for i in planted} == {min(planted)}
+
+
+def test_verify_pairs_missing_payload_dropped():
+    """A candidate id with no payload row is dropped (never reaches the
+    scorer as None) — the generic-primitive guard."""
+    from ndap_data_validator_ray.stages.dedup_near import verify_pairs_distributed
+
+    cands = ray.data.from_pandas(
+        pd.DataFrame({"id_a": np.array([1, 1, 7], dtype=np.int64),
+                      "id_b": np.array([2, 99, 98], dtype=np.int64)})
+    )
+    payload = ray.data.from_pandas(
+        pd.DataFrame({"id": np.array([1, 2, 7], dtype=np.int64),
+                      "val": ["aa", "ab", "zz"]})
+    )
+
+    def scorer(a: pd.Series, b: pd.Series) -> np.ndarray:
+        assert not a.isna().any() and not b.isna().any()
+        return np.array([1.0 if x[0] == y[0] else 0.0 for x, y in zip(a, b)])
+
+    out = verify_pairs_distributed(cands, payload, "id", "val", scorer, "s")
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(1, 2)}  # pairs touching 98/99 dropped, (1,2) scored
+
+
+# --- vectorized kernels -----------------------------------------------------
+
+def test_popcount64_matches_python():
+    from ndap_data_validator_ray.functions.hashing import popcount64
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 2**63, 500, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    want = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    assert (popcount64(x) == want).all()
+    assert (popcount64(np.array([0, 2**64 - 1], dtype=np.uint64)) == [0, 64]).all()
+
+
+def test_simhash_batch_chunking_value_identical():
+    from ndap_data_validator_ray.functions.hashing import simhash64_batch
+
+    rng = np.random.default_rng(5)
+    th = rng.integers(0, 2**64, 4000, dtype=np.uint64)
+    cuts = np.sort(rng.choice(np.arange(1, 4000), 25, replace=False))
+    offs = np.concatenate([[0], cuts, [4000, 4000]])  # includes an empty doc
+    full = simhash64_batch(th, offs)
+    chunked = simhash64_batch(th, offs, max_tokens_per_pass=97)
+    assert (full == chunked).all()
+    assert full[-1] == 0  # empty doc -> signature 0
+
+
+def test_simhash_pairs_unchanged_by_vectorized_verify():
+    """Pairwise-matrix Hamming verify emits the same pair set as the
+    planted-dup expectation (exact recall at Hamming<=3 by pigeonhole)."""
+    from ndap_data_validator_ray.stages.dedup_near import simhash_near_pairs
+
+    df = _near_dup_corpus()
+    ds = ray.data.from_pandas(df).repartition(3)
+    pairs = simhash_near_pairs(ds, "text", "doc_id", max_hamming=3, concurrency=2)
+    planted = {i for i in range(40) if i % 4 == 0 and i > 0}
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert a in planted and b in planted  # no false pairs among uniques
+    # every planted doc appears in at least one pair
+    assert planted <= (set(pairs["id_a"]) | set(pairs["id_b"]))
