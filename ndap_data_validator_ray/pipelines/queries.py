@@ -1056,6 +1056,64 @@ def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     return comp.sort_values("doc_id").reset_index(drop=True)
 
 
+def near_dup_clusters_exact(sf_dir: str) -> pd.DataFrame:
+    """End-to-end near-dup clustering with a FULL value oracle (round-4
+    verdict item 3): edges are the already-oracled exact word-3-gram
+    Jaccard pairs (doc_id % 3 subset, threshold 0.5 — the
+    ``ngram_jaccard_exact_documents`` pair set verbatim), components via
+    the SAME distributed CC stage the LSH flow uses (stages/cc.py: fused
+    min-label + pointer-jump rounds), representative = min doc_id.
+    DuckDB recomputes the clusters with a recursive reachability CTE over
+    the identical pair set, so the pair-stage -> CC -> rep composition is
+    value-pinned end to end, not just planted-fixture-tested."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.dedup_near import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 3 == 0)), batch_format="pyarrow"
+    )
+    pairs = exact_jaccard_pairs(sub, "text", "doc_id", n=3, threshold=0.5, tiles=4)
+    if pairs.empty:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "cluster_rep": pd.Series([], dtype=np.int64)}
+        )
+    edges = ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)).materialize()
+    comp = distributed_connected_components(edges).to_pandas()
+    comp = comp.rename(columns={"node": "doc_id", "component": "cluster_rep"})
+    comp["doc_id"] = comp["doc_id"].astype(np.int64)
+    comp["cluster_rep"] = comp["cluster_rep"].astype(np.int64)
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+_NEAR_DUP_CLUSTERS_EXACT_SQL = """
+WITH RECURSIVE sub AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+      ELSE [''] END AS g
+  FROM sub
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / GREATEST(1, len(list_distinct(list_concat(a.g, b.g)))) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+)
+SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_rep
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 def order_chain_components(sf_dir: str) -> pd.DataFrame:
     """Distributed connected components (stages/cc.py — the 100 TB
     dedup-clustering path: min-label propagation + pointer jumping, only
@@ -4413,6 +4471,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
+    "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),
     "sample_per_source_documents": (sample_per_source_documents, _SAMPLE_PER_SOURCE_SQL),
     "incremental_dedup_documents": (incremental_dedup_documents, _INCREMENTAL_DEDUP_SQL),
     "knn_lsh_recall": (knn_lsh_recall, None),
