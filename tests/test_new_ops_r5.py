@@ -124,6 +124,102 @@ def test_simhash_batch_chunking_value_identical():
     assert full[-1] == 0  # empty doc -> signature 0
 
 
+# --- curation checkpoint/resume (round-4 verdict item 5) ---------------------
+
+def _curation_corpus(tmp: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(300):
+        if i % 7 == 0:
+            rows.append("short text")  # fails min_tokens
+        elif i % 5 == 0:
+            rows.append(
+                "duplicated prefix content identical for every copy "
+                + " ".join(f"word{j} extra{j}" for j in range(20))
+            )
+        else:
+            rows.append(f"document {i} " + " ".join(f"alpha{i} beta{j} gamma{i+j}" for j in range(15)))
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": rows})
+    import os
+
+    os.makedirs(tmp + "/data", exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df[:150], preserve_index=False), tmp + "/data/a.parquet")
+    pq.write_table(pa.Table.from_pandas(df[150:], preserve_index=False), tmp + "/data/b.parquet")
+    return tmp + "/data"
+
+
+def test_curation_kill_and_resume(tmp_path):
+    """Kill-and-resume: delete half the bucket manifests (+ their kept
+    files) after a full run; the rerun must skip the surviving buckets,
+    redo only the killed ones, report byte-identical funnel counts, and
+    never double-write survivors."""
+    import glob
+    import os
+
+    from ndap_data_validator_ray.pipelines.curation import curate_documents
+
+    tmp = str(tmp_path)
+    data = _curation_corpus(tmp)
+    out = tmp + "/out"
+
+    s1 = curate_documents(data, out, n_buckets=16)
+    assert s1["input_docs"] == 300 and s1["final_kept"] > 0
+    kept1 = (
+        pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(out + "/kept/*.parquet"))])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert kept1["doc_id"].is_unique
+
+    # simulate a mid-run kill: half the buckets never committed
+    mans = sorted(glob.glob(out + "/checkpoints/partition-*.json"))
+    killed = mans[::2]
+    for m in killed:
+        pid = int(m.split("partition-")[1].split(".")[0])
+        os.remove(m)
+        kf = out + f"/kept/bucket-{pid:05d}.parquet"
+        if os.path.exists(kf):
+            os.remove(kf)
+
+    s2 = curate_documents(data, out, n_buckets=16)
+    for k in ("input_docs", "quality_kept", "dedup_kept", "final_kept"):
+        assert s2[k] == s1[k], k
+    assert s2["buckets_resumed"] == len(mans) - len(killed)
+    assert s2["buckets_validated_this_run"] == len(killed)
+    kept2 = (
+        pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(out + "/kept/*.parquet"))])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(kept1, kept2)
+
+    # parameter change invalidates every manifest (lineage covers params)
+    s3 = curate_documents(data, out, n_buckets=16, min_tokens=25)
+    assert s3["buckets_resumed"] == 0
+
+
+def test_curation_input_change_invalidates(tmp_path):
+    """Rewriting an input shard (same name) flips the content-addressed
+    lineage: no bucket may resume from the stale manifests."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.curation import curate_documents
+
+    tmp = str(tmp_path)
+    data = _curation_corpus(tmp)
+    out = tmp + "/out"
+    s1 = curate_documents(data, out, n_buckets=8)
+    assert s1["buckets_resumed"] == 0
+    df = pd.read_parquet(data + "/a.parquet")
+    df.loc[1, "text"] = "entirely new content " + " ".join(f"fresh{j} token{j}" for j in range(25))
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), data + "/a.parquet")
+    s2 = curate_documents(data, out, n_buckets=8)
+    assert s2["buckets_resumed"] == 0
+
+
 def test_simhash_pairs_unchanged_by_vectorized_verify():
     """Pairwise-matrix Hamming verify emits the same pair set as the
     planted-dup expectation (exact recall at Hamming<=3 by pigeonhole)."""
