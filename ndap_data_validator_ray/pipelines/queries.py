@@ -1159,16 +1159,22 @@ FROM orders ORDER BY o_orderkey
 def knn_embeddings_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     """IVF over a PERSISTED cell-partitioned index (round-3 verdict item
     6): the corpus is written once as hive-partitioned parquet
-    (``cell=K/``) under /tmp (cached per sf_dir), and each query batch
-    reads ONLY its probe cells' files — ~nprobe/n_clusters of the corpus
-    never leaves storage (vs ``knn_embeddings_ivf``, which streams the
-    full corpus and prunes compute-side)."""
+    (``cell=K/``) under /tmp (cached per corpus CONTENT, not path: the
+    cache tag folds in the embeddings file's content address via
+    ``state.checkpoint.lineage_id_for`` — a regenerated fixture at the
+    same path rebuilds the index instead of silently serving stale
+    results), and each query batch reads ONLY its probe cells' files —
+    ~nprobe/n_clusters of the corpus never leaves storage (vs
+    ``knn_embeddings_ivf``, which streams the full corpus and prunes
+    compute-side)."""
     import hashlib as _hl
     import os
 
     from ndap_data_validator_ray.stages.similarity import ivf_build_index, ivf_query_index
+    from ndap_data_validator_ray.state.checkpoint import lineage_id_for
 
-    tag = _hl.md5(f"{os.path.abspath(sf_dir)}|c16|t2048".encode()).hexdigest()[:12]
+    content = lineage_id_for([os.path.join(sf_dir, "embeddings.parquet")])
+    tag = _hl.md5(f"{content}|c16|t2048".encode()).hexdigest()[:12]
     index_dir = f"/tmp/ndap_ivf_index/{tag}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])

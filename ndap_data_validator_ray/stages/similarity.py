@@ -503,9 +503,14 @@ def ivf_build_index(
     the corpus never leaves storage), instead of streaming the full corpus
     through compute-side pruning as ``ivf_topk`` does.  The 100 TB shape:
     index build is one write-side exchange paid once; the directory layout
-    is resumable and shardable.  Returns the centroid matrix (also saved
-    to ``index_dir/centroids.npy``)."""
-    import os
+    is resumable and shardable.  ``index_dir`` may be a URI (s3://…) —
+    all path handling routes through sources/fs.py (repo invariant), and
+    the centroids file gets the atomic local-write / single-PUT
+    convention.  Returns the centroid matrix (also saved to
+    ``index_dir/centroids.npy``)."""
+    import io
+
+    from ndap_data_validator_ray.sources import fs as vfs
 
     centroids = _train_centroids(ds, vec_col, n_clusters, train_sample)
     c_ref = ray.put(_normalize(centroids))
@@ -521,11 +526,14 @@ def ivf_build_index(
             }
         )
 
-    os.makedirs(index_dir, exist_ok=True)
+    vfs.ensure_dir(index_dir)
+    fs_obj, resolved = vfs.resolve(index_dir)
     ds.map_batches(assign_cell, batch_format="pandas").write_parquet(
-        index_dir, partition_cols=["cell"]
+        resolved, filesystem=fs_obj, partition_cols=["cell"]
     )
-    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    buf = io.BytesIO()
+    np.save(buf, centroids)
+    vfs.write_bytes_atomic(vfs.join(index_dir, "centroids.npy"), buf.getvalue())
     return centroids
 
 
@@ -543,31 +551,37 @@ def ivf_query_index(
     on the driver, read ONLY those ``cell=K/`` directories (file-level
     pruning — verifiable via ``dataset.input_files()``), score per-cell
     respecting each query's own probe set, and merge local top-k on the
-    driver.  Returns ``(result, pruned_dataset)`` so callers/tests can
-    inspect exactly what was read."""
-    import os
+    driver.  ``index_dir`` may be a URI — listing/reading route through
+    sources/fs.py.  Returns ``(result, pruned_dataset)`` so callers/tests
+    can inspect exactly what was read."""
+    import io
 
-    centroids = _normalize(np.load(os.path.join(index_dir, "centroids.npy")))
+    from ndap_data_validator_ray.sources import fs as vfs
+
+    centroids = _normalize(
+        np.load(io.BytesIO(vfs.read_bytes(vfs.join(index_dir, "centroids.npy"))))
+    )
     qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
     q_ids = np.asarray(query_ids)
     sims = qm @ centroids.T
     probe = np.argsort(-sims, axis=1)[:, :nprobe]  # (n_queries, nprobe)
     cells = sorted({int(c) for row in probe for c in row})
-    import glob
-
     paths = [
         f
         for c in cells
-        for f in sorted(glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet")))
+        for f in vfs.list_files(vfs.join(index_dir, f"cell={c}"))
+        if f.endswith(".parquet")
     ]
     if not paths:
         return pd.DataFrame(columns=["query_id", "neighbor_id", "sim", "rank"]), None
     from ray.data.datasource.partitioning import Partitioning
 
+    fs_obj, resolved_base = vfs.resolve(index_dir)
     pruned = ray.data.read_parquet(
-        paths,
+        [vfs.resolve(p)[1] for p in paths],
+        filesystem=fs_obj,
         columns=[id_col, vec_col, "cell"],
-        partitioning=Partitioning("hive", base_dir=index_dir),
+        partitioning=Partitioning("hive", base_dir=resolved_base),
     )
     q_ref = ray.put({"ids": q_ids, "matrix": qm, "probe": probe})
 
