@@ -4145,6 +4145,407 @@ ORDER BY revenue DESC, c_custkey
 """
 
 
+def tpch_q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape (pure filter aggregation — the simplest possible
+    distributed plan): one column-pruned Arrow scan, the whole predicate
+    evaluated as compute kernels per batch, ONE float per block to the
+    driver.  No shuffle of any kind; at 100 TB this is read-bandwidth
+    bound by construction."""
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"]
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+                pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        kept = t.filter(mask)
+        rev = pc.sum(pc.multiply(kept["l_extendedprice"], kept["l_discount"])).as_py()
+        return pa.table({"rev": pa.array([float(rev or 0.0)], pa.float64())})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": _r2([parts["rev"].sum()])})
+
+
+_TPCH_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS semi-join): count Q3-1996 orders,
+    per priority, having at least one line shipped >60 days after the
+    order date (the fixture has no l_commitdate; the late-shipment
+    predicate keeps the correlated order-attribute comparison).  Shape:
+    the date-windowed orders side is bounded (~4% of orders) and is
+    broadcast as sorted arrays (orderkey -> orderdate,priority); the
+    lineitem scan emits per-batch DISTINCT qualifying orderkeys; ONE
+    bucketed exchange dedupes them globally (semi-join multiplicity
+    collapse); the 5-group priority count folds on the driver.  At
+    extreme SF the window broadcast would take the Q10-style
+    bucketed-join fallback."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
+    win = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)].sort_values("o_orderkey")
+    okeys = win["o_orderkey"].to_numpy().astype(np.int64)
+    odate = win["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    prio_of = dict(zip(win["o_orderkey"].astype(np.int64), win["o_orderpriority"]))
+    ref = ray.put((okeys, odate))
+    sixty_days_ns = np.int64(60 * 24 * 3600 * 1_000_000_000)
+
+    def late_orderkeys(t: pa.Table) -> pa.Table:
+        ks, ds_ns = ray.get(ref)
+        lk = t["l_orderkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, lk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == lk if len(ks) else np.zeros(len(lk), dtype=bool)
+        ship = t["l_shipdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        late = hit & (ship > ds_ns[pos] + sixty_days_ns)
+        return pa.table({"o_orderkey": pa.array(np.unique(lk[late]), pa.int64())})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        late_orderkeys, batch_format="pyarrow"
+    )
+    distinct = bucketed_groupby(
+        li,
+        ["o_orderkey"],
+        lambda b: b.drop_duplicates(subset=["o_orderkey"]),
+        lambda g: g.drop_duplicates(subset=["o_orderkey"]),
+    ).to_pandas()
+    counts = (
+        distinct["o_orderkey"].astype(np.int64).map(prio_of).value_counts().sort_index()
+    )
+    return pd.DataFrame(
+        {"o_orderpriority": counts.index.to_numpy(), "order_count": counts.to_numpy().astype(np.int64)}
+    )
+
+
+_TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def tpch_q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promo revenue %): part is a DIM — its
+    (partkey -> is_promo) map broadcasts once as sorted arrays; the
+    date-windowed lineitem scan computes both the promo and total revenue
+    sums per batch (two floats per block to the driver).  No shuffle."""
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas().sort_values("p_partkey")
+    pref = ray.put(
+        (part["p_partkey"].to_numpy().astype(np.int64), (part["p_type"] == "PROMO").to_numpy())
+    )
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        pk = kept["l_partkey"].to_numpy()
+        keys, is_promo = ray.get(pref)
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        rev = (kept["l_extendedprice"].to_numpy() * (1.0 - kept["l_discount"].to_numpy()))[hit]
+        promo = is_promo[pos[hit]]
+        return pa.table(
+            {
+                "promo_rev": pa.array([float(rev[promo].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev.sum())], pa.float64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    total = parts["total_rev"].sum()
+    pct = 100.0 * parts["promo_rev"].sum() / total if total else 0.0
+    return pd.DataFrame({"promo_pct": _r6([pct])})
+
+
+_TPCH_Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+"""
+
+
+def tpch_q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (disjunction of brand/size/quantity conjunctions):
+    part attributes broadcast as sorted arrays; each lineitem batch
+    evaluates the whole OR-of-ANDs predicate vectorized (brand codes
+    compared as small ints) and ships one partial sum to the driver.
+    The canonical 'predicate too complex to push down' join becomes a
+    broadcast lookup + boolean algebra — no shuffle."""
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    brands = ["Brand#12", "Brand#23", "Brand#34"]
+    bcode = part["p_brand"].map({b: i for i, b in enumerate(brands)}).fillna(-1).to_numpy(np.int64)
+    pref = ray.put(
+        (part["p_partkey"].to_numpy().astype(np.int64), bcode, part["p_size"].to_numpy().astype(np.int64))
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, code, size = ray.get(pref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        qty = t["l_quantity"].to_numpy()
+        c, s = code[pos], size[pos]
+        pred = hit & (
+            ((c == 0) & (s >= 1) & (s <= 15) & (qty >= 1) & (qty <= 20))
+            | ((c == 1) & (s >= 1) & (s <= 20) & (qty >= 5) & (qty <= 30))
+            | ((c == 2) & (s >= 1) & (s <= 25) & (qty >= 10) & (qty <= 40))
+        )
+        rev = (t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()))[pred]
+        return pa.table({"rev": pa.array([float(rev.sum())], pa.float64())})
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame({"revenue": _r2([parts["rev"].sum()])})
+
+
+_TPCH_Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def tpch_q16_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (COUNT DISTINCT across a join): suppliers per
+    (brand, type) over parts of size 1-15, brand != Brand#45, with
+    lineitem as the part<->supplier bridge (the fixture has no partsupp
+    table).  Shape: part attrs broadcast; the lineitem scan emits
+    per-batch DISTINCT (brand, type, suppkey) triples (the combiner that
+    makes a distinct-count shuffle-cheap); ONE bucketed exchange on
+    (brand, type) dedupes globally and counts."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        .to_pandas()
+        .sort_values("p_partkey")
+    )
+    part = part[(part["p_size"] >= 1) & (part["p_size"] <= 15) & (part["p_brand"] != "Brand#45")]
+    pref = ray.put(
+        (
+            part["p_partkey"].to_numpy().astype(np.int64),
+            part["p_brand"].to_numpy(),
+            part["p_type"].to_numpy(),
+        )
+    )
+
+    def triples(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, brand, ptype = ray.get(pref)
+        pk = batch["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(keys, pk), 0, max(len(keys) - 1, 0))
+        hit = keys[pos] == pk if len(keys) else np.zeros(len(pk), dtype=bool)
+        out = pd.DataFrame(
+            {
+                "p_brand": brand[pos[hit]],
+                "p_type": ptype[pos[hit]],
+                "l_suppkey": batch["l_suppkey"].to_numpy()[hit].astype(np.int64),
+            }
+        )
+        return out.drop_duplicates()
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()
+        out = d.groupby(["p_brand", "p_type"], as_index=False)["l_suppkey"].nunique()
+        return out.rename(columns={"l_suppkey": "supplier_cnt"})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    out = bucketed_groupby(li.map_batches(triples, batch_format="pandas"),
+                           ["p_brand", "p_type"], lambda b: b, count_distinct).to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+
+
+_TPCH_Q16_SQL = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_size BETWEEN 1 AND 15 AND p_brand <> 'Brand#45'
+GROUP BY p_brand, p_type ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+def tpch_q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (two-nation trade volume by year, six tables): both
+    nation-filtered dims broadcast (suppliers directly; customers resolve
+    through a filtered orders scan into an orderkey -> cust-nation map —
+    bounded at ~2/25 of orders; at extreme SF this side takes the
+    Q10-style bucketed-join fallback); the lineitem scan filters on the
+    supplier side, gathers the customer nation per line, and folds
+    (supp_nation, cust_nation, year) partials — at most a handful of
+    groups per block — on the driver."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    pair = nation[nation["n_name"].isin(["NATION_18", "NATION_19"])]
+    nkeys = pair["n_nationkey"].to_numpy()
+    name_of = dict(zip(pair["n_nationkey"], pair["n_name"]))
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nkeys)].sort_values("s_suppkey")
+    sref = ray.put((sup["s_suppkey"].to_numpy().astype(np.int64), sup["s_nationkey"].to_numpy().astype(np.int64)))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust[cust["c_nationkey"].isin(nkeys)].sort_values("c_custkey")
+    cref = ray.put((cust["c_custkey"].to_numpy().astype(np.int64), cust["c_nationkey"].to_numpy().astype(np.int64)))
+
+    def orders_map(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cref)
+        ok = t["o_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ck, ok), 0, max(len(ck) - 1, 0))
+        hit = ck[pos] == ok if len(ck) else np.zeros(len(ok), dtype=bool)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(t["o_orderkey"].to_numpy()[hit], pa.int64()),
+                "c_nat": pa.array(cn[pos[hit]], pa.int64()),
+            }
+        )
+
+    omap = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+        .map_batches(orders_map, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    oref = ray.put((omap["o_orderkey"].to_numpy().astype(np.int64), omap["c_nat"].to_numpy().astype(np.int64)))
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        sk, sn = ray.get(sref)
+        okk, cn = ray.get(oref)
+        d = t["l_shipdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        lk = kept["l_suppkey"].to_numpy()
+        spos = np.clip(np.searchsorted(sk, lk), 0, max(len(sk) - 1, 0))
+        shit = sk[spos] == lk if len(sk) else np.zeros(len(lk), dtype=bool)
+        okey = kept["l_orderkey"].to_numpy()
+        opos = np.clip(np.searchsorted(okk, okey), 0, max(len(okk) - 1, 0))
+        ohit = okk[opos] == okey if len(okk) else np.zeros(len(okey), dtype=bool)
+        keep = shit & ohit
+        if not keep.any():
+            return pd.DataFrame({"s_nat": [], "c_nat": [], "l_year": [], "rev": []})
+        snat = sn[spos[keep]]
+        cnat = cn[opos[keep]]
+        keep_cross = snat != cnat  # the two ends must be different nations
+        year = (
+            kept["l_shipdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)[keep][keep_cross]
+            + 1970
+        )
+        rev = (kept["l_extendedprice"].to_numpy() * (1.0 - kept["l_discount"].to_numpy()))[keep][keep_cross]
+        df = pd.DataFrame({"s_nat": snat[keep_cross], "c_nat": cnat[keep_cross], "l_year": year, "rev": rev})
+        return df.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"].sum()
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"supp_nation": [], "cust_nation": [], "l_year": [], "revenue": []})
+    out = parts.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"].sum()
+    out["supp_nation"] = out["s_nat"].map(name_of)
+    out["cust_nation"] = out["c_nat"].map(name_of)
+    out["revenue"] = _r2(out["rev"])
+    out["l_year"] = out["l_year"].astype(np.int64)
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)[
+        ["supp_nation", "cust_nation", "l_year", "revenue"]
+    ]
+
+
+_TPCH_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey
+     JOIN orders o ON o_orderkey = l_orderkey
+     JOIN customer c ON c_custkey = o_custkey
+     JOIN nation n1 ON s_nationkey = n1.n_nationkey
+     JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def embedding_near_dup_exact(sf_dir: str) -> pd.DataFrame:
+    """EXACT embedding-cosine near-dup pairs on a keyed subset (vec_id
+    even, threshold 0.3 — nonzero on this corpus, whose max cosine is
+    ~0.51): the thresholded tile-pair triangle join
+    (``similarity.exact_cosine_threshold_pairs``) — the fully-oracled
+    exact twin of the hyperplane-LSH ``embedding_near_dup_pairs`` path."""
+    from ndap_data_validator_ray.stages.similarity import exact_cosine_threshold_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pa.array(t["vec_id"].to_numpy() % 2 == 0)), batch_format="pyarrow"
+    )
+    out = exact_cosine_threshold_pairs(ds, threshold=0.3, tiles=4)
+    return pd.DataFrame(
+        {
+            "id_a": out["id_a"].astype("int64"),
+            "id_b": out["id_b"].astype("int64"),
+            "cos_sim": _r6(out["sim"]),
+        }
+    )
+
+
+_EMB_NEAR_DUP_EXACT_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 2 = 0
+)
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(a.e, b.e) AS raw,
+         ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE raw >= 0.3 ORDER BY id_a, id_b
+"""
+
+
 def peak_concurrent_users_events(sf_dir: str) -> pd.DataFrame:
     """Peak concurrent users per day (interval-overlap / sweep-line op):
     each user's daily activity interval [first ts, last ts] becomes a
@@ -4528,6 +4929,13 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "cohort_retention_events": (cohort_retention_events, _COHORT_SQL),
     "tpch_q18_large_orders": (tpch_q18_large_orders, _TPCH_Q18_SQL),
     "tpch_q10_returned_items": (tpch_q10_returned_items, _TPCH_Q10_SQL),
+    "tpch_q4_order_priority": (tpch_q4_order_priority, _TPCH_Q4_SQL),
+    "tpch_q6_forecast_revenue": (tpch_q6_forecast_revenue, _TPCH_Q6_SQL),
+    "tpch_q7_volume_shipping": (tpch_q7_volume_shipping, _TPCH_Q7_SQL),
+    "tpch_q14_promo_revenue": (tpch_q14_promo_revenue, _TPCH_Q14_SQL),
+    "tpch_q16_supplier_counts": (tpch_q16_supplier_counts, _TPCH_Q16_SQL),
+    "tpch_q19_disjunctive_revenue": (tpch_q19_disjunctive_revenue, _TPCH_Q19_SQL),
+    "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "peak_concurrent_users_events": (peak_concurrent_users_events, _PEAK_CONC_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),

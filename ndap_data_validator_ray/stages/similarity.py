@@ -379,6 +379,85 @@ def exact_cosine_topk_pairs(
     return best
 
 
+def exact_cosine_threshold_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    tiles: int = 4,
+) -> pd.DataFrame:
+    """EXACT all-pairs cosine >= ``threshold`` — the thresholded sibling of
+    ``exact_cosine_topk_pairs`` (same tile-pair triangle join; each group
+    matmuls its two tile sub-matrices and emits only pairs clearing the
+    threshold).  O(n^2) compute by definition: the DuckDB-oracleable exact
+    twin of ``embedding_near_duplicates``, for recall audits and bounded
+    corpora; the hyperplane-LSH stage is the 100 TB path.  Returns
+    (id_a, id_b, sim) with id_a < id_b, sorted."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        t = (pd.util.hash_array(ids, categorize=False) % np.uint64(tiles)).astype(np.int64)
+        frames = []
+        for u in range(tiles):
+            lo = np.minimum(t, u)
+            hi = np.maximum(t, u)
+            frames.append(
+                pd.DataFrame(
+                    {id_col: ids, "tile": t, "pair_key": lo * tiles + hi, vec_col: batch[vec_col]}
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def thresh_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        out_s: list = []
+        for pk, g in group.groupby("pair_key", sort=False):
+            lo, hi = divmod(int(pk), tiles)
+            rows = g.drop_duplicates(subset=[id_col])
+            ids = rows[id_col].to_numpy()
+            m = _normalize(_batch_matrix(rows, vec_col))
+            tile = rows["tile"].to_numpy()
+            if lo == hi:
+                sims = m @ m.T
+                ii, jj = np.triu_indices(len(ids), 1)
+                a_ids, b_ids = ids[ii], ids[jj]
+            else:
+                la = np.flatnonzero(tile == lo)
+                lb = np.flatnonzero(tile == hi)
+                if len(la) == 0 or len(lb) == 0:
+                    continue
+                sims = m[la] @ m[lb].T
+                ii, jj = np.meshgrid(np.arange(len(la)), np.arange(len(lb)), indexing="ij")
+                ii, jj = ii.ravel(), jj.ravel()
+                a_ids, b_ids = ids[la][ii], ids[lb][jj]
+            if len(ii) == 0:
+                continue
+            s = sims[ii, jj]
+            keep = s >= threshold
+            out_a.append(np.minimum(a_ids[keep], b_ids[keep]))
+            out_b.append(np.maximum(a_ids[keep], b_ids[keep]))
+            out_s.append(s[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b), "sim": np.concatenate(out_s)}
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    pairs = bucketed_groupby(
+        tagged, ["pair_key"], lambda b: b, thresh_pairs, n_buckets=max(8, tiles * tiles)
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+    return (
+        pairs.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
