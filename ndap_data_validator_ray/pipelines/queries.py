@@ -3811,6 +3811,112 @@ ORDER BY doc_id
 """
 
 
+def train_val_test_split_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split (training-data prep): every doc
+    is assigned by ``md5(doc_id) % 100`` — train <80, val 80-89, test
+    90+.  Content-stable: the assignment never changes across reruns,
+    resume, repartitioning, or corpus growth (a new doc never moves an
+    old one), which is the property an incremental 100 TB pipeline needs.
+    Pure streaming pass — per-batch (split, lang) count partials fold on
+    the driver (<= 3 x langs rows per block).  The md5_number_lower twin
+    makes the split FULLY value-oracled, not just determinism-tested."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = md5_lower64_batch(batch["doc_id"].astype(str).to_numpy()) % np.uint64(100)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        df = pd.DataFrame(
+            {"split": split, "lang": batch["lang"].to_numpy(), "n_chars": batch["n_chars"].to_numpy()}
+        )
+        g = df.groupby(["split", "lang"], as_index=False).agg(
+            n_docs=("n_chars", "size"), chars_total=("n_chars", "sum")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["split", "lang"], as_index=False)[["n_docs", "chars_total"]].sum()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["chars_total"] = out["chars_total"].astype(np.int64)
+    return out.sort_values(["split", "lang"]).reset_index(drop=True)
+
+
+_TRAIN_SPLIT_SQL = """
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM (
+  SELECT lang, n_chars,
+    CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 80 THEN 'train'
+         WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+) GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+def shuffled_shard_assignment_documents(sf_dir: str) -> pd.DataFrame:
+    """Deterministic global shuffle for training-shard layout: each doc
+    gets ``shard = md5(doc_id) % 8`` and a position = rank of its md5
+    hash within the shard — a reproducible random permutation (the
+    training-data answer to ``random_shuffle``'s nondeterminism: rerun,
+    resume, and the oracle all see the same order).  ONE bucketed
+    exchange on shard; within-shard ranking is reducer-local.  At 100 TB
+    each shard reducer streams its ordered docs straight to a shard file
+    (here: only the assignment is emitted).  Fully value-oracled via the
+    md5_number_lower twin."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def hash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        h = md5_lower64_batch(batch["doc_id"].astype(str).to_numpy())
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy().astype(np.int64),
+                "shard": (h % np.uint64(8)).astype(np.int64),
+                # signed twin of the uint64 hash (the DuckDB BIGINT cast
+                # convention) so the rank ORDER BY matches the oracle
+                "h": h.astype(np.int64),
+            }
+        )
+
+    def rank_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["shard", "h", "doc_id"]).reset_index(drop=True)
+        out = []
+        for shard, sub in g.groupby("shard", sort=False):
+            out.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": sub["doc_id"].to_numpy(),
+                        "shard": np.full(len(sub), shard, dtype=np.int64),
+                        "pos": np.arange(1, len(sub) + 1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    out = bucketed_groupby(
+        ds.map_batches(hash_batch, batch_format="pandas"), ["shard"], lambda b: b, rank_shard
+    ).to_pandas()
+    return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+
+_SHUFFLED_SHARDS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS shard,
+    CAST(CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) > 9223372036854775807
+              THEN md5_number_lower(CAST(doc_id AS VARCHAR)) - 18446744073709551616
+              ELSE md5_number_lower(CAST(doc_id AS VARCHAR)) END AS BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hs, doc_id) AS BIGINT) AS pos
+FROM h ORDER BY shard, pos
+"""
+
+
 def tpch_q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q13 shape: distribution of customers by how many
     non-URGENT orders they placed (zero included).  Composition stress:
@@ -4936,6 +5042,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q16_supplier_counts": (tpch_q16_supplier_counts, _TPCH_Q16_SQL),
     "tpch_q19_disjunctive_revenue": (tpch_q19_disjunctive_revenue, _TPCH_Q19_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
+    "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
+    "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),
     "peak_concurrent_users_events": (peak_concurrent_users_events, _PEAK_CONC_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
