@@ -4617,6 +4617,233 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape (market share, eight logical tables): what fraction
+    of ECONOMY-part order volume shipped into NATION_19's region came
+    from NATION_18 suppliers, by order year.  Shape: region→nation and
+    the part filter resolve on the driver / broadcast; the customer-side
+    region filter reduces orders to an orderkey→orderyear map (broadcast,
+    Q10-guard family); the lineitem scan applies the part + order
+    lookups, tags each surviving row's supplier nation, and folds
+    (year, is_target_nation) volume partials — 4 floats per block."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n19 = nation.loc[nation["n_name"] == "NATION_19"].iloc[0]
+    rkey = int(n19["n_regionkey"])
+    region_nations = nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].to_numpy()
+    target_nkey = int(nation.loc[nation["n_name"] == "NATION_18", "n_nationkey"].iloc[0])
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    pkeys = np.sort(part.loc[part["p_type"] == "ECONOMY", "p_partkey"].to_numpy().astype(np.int64))
+    pref = ray.put(pkeys)
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    sref = ray.put((sup["s_suppkey"].to_numpy().astype(np.int64), sup["s_nationkey"].to_numpy().astype(np.int64)))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ckeys = np.sort(cust.loc[cust["c_nationkey"].isin(region_nations), "c_custkey"].to_numpy().astype(np.int64))
+    cref = ray.put(ckeys)
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+
+    def orders_map(t: pa.Table) -> pa.Table:
+        ck = ray.get(cref)
+        d = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        ok = kept["o_custkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ck, ok), 0, max(len(ck) - 1, 0))
+        hit = ck[pos] == ok if len(ck) else np.zeros(len(ok), dtype=bool)
+        year = kept["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)[hit] + 1970
+        return pa.table(
+            {
+                "o_orderkey": pa.array(kept["o_orderkey"].to_numpy()[hit], pa.int64()),
+                "y": pa.array(year, pa.int64()),
+            }
+        )
+
+    omap = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_map, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    oref = ray.put((omap["o_orderkey"].to_numpy().astype(np.int64), omap["y"].to_numpy().astype(np.int64)))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        pk_set = ray.get(pref)
+        sk, sn = ray.get(sref)
+        okk, oy = ray.get(oref)
+        pk = t["l_partkey"].to_numpy()
+        ppos = np.clip(np.searchsorted(pk_set, pk), 0, max(len(pk_set) - 1, 0))
+        phit = pk_set[ppos] == pk if len(pk_set) else np.zeros(len(pk), dtype=bool)
+        okey = t["l_orderkey"].to_numpy()
+        opos = np.clip(np.searchsorted(okk, okey), 0, max(len(okk) - 1, 0))
+        ohit = okk[opos] == okey if len(okk) else np.zeros(len(okey), dtype=bool)
+        keep = phit & ohit
+        if not keep.any():
+            return pd.DataFrame({"y": [], "target_vol": [], "total_vol": []})
+        lk = t["l_suppkey"].to_numpy()[keep]
+        spos = np.clip(np.searchsorted(sk, lk), 0, max(len(sk) - 1, 0))
+        snat = sn[spos]
+        vol = (t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()))[keep]
+        df = pd.DataFrame(
+            {"y": oy[opos[keep]], "target_vol": np.where(snat == target_nkey, vol, 0.0), "total_vol": vol}
+        )
+        return df.groupby("y", as_index=False)[["target_vol", "total_vol"]].sum()
+
+    parts = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"y": pd.Series([], dtype=np.int64), "share": pd.Series([], dtype=np.float64)})
+    out = parts.groupby("y", as_index=False)[["target_vol", "total_vol"]].sum()
+    out["share"] = _r6(out["target_vol"] / out["total_vol"])
+    out["y"] = out["y"].astype(np.int64)
+    return out.sort_values("y").reset_index(drop=True)[["y", "share"]]
+
+
+_TPCH_Q8_SQL = """
+SELECT y, ROUND(SUM(CASE WHEN supp_nat = 'NATION_18' THEN volume ELSE 0 END) / SUM(volume), 6) AS share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+         l_extendedprice * (1 - l_discount) AS volume, n1.n_name AS supp_nat
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier s ON s_suppkey = l_suppkey
+       JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+       JOIN orders o ON o_orderkey = l_orderkey
+       JOIN customer c ON c_custkey = o_custkey
+       JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+       JOIN region r ON n2.n_regionkey = r_regionkey
+  WHERE r.r_name = (SELECT r2.r_name FROM region r2 JOIN nation n3 ON n3.n_regionkey = r2.r_regionkey
+                    WHERE n3.n_name = 'NATION_19')
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+) GROUP BY y ORDER BY y
+"""
+
+
+def tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 shape (aggregate → global max → join back): supplier(s)
+    with the maximum 3-month revenue.  Per-supplier revenue rides one
+    bucketed exchange of pre-aggregated partials; the global max is a
+    one-float driver fold over per-bucket maxima; the winners (usually
+    1 row) attach supplier attributes from a key-filtered dim scan —
+    the Q18 HAVING-join-back family with a scalar subquery instead of a
+    threshold."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def rev_rows(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        rev = pc.multiply(kept["l_extendedprice"], pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        return pa.table({"l_suppkey": kept["l_suppkey"], "total_rev": rev})
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    per_supp = sum_by_key(li.map_batches(rev_rows, batch_format="pyarrow"), ["l_suppkey"], ["total_rev"]).to_pandas()
+    if per_supp.empty:
+        return pd.DataFrame({"s_suppkey": [], "s_name": [], "total_rev": []})
+    best = per_supp[per_supp["total_rev"] == per_supp["total_rev"].max()]
+    keys = np.sort(best["l_suppkey"].to_numpy().astype(np.int64))
+    sup = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .map_batches(lambda b: b[np.isin(b["s_suppkey"].to_numpy(), keys)], batch_format="pandas")
+        .to_pandas()
+    )
+    out = sup.merge(best, left_on="s_suppkey", right_on="l_suppkey")
+    out["total_rev"] = _r2(out["total_rev"])
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)[["s_suppkey", "s_name", "total_rev"]]
+
+
+_TPCH_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS r FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01' GROUP BY 1
+)
+SELECT s_suppkey, s_name, ROUND(r, 2) AS total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE r = (SELECT MAX(r) FROM rev) ORDER BY s_suppkey
+"""
+
+
+def tpch_q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery per group): revenue of
+    Brand#23 lines whose quantity is below half that PART's average
+    quantity.  Two passes over the brand-pruned slice: pass 1 folds
+    per-part (sum, count) quantity moments through one bucketed exchange;
+    the per-part thresholds broadcast back (sorted arrays); pass 2
+    re-scans the same pruned slice and folds the qualifying revenue —
+    the decorrelation every engine applies, expressed as
+    aggregate→broadcast→rescan."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    bkeys = np.sort(part.loc[part["p_brand"] == "Brand#23", "p_partkey"].to_numpy().astype(np.int64))
+    bref = ray.put(bkeys)
+
+    def brand_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(bref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == pk if len(ks) else np.zeros(len(pk), dtype=bool)
+        return t.filter(pa.array(hit))
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    pruned = _read(sf_dir, "lineitem", columns=li_cols).map_batches(brand_rows, batch_format="pyarrow")
+
+    def moments(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty_sum": t["l_quantity"],
+                "qty_cnt": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    per_part = sum_by_key(
+        pruned.map_batches(moments, batch_format="pyarrow"), ["l_partkey"], ["qty_sum", "qty_cnt"]
+    ).to_pandas()
+    if per_part.empty:
+        return pd.DataFrame({"avg_yearly": _r2([0.0])})
+    per_part = per_part.sort_values("l_partkey")
+    tref = ray.put(
+        (
+            per_part["l_partkey"].to_numpy().astype(np.int64),
+            0.5 * per_part["qty_sum"].to_numpy() / per_part["qty_cnt"].to_numpy(),
+        )
+    )
+
+    def qualifying_rev(t: pa.Table) -> pa.Table:
+        ks, thr = ray.get(tref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == pk if len(ks) else np.zeros(len(pk), dtype=bool)
+        keep = hit & (t["l_quantity"].to_numpy() < thr[pos])
+        return pa.table({"rev": pa.array([float(t["l_extendedprice"].to_numpy()[keep].sum())], pa.float64())})
+
+    parts = pruned.map_batches(qualifying_rev, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"avg_yearly": _r2([parts["rev"].sum() / 7.0])})
+
+
+_TPCH_Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
 def embedding_near_dup_exact(sf_dir: str) -> pd.DataFrame:
     """EXACT embedding-cosine near-dup pairs on a keyed subset (vec_id
     even, threshold 0.3 — nonzero on this corpus, whose max cosine is
@@ -5038,7 +5265,10 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q4_order_priority": (tpch_q4_order_priority, _TPCH_Q4_SQL),
     "tpch_q6_forecast_revenue": (tpch_q6_forecast_revenue, _TPCH_Q6_SQL),
     "tpch_q7_volume_shipping": (tpch_q7_volume_shipping, _TPCH_Q7_SQL),
+    "tpch_q8_market_share": (tpch_q8_market_share, _TPCH_Q8_SQL),
     "tpch_q14_promo_revenue": (tpch_q14_promo_revenue, _TPCH_Q14_SQL),
+    "tpch_q15_top_supplier": (tpch_q15_top_supplier, _TPCH_Q15_SQL),
+    "tpch_q17_small_quantity_revenue": (tpch_q17_small_quantity_revenue, _TPCH_Q17_SQL),
     "tpch_q16_supplier_counts": (tpch_q16_supplier_counts, _TPCH_Q16_SQL),
     "tpch_q19_disjunctive_revenue": (tpch_q19_disjunctive_revenue, _TPCH_Q19_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
