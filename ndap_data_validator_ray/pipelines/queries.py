@@ -44,6 +44,10 @@ def _r6(x):
     return np.round(np.asarray(x, dtype=np.float64), 6)
 
 
+def _r9(x):
+    return np.round(np.asarray(x, dtype=np.float64), 9)
+
+
 # ---------------------------------------------------------------------------
 # Column profiling (the reference's A1/A3/A13 stats as one distributed pass)
 # ---------------------------------------------------------------------------
@@ -1153,6 +1157,67 @@ def order_chain_components(sf_dir: str) -> pd.DataFrame:
 _ORDER_CHAIN_CC_SQL = """
 SELECT o_orderkey, MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
 FROM orders ORDER BY o_orderkey
+"""
+
+
+def order_chain_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank (stages/pagerank.py — fixed 5 iterations,
+    damping 0.85, two bucketed exchanges per iteration, nothing on the
+    driver) over the order-chain graph of every 5th customer.  Fixed
+    iterations make the result deterministic, so DuckDB reproduces it
+    with five unrolled join+groupby CTEs — a FULL value oracle for an
+    iterative distributed algorithm.  Float-exactness note: chain nodes
+    have <= 2 in-edges, and two-term float addition is commutative (only
+    associativity fails), so both sides agree to the last ulp; the
+    engine's per-edge ``damping*rank/deg`` and base ``(1-damping)/n``
+    expressions are mirrored verbatim in the SQL."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.pagerank import distributed_pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.filter(pa.array(t["o_custkey"].to_numpy() % 5 == 0)), batch_format="pyarrow"
+    )
+
+    def chain_edges(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["o_custkey", "o_orderkey"])
+        ck = p["o_custkey"].to_numpy()
+        ok = p["o_orderkey"].to_numpy().astype(np.int64)
+        if len(ok) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        same = ck[1:] == ck[:-1]
+        return pd.DataFrame({"id_a": ok[:-1][same], "id_b": ok[1:][same]})
+
+    edges = bucketed_groupby(orders, ["o_custkey"], lambda b: b, chain_edges).materialize()
+    out = distributed_pagerank(edges, iters=5, damping=0.85).to_pandas()
+    out = out.rename(columns={"node": "o_orderkey"})
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out["rank"] = _r9(out["rank"])
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_PAGERANK_SQL = """
+WITH cust AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey % 5 = 0
+), chain AS (
+  SELECT o_orderkey AS u,
+         LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS v
+  FROM cust
+), pairs AS (SELECT u, v FROM chain WHERE v IS NOT NULL),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS r FROM deg),
+r1 AS (SELECT e.v AS node, (1 - 0.85) / (SELECT n FROM n) + SUM(0.85 * p.r / deg.d) AS r
+       FROM edges e JOIN r0 p ON p.node = e.u JOIN deg ON deg.node = e.u GROUP BY e.v),
+r2 AS (SELECT e.v AS node, (1 - 0.85) / (SELECT n FROM n) + SUM(0.85 * p.r / deg.d) AS r
+       FROM edges e JOIN r1 p ON p.node = e.u JOIN deg ON deg.node = e.u GROUP BY e.v),
+r3 AS (SELECT e.v AS node, (1 - 0.85) / (SELECT n FROM n) + SUM(0.85 * p.r / deg.d) AS r
+       FROM edges e JOIN r2 p ON p.node = e.u JOIN deg ON deg.node = e.u GROUP BY e.v),
+r4 AS (SELECT e.v AS node, (1 - 0.85) / (SELECT n FROM n) + SUM(0.85 * p.r / deg.d) AS r
+       FROM edges e JOIN r3 p ON p.node = e.u JOIN deg ON deg.node = e.u GROUP BY e.v),
+r5 AS (SELECT e.v AS node, (1 - 0.85) / (SELECT n FROM n) + SUM(0.85 * p.r / deg.d) AS r
+       FROM edges e JOIN r4 p ON p.node = e.u JOIN deg ON deg.node = e.u GROUP BY e.v)
+SELECT node AS o_orderkey, ROUND(r, 9) AS rank FROM r5 ORDER BY o_orderkey
 """
 
 
@@ -3917,6 +3982,52 @@ FROM h ORDER BY shard, pos
 """
 
 
+def events_hourly_gapfilled(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled hourly purchase counts (time-series densification —
+    resample semantics): sparse per-batch (hour, count) partials fold on
+    the driver, then join onto the dense hour calendar spanning
+    [min, max] with zero-filled gaps.  The calendar is OUTPUT-sized
+    (bounded by the time range, never by row count), so driver-side
+    densification is the scale-correct shape; the scan itself streams
+    with a column-pruned filter and ships <= hours-per-block rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        kept = batch.loc[batch["event_type"] == "purchase", "ts"].dt.floor("h")
+        g = kept.value_counts().sort_index()
+        return pd.DataFrame({"hour": g.index, "n_events": g.to_numpy().astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"hour": pd.Series([], dtype="datetime64[us]"),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("hour", as_index=False)["n_events"].sum()
+    cal = pd.date_range(agg["hour"].min(), agg["hour"].max(), freq="h")
+    out = (
+        pd.DataFrame({"hour": cal})
+        .merge(agg, on="hour", how="left")
+        .fillna({"n_events": 0})
+    )
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+), cal AS (
+  SELECT unnest(generate_series((SELECT lo FROM bounds), (SELECT hi FROM bounds),
+                INTERVAL 1 HOUR)) AS hour
+), agg AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT cal.hour, CAST(COALESCE(agg.c, 0) AS BIGINT) AS n_events
+FROM cal LEFT JOIN agg ON cal.hour = agg.hour ORDER BY cal.hour
+"""
+
+
 def tpch_q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q13 shape: distribution of customers by how many
     non-URGENT orders they placed (zero included).  Composition stress:
@@ -5210,6 +5321,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
+    "order_chain_pagerank": (order_chain_pagerank, _PAGERANK_SQL),
+    "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),
     "sample_per_source_documents": (sample_per_source_documents, _SAMPLE_PER_SOURCE_SQL),

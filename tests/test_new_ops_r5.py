@@ -99,6 +99,47 @@ def test_verify_pairs_missing_payload_dropped():
     assert got == {(1, 2)}  # pairs touching 98/99 dropped, (1,2) scored
 
 
+# --- distributed PageRank ----------------------------------------------------
+
+def test_distributed_pagerank_matches_numpy():
+    """Star + chain + isolated-pair graph vs a dense numpy power
+    iteration with identical arithmetic (per-edge damping*rank/deg,
+    two-term sums) — exact to float64."""
+    from ndap_data_validator_ray.stages.pagerank import distributed_pagerank
+
+    edges = pd.DataFrame(
+        {
+            "id_a": np.array([1, 1, 1, 10, 11, 12, 20], dtype=np.int64),
+            "id_b": np.array([2, 3, 4, 11, 12, 13, 21], dtype=np.int64),
+        }
+    )
+    got = (
+        distributed_pagerank(ray.data.from_pandas(edges).repartition(3), iters=5, damping=0.85, n_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # numpy reference on the symmetrized graph
+    sym = pd.concat(
+        [edges, edges.rename(columns={"id_a": "id_b", "id_b": "id_a"})]
+    ).drop_duplicates()
+    nodes = np.sort(pd.unique(pd.concat([sym["id_a"], sym["id_b"]])))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = sym.groupby("id_a").size()
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1.0 - 0.85) / n)
+        for _, e in sym.iterrows():
+            nxt[idx[e["id_b"]]] += 0.85 * r[idx[e["id_a"]]] / deg[e["id_a"]]
+        r = nxt
+    want = pd.DataFrame({"node": nodes, "rank": r})
+    assert np.allclose(got["rank"].to_numpy(), want["rank"].to_numpy(), atol=1e-12)
+    assert (got["node"].to_numpy() == want["node"].to_numpy()).all()
+    assert abs(got["rank"].sum() - 1.0) < 1e-9  # rank mass conserved (no dangling nodes)
+
+
 # --- vectorized kernels -----------------------------------------------------
 
 def test_popcount64_matches_python():
