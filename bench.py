@@ -151,6 +151,21 @@ _QUERY_NAMES = [
     "funnel_conversion_events",
     "reconcile_order_snapshots",
     "peak_concurrent_users_events",
+    # round-5 additions (each <= ~4.5 s at sf0.1/32 CPUs)
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "train_val_test_split_documents",
+    "shuffled_shard_assignment_documents",
+    "events_hourly_gapfilled",
+    "embedding_near_dup_exact",
+    "near_dup_clusters_exact",
 ]
 
 
