@@ -4409,45 +4409,63 @@ def tpch_q4_order_priority(sf_dir: str) -> pd.DataFrame:
     per priority, having at least one line shipped >60 days after the
     order date (the fixture has no l_commitdate; the late-shipment
     predicate keeps the correlated order-attribute comparison).  Shape:
-    the date-windowed orders side is bounded (~4% of orders) and is
-    broadcast as sorted arrays (orderkey -> orderdate,priority); the
-    lineitem scan emits per-batch DISTINCT qualifying orderkeys; ONE
-    bucketed exchange dedupes them globally (semi-join multiplicity
-    collapse); the 5-group priority count folds on the driver.  At
-    extreme SF the window broadcast would take the Q10-style
-    bucketed-join fallback."""
+    the date-windowed orders side (~4% of orders, orderkey ->
+    orderdate,priority) attaches to the lineitem scan via
+    ``stages/broadcast.attach_or_join`` (row-count-guarded broadcast vs
+    bucketed join — the generalized Q10 guard; both paths
+    equivalence-tested); late lines collapse to per-batch DISTINCT
+    (orderkey, priority) pairs; ONE bucketed exchange dedupes them
+    globally (semi-join multiplicity collapse); the 5-group priority
+    count folds on the driver."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).to_pandas()
-    win = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)].sort_values("o_orderkey")
-    okeys = win["o_orderkey"].to_numpy().astype(np.int64)
-    odate = win["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-    prio_of = dict(zip(win["o_orderkey"].astype(np.int64), win["o_orderpriority"]))
-    ref = ray.put((okeys, odate))
+
+    def window_orders(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        odate_ns = kept["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": kept["o_orderkey"],
+                "odate_ns": pa.array(odate_ns, pa.int64()),
+                "o_orderpriority": kept["o_orderpriority"],
+            }
+        )
+
+    win_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]).map_batches(
+        window_orders, batch_format="pyarrow"
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_ns": pa.array(
+                    t["l_shipdate"].to_numpy().astype("datetime64[ns]").astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_or_join(li, win_ds, "l_orderkey", "o_orderkey", ["odate_ns", "o_orderpriority"])
     sixty_days_ns = np.int64(60 * 24 * 3600 * 1_000_000_000)
 
-    def late_orderkeys(t: pa.Table) -> pa.Table:
-        ks, ds_ns = ray.get(ref)
-        lk = t["l_orderkey"].to_numpy()
-        pos = np.clip(np.searchsorted(ks, lk), 0, max(len(ks) - 1, 0))
-        hit = ks[pos] == lk if len(ks) else np.zeros(len(lk), dtype=bool)
-        ship = t["l_shipdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-        late = hit & (ship > ds_ns[pos] + sixty_days_ns)
-        return pa.table({"o_orderkey": pa.array(np.unique(lk[late]), pa.int64())})
+    def late_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        late = b[b["ship_ns"].to_numpy() > b["odate_ns"].to_numpy() + sixty_days_ns]
+        return late[["l_orderkey", "o_orderpriority"]].drop_duplicates()
 
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
-        late_orderkeys, batch_format="pyarrow"
-    )
     distinct = bucketed_groupby(
-        li,
-        ["o_orderkey"],
-        lambda b: b.drop_duplicates(subset=["o_orderkey"]),
-        lambda g: g.drop_duplicates(subset=["o_orderkey"]),
+        joined.map_batches(late_pairs, batch_format="pandas"),
+        ["l_orderkey"],
+        lambda b: b.drop_duplicates(subset=["l_orderkey"]),
+        lambda g: g.drop_duplicates(subset=["l_orderkey"]),
     ).to_pandas()
-    counts = (
-        distinct["o_orderkey"].astype(np.int64).map(prio_of).value_counts().sort_index()
-    )
+    counts = distinct["o_orderpriority"].value_counts().sort_index()
     return pd.DataFrame(
         {"o_orderpriority": counts.index.to_numpy(), "order_count": counts.to_numpy().astype(np.int64)}
     )
@@ -4624,14 +4642,15 @@ GROUP BY p_brand, p_type ORDER BY supplier_cnt DESC, p_brand, p_type
 
 
 def tpch_q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q7 shape (two-nation trade volume by year, six tables): both
-    nation-filtered dims broadcast (suppliers directly; customers resolve
-    through a filtered orders scan into an orderkey -> cust-nation map —
-    bounded at ~2/25 of orders; at extreme SF this side takes the
-    Q10-style bucketed-join fallback); the lineitem scan filters on the
-    supplier side, gathers the customer nation per line, and folds
-    (supp_nation, cust_nation, year) partials — at most a handful of
-    groups per block — on the driver."""
+    """TPC-H Q7 shape (two-nation trade volume by year, six tables):
+    supplier dim broadcast; customers resolve through a filtered orders
+    scan into an (orderkey -> cust-nation) map that attaches via
+    ``stages/broadcast.attach_or_join`` — its EXACT row count picks
+    broadcast (bounded here at ~2/25 of orders) vs a bucketed hash join,
+    so the map can never outgrow the driver (the generalized Q10 guard;
+    both paths equivalence-tested).  The lineitem scan filters on the
+    supplier side and folds (supp_nation, cust_nation, year) partials —
+    at most a handful of groups per block — on the driver."""
     nation = _read(sf_dir, "nation").to_pandas()
     pair = nation[nation["n_name"].isin(["NATION_18", "NATION_19"])]
     nkeys = pair["n_nationkey"].to_numpy()
@@ -4657,18 +4676,13 @@ def tpch_q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    omap = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-        .map_batches(orders_map, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("o_orderkey")
+    omap_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        orders_map, batch_format="pyarrow"
     )
-    oref = ray.put((omap["o_orderkey"].to_numpy().astype(np.int64), omap["c_nat"].to_numpy().astype(np.int64)))
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def supp_side(t: pa.Table) -> pa.Table:
         sk, sn = ray.get(sref)
-        okk, cn = ray.get(oref)
         d = t["l_shipdate"]
         mask = pc.and_(
             pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
@@ -4678,28 +4692,31 @@ def tpch_q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
         lk = kept["l_suppkey"].to_numpy()
         spos = np.clip(np.searchsorted(sk, lk), 0, max(len(sk) - 1, 0))
         shit = sk[spos] == lk if len(sk) else np.zeros(len(lk), dtype=bool)
-        okey = kept["l_orderkey"].to_numpy()
-        opos = np.clip(np.searchsorted(okk, okey), 0, max(len(okk) - 1, 0))
-        ohit = okk[opos] == okey if len(okk) else np.zeros(len(okey), dtype=bool)
-        keep = shit & ohit
-        if not keep.any():
-            return pd.DataFrame({"s_nat": [], "c_nat": [], "l_year": [], "rev": []})
-        snat = sn[spos[keep]]
-        cnat = cn[opos[keep]]
-        keep_cross = snat != cnat  # the two ends must be different nations
-        year = (
-            kept["l_shipdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)[keep][keep_cross]
-            + 1970
+        year = kept["l_shipdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)[shit] + 1970
+        rev = (kept["l_extendedprice"].to_numpy() * (1.0 - kept["l_discount"].to_numpy()))[shit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(kept["l_orderkey"].to_numpy()[shit], pa.int64()),
+                "s_nat": pa.array(sn[spos[shit]], pa.int64()),
+                "l_year": pa.array(year, pa.int64()),
+                "rev": pa.array(rev, pa.float64()),
+            }
         )
-        rev = (kept["l_extendedprice"].to_numpy() * (1.0 - kept["l_discount"].to_numpy()))[keep][keep_cross]
-        df = pd.DataFrame({"s_nat": snat[keep_cross], "c_nat": cnat[keep_cross], "l_year": year, "rev": rev})
-        return df.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"].sum()
 
-    parts = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    fact = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(supp_side, batch_format="pyarrow")
+    joined = attach_or_join(fact, omap_ds, "l_orderkey", "o_orderkey", ["c_nat"])
+
+    def fold_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nat"] != b["c_nat"]]  # the two ends must be different nations
+        if b.empty:
+            return pd.DataFrame({"s_nat": [], "c_nat": [], "l_year": [], "rev": []})
+        return b.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"].sum()
+
+    parts = joined.map_batches(fold_partial, batch_format="pandas").to_pandas()
     if parts.empty:
         return pd.DataFrame({"supp_nation": [], "cust_nation": [], "l_year": [], "revenue": []})
     out = parts.groupby(["s_nat", "c_nat", "l_year"], as_index=False)["rev"].sum()
@@ -4733,10 +4750,11 @@ def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
     of ECONOMY-part order volume shipped into NATION_19's region came
     from NATION_18 suppliers, by order year.  Shape: region→nation and
     the part filter resolve on the driver / broadcast; the customer-side
-    region filter reduces orders to an orderkey→orderyear map (broadcast,
-    Q10-guard family); the lineitem scan applies the part + order
-    lookups, tags each surviving row's supplier nation, and folds
-    (year, is_target_nation) volume partials — 4 floats per block."""
+    region filter reduces orders to an (orderkey → orderyear) map that
+    attaches via ``attach_or_join`` (row-count-guarded broadcast vs
+    bucketed join — the generalized Q10 guard); the lineitem scan applies
+    the part + supplier lookups and folds (year, is_target_nation)
+    volume partials — 4 floats per block."""
     nation = _read(sf_dir, "nation").to_pandas()
     region = _read(sf_dir, "region").to_pandas()
     n19 = nation.loc[nation["n_name"] == "NATION_19"].iloc[0]
@@ -4775,41 +4793,39 @@ def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    omap = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(orders_map, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("o_orderkey")
+    omap_ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        orders_map, batch_format="pyarrow"
     )
-    oref = ray.put((omap["o_orderkey"].to_numpy().astype(np.int64), omap["y"].to_numpy().astype(np.int64)))
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def part_supp_side(t: pa.Table) -> pa.Table:
         pk_set = ray.get(pref)
         sk, sn = ray.get(sref)
-        okk, oy = ray.get(oref)
         pk = t["l_partkey"].to_numpy()
         ppos = np.clip(np.searchsorted(pk_set, pk), 0, max(len(pk_set) - 1, 0))
         phit = pk_set[ppos] == pk if len(pk_set) else np.zeros(len(pk), dtype=bool)
-        okey = t["l_orderkey"].to_numpy()
-        opos = np.clip(np.searchsorted(okk, okey), 0, max(len(okk) - 1, 0))
-        ohit = okk[opos] == okey if len(okk) else np.zeros(len(okey), dtype=bool)
-        keep = phit & ohit
-        if not keep.any():
-            return pd.DataFrame({"y": [], "target_vol": [], "total_vol": []})
-        lk = t["l_suppkey"].to_numpy()[keep]
+        lk = t["l_suppkey"].to_numpy()[phit]
         spos = np.clip(np.searchsorted(sk, lk), 0, max(len(sk) - 1, 0))
         snat = sn[spos]
-        vol = (t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()))[keep]
-        df = pd.DataFrame(
-            {"y": oy[opos[keep]], "target_vol": np.where(snat == target_nkey, vol, 0.0), "total_vol": vol}
+        vol = (t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()))[phit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[phit], pa.int64()),
+                "target_vol": pa.array(np.where(snat == target_nkey, vol, 0.0), pa.float64()),
+                "total_vol": pa.array(vol, pa.float64()),
+            }
         )
-        return df.groupby("y", as_index=False)[["target_vol", "total_vol"]].sum()
 
-    parts = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    fact = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(part_supp_side, batch_format="pyarrow")
+    joined = attach_or_join(fact, omap_ds, "l_orderkey", "o_orderkey", ["y"])
+
+    parts = joined.map_batches(
+        lambda b: b.groupby("y", as_index=False)[["target_vol", "total_vol"]].sum(),
+        batch_format="pandas",
+    ).to_pandas()
     if parts.empty:
         return pd.DataFrame({"y": pd.Series([], dtype=np.int64), "share": pd.Series([], dtype=np.float64)})
     out = parts.groupby("y", as_index=False)[["target_vol", "total_vol"]].sum()

@@ -23,6 +23,20 @@ def test_q10_join_fallback(monkeypatch):
     assert len(broadcast) == 20
 
 
+def test_attach_or_join_fallback_equivalence(monkeypatch):
+    """Forcing DEFAULT_BROADCAST_CAP=0 routes every attach_or_join caller
+    (Q4/Q7/Q8's windowed-orders maps) through bucketed_join; results must
+    be identical to the broadcast path."""
+    import ndap_data_validator_ray.stages.broadcast as bc
+    import ndap_data_validator_ray.pipelines.queries as q
+
+    fns = [q.tpch_q4_order_priority, q.tpch_q7_volume_shipping, q.tpch_q8_market_share]
+    broadcast_res = [f(SF) for f in fns]
+    monkeypatch.setattr(bc, "DEFAULT_BROADCAST_CAP", 0)
+    for f, want in zip(fns, broadcast_res):
+        pd.testing.assert_frame_equal(f(SF), want)
+
+
 # --- as_dataset verify path (round-4 verdict item 1) -------------------------
 
 def _near_dup_corpus() -> pd.DataFrame:
