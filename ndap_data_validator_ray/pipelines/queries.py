@@ -4270,11 +4270,11 @@ def tpch_q10_returned_items(sf_dir: str) -> pd.DataFrame:
     shuffle).  The window side is GUARDED: its exact row count (metadata
     on the materialized filter output) is checked against
     ``_Q10_BROADCAST_CAP``; above the cap the window never visits the
-    driver and the fact joins it through ``stages/join.bucketed_join``
-    instead (equivalence pinned by ``test_q10_join_fallback``)."""
-    from ndap_data_validator_ray.stages.broadcast import attach_lookup
+    driver and the fact joins it through the shared
+    ``stages/broadcast.attach_or_join`` stage's bucketed-join path
+    (equivalence pinned by ``test_q10_join_fallback``)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
     from ndap_data_validator_ray.stages.groupby import sum_by_key
-    from ndap_data_validator_ray.stages.join import bucketed_join
 
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
 
@@ -4302,27 +4302,11 @@ def tpch_q10_returned_items(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
     rev = li.map_batches(li_revenue, batch_format="pyarrow")
-    if n_win <= _Q10_BROADCAST_CAP:
-        cust_of = dict(
-            zip(
-                (w := win_ds.to_pandas())["o_orderkey"].astype("int64"),
-                w["o_custkey"].astype("int64"),
-            )
-        )
-        fact = attach_lookup(
-            rev, cust_of, "l_orderkey", "o_custkey", keep=["o_custkey", "revenue"]
-        ).map_batches(lambda t: t.drop_null(), batch_format="pyarrow")
-    else:
-        # window too big for the driver: hash-join fact x window on the
-        # order key (win_ds renamed so the key columns align), then keep
-        # only the columns the aggregation needs
-        keyed = win_ds.map_batches(
-            lambda t: pa.table({"l_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        fact = bucketed_join(rev, keyed, on=["l_orderkey"], how="inner").map_batches(
-            lambda b: b[["o_custkey", "revenue"]], batch_format="pandas"
-        )
+    # shared guarded attach (stages/broadcast.attach_or_join): broadcast
+    # under the cap, bucketed hash join above it
+    fact = attach_or_join(
+        rev, win_ds, "l_orderkey", "o_orderkey", ["o_custkey"], cap=_Q10_BROADCAST_CAP
+    ).map_batches(lambda b: b[["o_custkey", "revenue"]], batch_format="pandas")
     per_cust = sum_by_key(fact, ["o_custkey"], ["revenue"])
 
     def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
