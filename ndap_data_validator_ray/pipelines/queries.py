@@ -1642,7 +1642,14 @@ FROM p, n WHERE c0 > 0 AND c1 > 0
 def knn_embeddings_ivf(sf_dir: str) -> pd.DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer
     trained on a driver sample, centroids broadcast, nprobe-cell search
-    (rows-only; the cluster-pruned ANN scale path)."""
+    (rows-only; the cluster-pruned ANN scale path).  Recall note: this
+    fixture's embeddings are near-isotropic, the worst case for a coarse
+    quantizer — a round-5 sweep measured mean recall ~0.7 at the default
+    6/16 scan fraction and only ~0.76-0.86 even at 2-3x the scan (finer
+    quantizers don't help when neighbors scatter across cells), so the
+    recall floor stays at the honest 0.6; clustered corpora (the real
+    IVF use case) do far better, and ``knn_embeddings_lsh`` (mean 0.98)
+    is the high-recall ANN on this corpus."""
     from ndap_data_validator_ray.stages.similarity import ivf_topk
 
     qids, qmat = _query_vectors(sf_dir)
