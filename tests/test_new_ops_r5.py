@@ -23,6 +23,53 @@ def test_q10_join_fallback(monkeypatch):
     assert len(broadcast) == 20
 
 
+def test_attach_or_join_property():
+    """Both attach_or_join paths match a pandas inner merge on random
+    inputs (duplicate fact keys, side misses) — hypothesis-style sweep
+    with a fixed seed battery."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n_fact, n_side = rng.integers(1, 60), rng.integers(1, 20)
+        fact = pd.DataFrame(
+            {
+                "k": rng.integers(0, 25, n_fact).astype(np.int64),
+                "fv": rng.integers(0, 1000, n_fact).astype(np.int64),
+            }
+        )
+        side = pd.DataFrame(
+            {
+                "sk": np.random.default_rng(trial).permutation(25)[:n_side].astype(np.int64),
+                "sv": rng.integers(0, 1000, n_side).astype(np.int64),
+            }
+        )
+        want = (
+            fact.merge(side, left_on="k", right_on="sk")[["k", "fv", "sv"]]
+            .sort_values(["k", "fv", "sv"])
+            .reset_index(drop=True)
+        )
+        for cap in (10**6, 0):  # broadcast path, then forced join path
+            got_df = attach_or_join(
+                ray.data.from_pandas(fact).repartition(3),
+                ray.data.from_pandas(side).repartition(2),
+                "k",
+                "sk",
+                ["sv"],
+                cap=cap,
+            ).to_pandas()
+            if want.empty:
+                assert len(got_df) == 0  # empty result may drop its schema
+                continue
+            got = (
+                got_df[["k", "fv", "sv"]]
+                .astype(np.int64)
+                .sort_values(["k", "fv", "sv"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_attach_or_join_fallback_equivalence(monkeypatch):
     """Forcing DEFAULT_BROADCAST_CAP=0 routes every attach_or_join caller
     (Q4/Q7/Q8's windowed-orders maps) through bucketed_join; results must
