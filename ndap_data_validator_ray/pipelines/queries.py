@@ -3721,6 +3721,38 @@ def containment_pairs_documents(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def containment_exact_documents(sf_dir: str) -> pd.DataFrame:
+    """EXACT shared-substring containment on a keyed subset (doc_id % 4,
+    char-8-grams, >= 100 shared distinct grams): the fully-oracled twin
+    of the winnowed ``containment_pairs`` path — same signal the MOSS
+    fingerprints SAMPLE, computed exhaustively via the distributed
+    tile-pair join (``dedup_near.exact_containment_pairs``).  DuckDB
+    recomputes the gram sets with substr/list_intersect."""
+    from ndap_data_validator_ray.stages.dedup_near import exact_containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 4 == 0)), batch_format="pyarrow"
+    )
+    return exact_containment_pairs(ds, "text", "doc_id", k=8, min_shared=100, tiles=4)
+
+
+_CONTAINMENT_EXACT_SQL = """
+WITH sub AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents WHERE doc_id % 4 = 0),
+g AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 8
+      THEN list_distinct(list_transform(range(1, length(t) - 6), i -> substr(t, i, 8)))
+      ELSE [] END AS grams
+  FROM sub
+)
+SELECT id_a, id_b, shared_grams FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS shared_grams
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+) WHERE shared_grams >= 100 ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding clustering (round 3)
 # ---------------------------------------------------------------------------
@@ -4032,6 +4064,61 @@ WITH bounds AS (
 )
 SELECT cal.hour, CAST(COALESCE(agg.c, 0) AS BIGINT) AS n_events
 FROM cal LEFT JOIN agg ON cal.hour = agg.hour ORDER BY cal.hour
+"""
+
+
+def temperature_mixture_documents(sf_dir: str) -> pd.DataFrame:
+    """Temperature-based mixture rebalancing (the alpha-sampling used to
+    flatten language/domain skew in LLM training mixes, alpha = 0.5):
+    language L is kept at rate ``sqrt(min_count / n_L)`` — the dominant
+    language downsamples toward the smallest, rare ones keep everything.
+    Two passes: per-batch lang-count partials fold on the driver (5
+    groups — the no-shuffle rule), exact integer thresholds broadcast,
+    then a pure streaming keep-filter with the stable Knuth hash (no RNG,
+    identical rows on rerun/resume).  FULLY value-oracled: IEEE sqrt is
+    correctly rounded in both numpy and DuckDB, so the float thresholds
+    are bit-identical."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch["lang"].value_counts()
+        return pd.DataFrame({"lang": g.index, "n": g.to_numpy().astype(np.int64)})
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("lang", as_index=False)["n"]
+        .sum()
+    )
+    m = np.float64(counts["n"].min())
+    thr = {
+        lang: np.int64(np.floor(np.sqrt(m / np.float64(n)) * np.float64(4294967296)))
+        for lang, n in zip(counts["lang"], counts["n"])
+    }
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        h = (batch["doc_id"].to_numpy().astype(np.uint64) * np.uint64(_KNUTH32)) % np.uint64(1 << 32)
+        lim = batch["lang"].map(t).to_numpy(dtype=np.uint64)
+        return batch[h < lim]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TEMPERATURE_MIXTURE_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+mn AS (SELECT MIN(n) AS m FROM counts),
+thr AS (
+  SELECT lang,
+    CAST(FLOOR(sqrt(CAST((SELECT m FROM mn) AS DOUBLE) / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+  FROM counts
+)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE (d.doc_id * {_KNUTH32}) % 4294967296 < thr.t
+ORDER BY d.doc_id
 """
 
 
@@ -5397,6 +5484,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "peak_concurrent_users_events": (peak_concurrent_users_events, _PEAK_CONC_SQL),
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
+    "temperature_mixture_documents": (temperature_mixture_documents, _TEMPERATURE_MIXTURE_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
     "monthly_revenue_trend": (monthly_revenue_trend, _MONTHLY_SQL),
     "mode_priority_by_status": (mode_priority_by_status, _MODE_SQL),
@@ -5415,6 +5503,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "part_attrs_unpivot": (part_attrs_unpivot, _UNPIVOT_SQL),
     "pack_documents_bins": (pack_documents_bins, None),
     "containment_pairs_documents": (containment_pairs_documents, None),
+    "containment_exact_documents": (containment_exact_documents, _CONTAINMENT_EXACT_SQL),
     "events_value_histogram": (events_value_histogram, _VALUE_HIST_SQL),
     "distinct_users_by_type": (distinct_users_by_type, _DISTINCT_USERS_SQL),
     "coerce_events_props": (coerce_events_props,

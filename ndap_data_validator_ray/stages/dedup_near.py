@@ -633,6 +633,78 @@ def exact_jaccard_pairs(
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def exact_containment_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_shared: int = 100,
+    tiles: int = 4,
+) -> pd.DataFrame:
+    """EXACT all-pairs shared-substring counting: pairs whose DISTINCT
+    char-``k``-gram sets intersect in >= ``min_shared`` grams — the
+    ground-truth twin of ``containment_pairs`` (whose winnowed MOSS
+    fingerprints SAMPLE this same signal).  Distributed tile-pair
+    triangle join, O(n^2) by definition — for recall audits / bounded
+    keyed subsets; docs shorter than ``k`` contribute no grams.
+    Returns (id_a, id_b, shared_grams), id_a < id_b, sorted."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    def tokenize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, tiles_l, pair_keys, gram_lists = [], [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col].fillna("")):
+            s = str(text)
+            grams = sorted({s[i : i + k] for i in range(len(s) - k + 1)}) if len(s) >= k else []
+            t = int(pd.util.hash_array(np.array([doc_id]))[0] % np.uint64(tiles))
+            for u in range(tiles):
+                lo, hi = min(t, u), max(t, u)
+                ids.append(doc_id)
+                tiles_l.append(t)
+                pair_keys.append(lo * tiles + hi)
+                gram_lists.append("\x1f".join(grams))
+        return pd.DataFrame({id_col: ids, "tile": tiles_l, "pair_key": pair_keys, "grams": gram_lists})
+
+    def verify_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for pk, g in group.groupby("pair_key", sort=False):
+            lo, hi = divmod(int(pk), tiles)
+            rows = g.drop_duplicates(subset=[id_col])
+            gsets = [set(x.split("\x1f")) if x else set() for x in rows["grams"]]
+            ids = rows[id_col].tolist()
+            tile = rows["tile"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ti, tj = sorted((tile[i], tile[j]))
+                    if (ti, tj) != (lo, hi):
+                        continue
+                    shared = len(gsets[i] & gsets[j])
+                    if shared >= min_shared:
+                        a, b = sorted((ids[i], ids[j]))
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_s.append(shared)
+        return pd.DataFrame(
+            {"id_a": np.asarray(out_a, dtype=np.int64), "id_b": np.asarray(out_b, dtype=np.int64),
+             "shared_grams": np.asarray(out_s, dtype=np.int64)}
+        )
+
+    tokens = ds.map_batches(tokenize, batch_format="pandas")
+    pairs = bucketed_groupby(
+        tokens, ["pair_key"], lambda b: b, verify_pairs, n_buckets=max(8, tiles * tiles)
+    ).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64),
+             "shared_grams": pd.Series([], dtype=np.int64)}
+        )
+    return (
+        pairs.drop_duplicates(subset=["id_a", "id_b"])
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+        .astype({"id_a": np.int64, "id_b": np.int64, "shared_grams": np.int64})
+    )
+
+
 def _winnow(hv: np.ndarray, window: int) -> np.ndarray:
     """Winnowing fingerprint selection (Schleimer et al. '03, the MOSS
     scheme): the distinct minima of every ``window``-length run of rolling
