@@ -4067,6 +4067,52 @@ FROM cal LEFT JOIN agg ON cal.hour = agg.hour ORDER BY cal.hour
 """
 
 
+def purchase_attribution_events(sf_dir: str) -> pd.DataFrame:
+    """Last-touch attribution (marketing-funnel shape): every purchase
+    attributes to the same user's most recent prior click within 7 days,
+    else stays unattributed — a SELF as-of join of the events table
+    (clicks build side, purchases probe side) through the bucketed as-of
+    stage, then a driver-side window filter.  Emits per-purchase rows
+    with the attributed click timestamp (null when none qualifies)."""
+    from ndap_data_validator_ray.stages.asof import bucketed_asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "click"))["user_id"],
+                "click_ts": t.filter(pc.equal(t["event_type"], "click"))["ts"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_asof_join(
+        purchases, clicks, on="ts", by="user_id", right_on="click_ts", direction="backward"
+    ).to_pandas()
+    window = pd.Timedelta(days=7)
+    too_old = joined["click_ts"].notna() & (joined["ts"] - joined["click_ts"] > window)
+    joined.loc[too_old, "click_ts"] = pd.NaT
+    out = joined[["event_id", "user_id", "ts", "click_ts"]].copy()
+    out["event_id"] = out["event_id"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_ATTRIBUTION_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN c.click_ts IS NOT NULL AND p.ts - c.click_ts <= INTERVAL 7 DAY
+            THEN c.click_ts ELSE NULL END AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+"""
+
+
 def temperature_mixture_documents(sf_dir: str) -> pd.DataFrame:
     """Temperature-based mixture rebalancing (the alpha-sampling used to
     flatten language/domain skew in LLM training mixes, alpha = 0.5):
@@ -5485,6 +5531,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "decontaminate_documents": (decontaminate_documents, _DECONTAM_SQL),
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "temperature_mixture_documents": (temperature_mixture_documents, _TEMPERATURE_MIXTURE_SQL),
+    "purchase_attribution_events": (purchase_attribution_events, _ATTRIBUTION_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
     "monthly_revenue_trend": (monthly_revenue_trend, _MONTHLY_SQL),
     "mode_priority_by_status": (mode_priority_by_status, _MODE_SQL),
