@@ -4067,6 +4067,64 @@ FROM cal LEFT JOIN agg ON cal.hour = agg.hour ORDER BY cal.hour
 """
 
 
+def salted_user_event_revenue(sf_dir: str) -> pd.DataFrame:
+    """Skew-salted large join in the DRIVER GATE: per-event rows join the
+    events table onto itself aggregated per user (every user's total
+    value), with ``detect_hot_keys`` feeding ``bucketed_join(hot_keys=,
+    salt=)`` so any user owning >= 1% of events is sprayed across salt
+    buckets (probe split, build replicated).  Salting must not change
+    results — the oracle is the plain SQL join; this entry puts the skew
+    path itself under the per-round value gate (it was previously only
+    pytest-covered)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join, detect_hot_keys
+
+    ev = _read(sf_dir, "events", columns=["user_id", "value", "event_type"])
+    per_user = sum_by_key(
+        ev.map_batches(
+            lambda t: pa.table({"user_id": t["user_id"], "user_total": t["value"]}),
+            batch_format="pyarrow",
+        ),
+        ["user_id"],
+        ["user_total"],
+    ).materialize()
+    probe = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(["user_id", "value"]),
+        batch_format="pyarrow",
+    )
+    hot = detect_hot_keys(probe, "user_id", min_share=0.01)
+    joined = bucketed_join(probe, per_user, on=["user_id"], how="inner", hot_keys=hot, salt=4)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(
+            purchase_value=("value", "sum"), n_purchases=("value", "size"),
+            user_total=("user_total", "first"),
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("user_id", as_index=False).agg(
+        purchase_value=("purchase_value", "sum"), n_purchases=("n_purchases", "sum"),
+        user_total=("user_total", "first"),
+    )
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["purchase_value"] = _r2(out["purchase_value"])
+    out["user_total"] = _r2(out["user_total"])
+    out["n_purchases"] = out["n_purchases"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SALTED_JOIN_SQL = """
+SELECT p.user_id,
+       ROUND(SUM(p.value), 2) AS purchase_value,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(t.user_total, 2) AS user_total
+FROM (SELECT user_id, value FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, SUM(value) AS user_total FROM events GROUP BY 1) t
+  ON p.user_id = t.user_id
+GROUP BY p.user_id, t.user_total ORDER BY p.user_id
+"""
+
+
 def purchase_attribution_events(sf_dir: str) -> pd.DataFrame:
     """Last-touch attribution (marketing-funnel shape): every purchase
     attributes to the same user's most recent prior click within 7 days,
@@ -5532,6 +5590,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "mixture_sample_documents": (mixture_sample_documents, _MIXTURE_SQL),
     "temperature_mixture_documents": (temperature_mixture_documents, _TEMPERATURE_MIXTURE_SQL),
     "purchase_attribution_events": (purchase_attribution_events, _ATTRIBUTION_SQL),
+    "salted_user_event_revenue": (salted_user_event_revenue, _SALTED_JOIN_SQL),
     "price_qty_corr_by_flag": (price_qty_corr_by_flag, _CORR_SQL),
     "monthly_revenue_trend": (monthly_revenue_trend, _MONTHLY_SQL),
     "mode_priority_by_status": (mode_priority_by_status, _MODE_SQL),
