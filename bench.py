@@ -174,6 +174,9 @@ _QUERY_NAMES = [
     "events_hourly_gapfilled",
     "embedding_near_dup_exact",
     "near_dup_clusters_exact",
+    "temperature_mixture_documents",
+    "purchase_attribution_events",
+    "salted_user_event_revenue",
 ]
 
 
