@@ -248,28 +248,36 @@ def embedding_near_duplicates(
         out_a, out_b, out_s = [], [], []
         oversized = 0
 
-        def all_pairs(sub_ids: list, m: np.ndarray) -> None:
+        def all_pairs(sub_ids: np.ndarray, m: np.ndarray) -> None:
+            # vectorized emit: triangle-index the sim matrix, threshold as
+            # one mask (r4 verdict item 7 family — no per-pair Python loop)
             sims = m @ m.T
-            iu = np.triu_indices(len(sub_ids), 1)
-            for i, j in zip(*iu):
-                if sims[i, j] >= threshold:
-                    a, b = sorted((sub_ids[i], sub_ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_s.append(float(sims[i, j]))
+            iu, ju = np.triu_indices(len(sub_ids), 1)
+            s = sims[iu, ju]
+            hit = s >= threshold
+            ia, ib = sub_ids[iu[hit]], sub_ids[ju[hit]]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+            out_s.append(s[hit])
 
         if 1 < len(rows) <= verify_cap:
-            all_pairs(rows[id_col].tolist(), _normalize(_batch_matrix(rows, vec_col)))
+            all_pairs(rows[id_col].to_numpy(), _normalize(_batch_matrix(rows, vec_col)))
         elif len(rows) > verify_cap:
             oversized = 1
             m = _normalize(_batch_matrix(rows, vec_col))
             fine = _signatures(m, fine_planes)
-            ids = np.asarray(rows[id_col].tolist())
+            ids = rows[id_col].to_numpy()
             for s in np.unique(fine):
                 mask = fine == s
                 if mask.sum() > 1:
-                    all_pairs(list(ids[mask]), m[mask])
-        out = pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+                    all_pairs(ids[mask], m[mask])
+        out = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "sim": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+            }
+        )
         out["_oversized"] = 0
         if oversized:
             out = pd.concat(
