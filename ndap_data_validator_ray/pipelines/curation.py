@@ -151,10 +151,20 @@ def curate_documents(
         return out
 
     drop_cols = ["_q", "_c", "_d", "_prefix", BUCKET_COL]
+    # reducers write to kept_dir/ckpt_dir themselves; when those are object
+    # -store URIs the workers need the driver's AWS_* config (endpoint
+    # override / credentials), which they won't have if the env was set
+    # after the Ray workers started (exactly the moto test harness shape)
+    import os as _os
+
+    _aws_env = {k: v for k, v in _os.environ.items() if k.startswith("AWS_")}
 
     def dedup_write_bucket(group: pd.DataFrame) -> pd.DataFrame:
         """Finalize ONE dedup bucket: keep decision, survivor file,
         manifest — all bucket-local, so the bucket is the resume unit."""
+        import os
+
+        os.environ.update(_aws_env)
         bid = int(group[BUCKET_COL].iloc[0])
         if bid in done:  # completed in a prior attempt; counts live in its manifest
             return pd.DataFrame({"bid": pd.Series([], dtype=np.int64)})

@@ -164,3 +164,49 @@ def test_remote_ivf_index_query(s3_clips, tmp_path):
     pd.testing.assert_frame_equal(local_res, s3_res)
     # strict pruning holds on the remote read too
     assert 0 < len(s3_pruned.input_files()) < len(local_pruned.input_files()) + 5
+
+
+def test_remote_curation_resume(s3_clips, tmp_path):
+    """Curation checkpoint/resume with an s3:// output dir: survivors,
+    manifests and the summary all live in the object store; deleting one
+    bucket manifest re-runs exactly that bucket with identical funnel
+    counts (single-PUT writes — no multipart, so moto-compatible)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.curation import curate_documents
+    from ndap_data_validator_ray.state import checkpoint as ckpt
+
+    local = str(tmp_path / "docs")
+    import os
+
+    os.makedirs(local)
+    rows = [
+        f"document {i} " + " ".join(f"alpha{i} beta{j} gamma{i+j}" for j in range(15))
+        if i % 5 else "short text"
+        for i in range(120)
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": rows}),
+            preserve_index=False,
+        ),
+        local + "/a.parquet",
+    )
+    out = f"s3://{_BUCKET}/curate-out"
+    s1 = curate_documents(local, out, n_buckets=8)
+    assert s1["input_docs"] == 120 and s1["buckets_resumed"] == 0
+    # knock out one manifest in S3 -> only that bucket re-runs
+    pid = sorted(
+        int(vfs.basename(p).split("-")[1].split(".")[0])
+        for p in vfs.list_files(f"{out}/checkpoints")
+        if vfs.basename(p).startswith("partition-")
+    )[0]
+    vfs.delete_file(ckpt.manifest_path(f"{out}/checkpoints", pid))
+    s2 = curate_documents(local, out, n_buckets=8)
+    assert s2["buckets_validated_this_run"] == 1
+    for k in ("input_docs", "quality_kept", "dedup_kept", "final_kept"):
+        assert s2[k] == s1[k], k
+    assert vfs.exists(f"{out}/curation_summary.json")
