@@ -84,6 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--min-tokens", type=int, default=20)
     cp.add_argument("--max-top-frac", type=float, default=0.13)
     cp.add_argument("--prefix-len", type=int, default=40)
+    cp.add_argument("--run-id", default="curate", help="recorded in bucket manifests")
+    cp.add_argument("--no-resume", action="store_true",
+                    help="redo every bucket even if matching manifests exist")
     cp.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
@@ -149,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         summary = curate_documents(
             args.data, args.out, bench_path=args.bench,
             min_tokens=args.min_tokens, max_top_frac=args.max_top_frac,
-            prefix_len=args.prefix_len,
+            prefix_len=args.prefix_len, run_id=args.run_id,
+            resume=not args.no_resume,
         )
         print(json.dumps(summary))
     elif args.cmd == "query":
