@@ -121,7 +121,15 @@ def curate_documents(
     write survivors to ``<out_dir>/kept`` (one file per dedup bucket) and
     return the stage counts.  Re-running over the same inputs/params skips
     completed buckets (see module docstring); pass ``resume=False`` to
-    force a full redo."""
+    force a full redo.
+
+    Scale sizing: a bucket writes exactly ONE kept object (that is what
+    makes latest-attempt-wins trivially correct — a re-run can never
+    leave stale extra parts behind), so ``n_buckets`` is the knob that
+    bounds per-object size AND per-reducer memory: size it so
+    corpus_bytes / n_buckets is a comfortable object (the default is
+    cluster-sized; a 100 TB corpus wants thousands of buckets, which also
+    raises resume granularity)."""
     n_buckets = n_buckets or default_n_buckets()
     files = _input_parquet_files(data_path)
     cfg = f"{text_col}|{id_col}|{min_tokens}|{max_top_frac}|{prefix_len}|{n_buckets}"

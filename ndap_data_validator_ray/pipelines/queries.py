@@ -3964,10 +3964,13 @@ def shuffled_shard_assignment_documents(sf_dir: str) -> pd.DataFrame:
     hash within the shard — a reproducible random permutation (the
     training-data answer to ``random_shuffle``'s nondeterminism: rerun,
     resume, and the oracle all see the same order).  ONE bucketed
-    exchange on shard; within-shard ranking is reducer-local.  At 100 TB
-    each shard reducer streams its ordered docs straight to a shard file
-    (here: only the assignment is emitted).  Fully value-oracled via the
-    md5_number_lower twin."""
+    exchange on shard; within-shard ranking is reducer-local, so the
+    shard count is the memory knob — each reducer holds corpus/n_shards
+    (id, hash) pairs (24 B/doc; a 10^12-doc corpus wants thousands of
+    shards, which is also the shard-file layout training wants).  At
+    100 TB each shard reducer streams its ordered docs straight to a
+    shard file (here: only the assignment is emitted).  Fully
+    value-oracled via the md5_number_lower twin."""
     from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
