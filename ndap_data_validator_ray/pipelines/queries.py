@@ -1249,6 +1249,24 @@ def knn_embeddings_ivf_indexed(sf_dir: str) -> pd.DataFrame:
     return res[["query_id", "neighbor_id", "rank"]]
 
 
+def knn_embeddings_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN with exact re-rank (rows-only; the
+    memory-bound scale path — 64x vector compression, ADC table-gather
+    pruning; see stages/similarity.pq_topk)."""
+    from ndap_data_validator_ray.stages.similarity import pq_topk
+
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_topk(ds, qids, qmat, k=10, concurrency=2)[["query_id", "neighbor_id", "rank"]]
+
+
+def knn_pq_recall(sf_dir: str) -> pd.DataFrame:
+    """Per-query recall@10 of the PQ+rerank ANN vs exact brute force
+    (rows-only; measured 1.0 at both fixtures with rerank=80 — the
+    shortlist recovers everything ADC misorders; floor-tested >= 0.9)."""
+    return _knn_recall_rows(sf_dir, knn_embeddings_pq(sf_dir), "pq")
+
+
 def knn_lsh_recall(sf_dir: str) -> pd.DataFrame:
     """Per-query recall@10 of the LSH ANN vs exact brute force (rows-only;
     gated by tests/test_similarity.py recall floors)."""
@@ -5530,6 +5548,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "incremental_dedup_documents": (incremental_dedup_documents, _INCREMENTAL_DEDUP_SQL),
     "knn_lsh_recall": (knn_lsh_recall, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
+    "knn_embeddings_pq": (knn_embeddings_pq, None),
+    "knn_pq_recall": (knn_pq_recall, None),
     "subword_token_counts": (subword_token_counts,
         r"SELECT doc_id, COALESCE(array_length(regexp_extract_all(text, "
         r"'[A-Za-z]+|\d+|[^\sA-Za-z\d]')), 0) AS n_subword_tokens "

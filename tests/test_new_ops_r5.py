@@ -160,6 +160,20 @@ def test_verify_pairs_missing_payload_dropped():
     assert got == {(1, 2)}  # pairs touching 98/99 dropped, (1,2) scored
 
 
+# --- PQ ANN ------------------------------------------------------------------
+
+def test_knn_pq_recall_floor():
+    """PQ + exact re-rank recall@10 vs the oracled exact brute force:
+    measured 1.0 at both fixtures (rerank=80 recovers ADC misordering);
+    floor with margin."""
+    from ndap_data_validator_ray.pipelines.queries import knn_pq_recall
+
+    r = knn_pq_recall(SF)
+    assert len(r) == 5
+    assert r["recall_at_10"].mean() >= 0.9
+    assert r["recall_at_10"].min() >= 0.8
+
+
 # --- distributed PageRank ----------------------------------------------------
 
 def test_distributed_pagerank_matches_numpy():
