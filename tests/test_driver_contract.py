@@ -31,7 +31,7 @@ def test_entry_module_contract():
         assert any(
             name.startswith(p)
             for p in ("clips_", "minhash", "near_dup_clusters", "ngram_jaccard_documents",
-                      "knn_embeddings_", "knn_lsh_recall", "knn_ivf_recall",
+                      "knn_embeddings_", "knn_lsh_recall", "knn_ivf_recall", "knn_pq_recall",
                       "embedding_near", "image_", "video_",
                       "role_validation", "kmeans_", "pack_", "containment_", "bpe_")
         ), f"unexpected rows-only query {name!r}"
