@@ -98,6 +98,10 @@ def attach_or_join(
 
         def fn(t: pa.Table) -> pa.Table:
             ks, cols = ray.get(ref)
+            # null fact keys never match under SQL equality — drop them
+            # up front (keeps the two paths consistent; bucketed_join
+            # drops them in the shuffle path)
+            t = t.filter(pc.is_valid(t[on_fact]))
             fk = t[on_fact].to_numpy()
             pos = ks.searchsorted(fk).clip(0, max(len(ks) - 1, 0))
             hit = ks[pos] == fk if len(ks) else pos.astype(bool)

@@ -34,7 +34,11 @@ def test_attach_or_join_property():
         n_fact, n_side = rng.integers(1, 60), rng.integers(1, 20)
         fact = pd.DataFrame(
             {
-                "k": rng.integers(0, 25, n_fact).astype(np.int64),
+                # nullable Int64: ~10% null fact keys must DROP on both paths
+                "k": pd.array(
+                    [None if rng.random() < 0.1 else int(v) for v in rng.integers(0, 25, n_fact)],
+                    dtype="Int64",
+                ),
                 "fv": rng.integers(0, 1000, n_fact).astype(np.int64),
             }
         )
