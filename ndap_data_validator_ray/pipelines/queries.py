@@ -1053,7 +1053,10 @@ def near_dup_clusters_documents(sf_dir: str) -> pd.DataFrame:
     )
     if edges.count() == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "cluster_rep": pd.Series([], dtype=np.int64)})
-    comp = distributed_connected_components(edges).to_pandas()
+    # small_graph_cap=0: this query IS the 100 TB flow demonstration — the
+    # edge list must stay distributed end to end regardless of fixture size
+    # (the guarded driver fast path is exercised by semantic_dedup_survivors)
+    comp = distributed_connected_components(edges, small_graph_cap=0).to_pandas()
     comp = comp.rename(columns={"node": "doc_id", "component": "cluster_rep"})
     comp["doc_id"] = comp["doc_id"].astype(np.int64)
     comp["cluster_rep"] = comp["cluster_rep"].astype(np.int64)
@@ -1083,7 +1086,9 @@ def near_dup_clusters_exact(sf_dir: str) -> pd.DataFrame:
             {"doc_id": pd.Series([], dtype=np.int64), "cluster_rep": pd.Series([], dtype=np.int64)}
         )
     edges = ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True)).materialize()
-    comp = distributed_connected_components(edges).to_pandas()
+    # small_graph_cap=0: the point of this query is value-pinning the
+    # DISTRIBUTED rounds against the recursive-CTE oracle
+    comp = distributed_connected_components(edges, small_graph_cap=0).to_pandas()
     comp = comp.rename(columns={"node": "doc_id", "component": "cluster_rep"})
     comp["doc_id"] = comp["doc_id"].astype(np.int64)
     comp["cluster_rep"] = comp["cluster_rep"].astype(np.int64)
@@ -1147,7 +1152,9 @@ def order_chain_components(sf_dir: str) -> pd.DataFrame:
     nodes = orders.map_batches(
         lambda t: pa.table({"node": t["o_orderkey"]}), batch_format="pyarrow"
     )
-    comp = distributed_connected_components(edges, nodes=nodes).to_pandas()
+    # small_graph_cap=0: this is the distributed CC stage's value oracle —
+    # the multi-hop rounds themselves are what the SQL pins
+    comp = distributed_connected_components(edges, nodes=nodes, small_graph_cap=0).to_pandas()
     comp = comp.rename(columns={"node": "o_orderkey"})
     comp["o_orderkey"] = comp["o_orderkey"].astype("int64")
     comp["component"] = comp["component"].astype("int64")
@@ -5492,6 +5499,314 @@ ORDER BY ded.doc_id
 """
 
 
+def tpch_q12_priority_by_flag(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (join + conditional aggregation; the fixture has no
+    l_shipmode/l_receiptdate, so returnflag stands in for shipmode and the
+    date window sits on l_shipdate): 1996-shipped lines pick up their
+    order's priority via ``stages/broadcast.attach_or_join`` (row-count
+    guarded broadcast vs bucketed join — the orders map is fact-sized, so
+    at real SF this takes the join path), each batch folds to per-flag
+    (high, low) conditional counts, and the 3-group finish folds on the
+    driver (low-cardinality rule: partials are <= 3 rows per block)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    high = {"1-URGENT", "2-HIGH"}
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo.to_pydatetime()).cast(t["l_shipdate"].type)),
+                pc.less(t["l_shipdate"], pa.scalar(hi.to_pydatetime()).cast(t["l_shipdate"].type)),
+            )
+        ).select(["l_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = attach_or_join(li, orders, "l_orderkey", "o_orderkey", ["o_orderpriority"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_high = b["o_orderpriority"].isin(high).to_numpy().astype(np.int64)
+        return (
+            pd.DataFrame({"l_returnflag": b["l_returnflag"], "h": is_high, "l": 1 - is_high})
+            .groupby("l_returnflag", as_index=False)
+            .sum()
+        )
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False).sum()
+    return pd.DataFrame(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "high_line_count": out["h"].astype(np.int64),
+            "low_line_count": out["l"].astype(np.int64),
+        }
+    ).sort_values("l_returnflag").reset_index(drop=True)
+
+
+_TPCH_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def tpch_q21_waiting_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS over the same grouped fact):
+    for finished ('F') orders, credit the supplier whose line shipped >60
+    days after the order date when at least one OTHER supplier has a line
+    in the order (EXISTS) and no other supplier is late (NOT EXISTS) —
+    i.e. the order's unique laggard among >=2 suppliers.  The fixture has
+    no l_commitdate/l_receiptdate, so lateness is ship-vs-orderdate (the
+    Q4 convention).  Shape: the F-orders (orderkey -> orderdate) side
+    attaches via the guarded ``attach_or_join``; per-batch partials
+    collapse to DISTINCT (orderkey, suppkey, late) rows; ONE bucketed
+    exchange on orderkey resolves both quantified predicates group-locally
+    (supplier count + late count per order); the per-supplier count folds
+    on the driver (supplier is a 100-row dim).  Top 20 by (numwait DESC,
+    s_name) — names are unique, so the cut is deterministic."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    sixty_days_ns = np.int64(60 * 24 * 3600 * 1_000_000_000)
+
+    f_orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.filter(pc.equal(t["o_orderstatus"], "F"))["o_orderkey"],
+                "odate_ns": pa.array(
+                    t.filter(pc.equal(t["o_orderstatus"], "F"))["o_orderdate"]
+                    .to_numpy()
+                    .astype("datetime64[ns]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "ship_ns": pa.array(
+                    t["l_shipdate"].to_numpy().astype("datetime64[ns]").astype(np.int64), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_or_join(li, f_orders, "l_orderkey", "o_orderkey", ["odate_ns"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["ship_ns"].to_numpy() > b["odate_ns"].to_numpy() + sixty_days_ns).astype(np.int64)
+        return (
+            pd.DataFrame({"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"], "late": late})
+            .groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"]
+            .max()
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["l_orderkey", "l_suppkey"], as_index=False)["late"].max()
+        stats = per.groupby("l_orderkey").agg(nsupp=("l_suppkey", "size"), nlate=("late", "sum"))
+        qual = stats.index[(stats["nsupp"] >= 2) & (stats["nlate"] == 1)]
+        hit = per[(per["late"] == 1) & per["l_orderkey"].isin(qual)]
+        return hit[["l_suppkey"]]
+
+    waiters = bucketed_groupby(joined, ["l_orderkey"], partial, merge, n_buckets=16).to_pandas()
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    counts = waiters.groupby("l_suppkey").size().rename("numwait").reset_index()
+    out = counts.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)[["s_name", "numwait"]]
+    )
+
+
+_TPCH_Q21_SQL = """
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late FROM f GROUP BY 1, 2
+), qual AS (
+  SELECT l_orderkey, MIN(CASE WHEN late = 1 THEN l_suppkey END) AS the_supp
+  FROM per GROUP BY l_orderkey
+  HAVING COUNT(*) >= 2 AND SUM(late) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM qual JOIN supplier ON s_suppkey = the_supp
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def tpch_q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (profit by nation x year; the fixture has no
+    partsupp, so profit is revenue l_extendedprice*(1-discount) and the
+    part filter is ``p_name LIKE 'red%'`` — the 4-table star remains):
+    the red-part key set and the supplier->nation map broadcast once as
+    sorted arrays (dims never shuffle); the lineitem scan filters on part
+    membership and attaches the nation INSIDE the batch; the fact-sized
+    (orderkey -> year) map attaches via the guarded ``attach_or_join``;
+    the (25 nations x ~8 years) finish folds on the driver from per-batch
+    partials."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    red_keys = np.sort(part.loc[part["p_name"].str.startswith("red"), "p_partkey"].to_numpy())
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas().sort_values("s_suppkey")
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    dims_ref = ray.put((red_keys, sup["s_suppkey"].to_numpy(), sup["s_nationkey"].to_numpy()))
+
+    def li_kept(t: pa.Table) -> pa.Table:
+        red, skeys, snat = ray.get(dims_ref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(red, pk), 0, max(len(red) - 1, 0))
+        hit = red[pos] == pk if len(red) else np.zeros(len(pk), dtype=bool)
+        lk = t["l_suppkey"].to_numpy()[hit]
+        spos = np.clip(np.searchsorted(skeys, lk), 0, max(len(skeys) - 1, 0))
+        amount = (t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()))[hit]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[hit], pa.int64()),
+                "nationkey": pa.array(snat[spos], pa.int64()),
+                "amount": pa.array(amount, pa.float64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_kept, batch_format="pyarrow")
+    years = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pa.array(
+                    t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64) + 1970,
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = attach_or_join(li, years, "l_orderkey", "o_orderkey", ["o_year"])
+
+    parts = joined.map_batches(
+        lambda b: b.groupby(["nationkey", "o_year"], as_index=False)["amount"].sum(),
+        batch_format="pandas",
+    ).to_pandas()
+    out = parts.groupby(["nationkey", "o_year"], as_index=False)["amount"].sum()
+    out["nation"] = out["nationkey"].map(name_of)
+    out["profit"] = _r2(out["amount"])
+    out["o_year"] = out["o_year"].astype(np.int64)
+    return (
+        out.sort_values(["nation", "o_year"]).reset_index(drop=True)[["nation", "o_year", "profit"]]
+    )
+
+
+_TPCH_Q9_SQL = """
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS profit
+FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def semantic_dedup_survivors(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-shaped semantic deduplication with a FULL value oracle:
+    partition the embedding space into cells (here the sign pattern of the
+    first two dimensions — axis hyperplanes SQL can mirror exactly; at
+    100 TB the cells are k-means clusters, thousands of them, and each
+    cell-group is bounded by corpus/k), find within-cell cosine>=0.3
+    near-dup pairs (one bucketed exchange on cell, float64 matmul
+    triangle per cell), label components with the SAME CC stage the LSH
+    flow uses (this caller keeps the default ``small_graph_cap`` guard:
+    a bounded edge list resolves on the driver and only the O(edges)
+    component map broadcasts back over the streaming node scan; above
+    the cap the distributed rounds run), and keep ONE survivor per
+    cluster (min vec_id) plus every isolated vector.  DuckDB recomputes it with a
+    cell-equijoined pair set and a recursive reachability CTE, so the
+    partition -> pair -> CC -> keep composition is value-pinned end to
+    end.  Cross-cell near-dups are missed BY DESIGN (the SemDeDup
+    trade-off) — identically on both sides."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.similarity import _batch_matrix, _normalize
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(batch["embedding"].to_numpy())
+        cell = (m[:, 0] >= 0).astype(np.int64) * 2 + (m[:, 1] >= 0).astype(np.int64)
+        return pd.DataFrame(
+            {"vec_id": batch["vec_id"].to_numpy(), "cell": cell, "embedding": batch["embedding"]}
+        )
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in group.groupby("cell", sort=False):
+            g = g.drop_duplicates(subset=["vec_id"])
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            if len(ids) < 2:
+                continue
+            m = _normalize(_batch_matrix(g, "embedding"))
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), 1)
+            keep = sims[ii, jj] >= 0.3
+            out.append(pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep]}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    edges = bucketed_groupby(
+        ds.map_batches(tag, batch_format="pandas"), ["cell"], lambda b: b, cell_pairs, n_buckets=8
+    ).materialize()
+    nodes = ds.map_batches(lambda t: pa.table({"node": t["vec_id"]}), batch_format="pyarrow")
+    comp = distributed_connected_components(edges, nodes=nodes).to_pandas()
+    keep = comp.loc[comp["node"] == comp["component"], "node"].astype(np.int64)
+    return pd.DataFrame({"vec_id": np.sort(keep.to_numpy())})
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         (CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END) AS cell
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.cell = b.cell
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+), edges AS (
+  SELECT id_a AS u, id_b AS w FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS node, w AS r FROM edges
+  UNION
+  SELECT reach.node, e.w FROM reach JOIN edges e ON e.u = reach.r
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS component FROM reach GROUP BY node
+)
+SELECT vec_id FROM v LEFT JOIN comp ON node = vec_id
+WHERE component IS NULL OR component = vec_id ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5605,6 +5920,10 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q17_small_quantity_revenue": (tpch_q17_small_quantity_revenue, _TPCH_Q17_SQL),
     "tpch_q16_supplier_counts": (tpch_q16_supplier_counts, _TPCH_Q16_SQL),
     "tpch_q19_disjunctive_revenue": (tpch_q19_disjunctive_revenue, _TPCH_Q19_SQL),
+    "tpch_q12_priority_by_flag": (tpch_q12_priority_by_flag, _TPCH_Q12_SQL),
+    "tpch_q21_waiting_supplier": (tpch_q21_waiting_supplier, _TPCH_Q21_SQL),
+    "tpch_q9_product_profit": (tpch_q9_product_profit, _TPCH_Q9_SQL),
+    "semantic_dedup_survivors": (semantic_dedup_survivors, _SEMANTIC_DEDUP_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

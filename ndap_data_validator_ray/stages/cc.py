@@ -57,6 +57,68 @@ from ndap_data_validator_ray.stages.groupby import default_n_buckets, stable_buc
 _B = "_cc_bucket"
 _COLS = ["k", "val", "side", _B]
 
+# Symmetric-edge-row cap for the driver fast path (module attr so tests can
+# monkeypatch it; resolved at call time like broadcast.DEFAULT_BROADCAST_CAP).
+# 5M int64 pairs is ~80 MB on the driver — the same small-side scale the
+# broadcast-join guard accepts.
+DEFAULT_SMALL_GRAPH_CAP = 5_000_000
+
+
+def _driver_components(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact min-label components of a bounded symmetric edge array on the
+    driver: vectorized hook (``np.minimum.at``) + full pointer jumping per
+    round — O(log n) rounds, no Python per-edge loop.  Returns (sorted
+    unique node ids, component = min node id), matching the distributed
+    rounds' min-root convention exactly (equivalence-tested)."""
+    ids = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(ids, u)
+    vi = np.searchsorted(ids, v)
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, vi, labels[ui])
+        while True:
+            jumped = new[new]
+            if np.array_equal(jumped, new):
+                break
+            new = jumped
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return ids, ids[labels]
+
+
+def _small_graph_components(
+    sym: "ray.data.Dataset", nodes: "ray.data.Dataset | None", node_col: str
+) -> "ray.data.Dataset":
+    """The under-cap path: union-find the bounded edge list on the driver,
+    broadcast the (edge-touched only — O(edges), not O(corpus)) component
+    map once via ``ray.put``, and label the ``nodes`` Dataset by lookup —
+    isolated nodes stream straight through (component = self) and never
+    materialize on the driver."""
+    e = sym.to_pandas()  # bounded by the caller's cap check
+    if len(e):
+        ids, comp = _driver_components(
+            e["u"].to_numpy().astype(np.int64), e["v"].to_numpy().astype(np.int64)
+        )
+    else:
+        ids = comp = np.array([], dtype=np.int64)
+    if nodes is None:
+        return ray.data.from_pandas(pd.DataFrame({"node": ids, "component": comp}))
+    ref = ray.put((ids, comp))
+
+    def lookup(b: pd.DataFrame) -> pd.DataFrame:
+        k, c = ray.get(ref)
+        node = b[node_col].to_numpy().astype(np.int64)
+        if len(k):
+            pos = np.clip(np.searchsorted(k, node), 0, len(k) - 1)
+            out = np.where(k[pos] == node, c[pos], node)
+        else:
+            out = node
+        return pd.DataFrame({"node": node, "component": out.astype(np.int64)})
+
+    return nodes.map_batches(lookup, batch_format="pandas")
+
 
 def _min_label_by_node(parts: "ray.data.Dataset", n_buckets: int) -> "ray.data.Dataset":
     """(node, label) rows -> min label per node, bucketed two-phase."""
@@ -132,12 +194,28 @@ def distributed_connected_components(
     node_col: str = "node",
     n_buckets: int | None = None,
     max_rounds: int = 50,
+    small_graph_cap: int | None = None,
 ) -> "ray.data.Dataset":
     """Connected components of the undirected graph given by ``edges``.
 
     ``nodes`` (optional): Dataset with a ``node_col`` column of ALL node
     ids — isolated nodes (no edges) then appear with component = self,
-    matching SQL semantics where every key row gets a label.
+    matching SQL semantics where every key row gets a label.  When given,
+    it must be a superset of the edge endpoints with unique ids (all
+    callers pass the full corpus id column).
+
+    ``small_graph_cap``: the attach_or_join pattern applied to graphs —
+    the symmetric edge list is materialized anyway (every distributed
+    round re-reads it), so its EXACT row count is free; at or under the
+    cap (default ``DEFAULT_SMALL_GRAPH_CAP``, resolved at call time so
+    tests can monkeypatch) the components resolve on the driver in one
+    vectorized union-find and only the O(edges) component map broadcasts
+    back — the rounds-dominated distributed path on a toy graph spends
+    ~3 s/round on pure Ray orchestration (measured 32 s -> 0.3 s on a
+    368-edge graph).  Above the cap: the distributed rounds, unchanged.
+    Pass ``small_graph_cap=0`` to force the distributed path (the
+    flagship LSH dedup flow and the CC value-oracle queries do, keeping
+    the 100 TB path itself pinned end to end).
 
     ``n_buckets`` defaults ADAPTIVELY: every round pays O(buckets + label
     blocks) in task overhead, so a small graph at the cluster-sized
@@ -172,7 +250,11 @@ def distributed_connected_components(
         ),
         batch_format="pandas",
     ).materialize()
-    nb = n_buckets or int(min(default_n_buckets(), max(8, sym.count() // 100_000 + 8)))
+    n_sym = sym.count()
+    cap = DEFAULT_SMALL_GRAPH_CAP if small_graph_cap is None else small_graph_cap
+    if cap and n_sym <= cap:
+        return _small_graph_components(sym, nodes, node_col)
+    nb = n_buckets or int(min(default_n_buckets(), max(8, n_sym // 100_000 + 8)))
 
     seeds = sym.map_batches(edge_nodes, batch_format="pandas")
     if nodes is not None:

@@ -278,6 +278,7 @@ def test_distributed_cc_chain_star_ring_and_isolated():
             nodes=ray.data.from_pandas(nodes),
             n_buckets=8,
             max_rounds=20,
+            small_graph_cap=0,  # pin the DISTRIBUTED rounds (pointer-jump proof)
         )
         .to_pandas()
         .sort_values("node")
@@ -300,7 +301,9 @@ def test_distributed_cc_matches_driver_union_find():
     b = rng.integers(0, 200, 150).astype(np.int64)
     edges = pd.DataFrame({"id_a": a, "id_b": b})
     got = (
-        distributed_connected_components(ray.data.from_pandas(edges).repartition(3), n_buckets=8)
+        distributed_connected_components(
+            ray.data.from_pandas(edges).repartition(3), n_buckets=8, small_graph_cap=0
+        )  # cap=0: comparing the DISTRIBUTED rounds against union-find
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)

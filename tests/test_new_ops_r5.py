@@ -134,7 +134,7 @@ def test_near_dup_clusters_planted_trio_distributed():
         .materialize()
     )
     assert edges.count() > 0
-    comp = distributed_connected_components(edges).to_pandas()
+    comp = distributed_connected_components(edges, small_graph_cap=0).to_pandas()
     planted = {i for i in range(40) if i % 4 == 0 and i > 0}
     got = comp.set_index("node")["component"].to_dict()
     assert planted <= set(got)
@@ -353,3 +353,72 @@ def test_simhash_pairs_unchanged_by_vectorized_verify():
         assert a in planted and b in planted  # no false pairs among uniques
     # every planted doc appears in at least one pair
     assert planted <= (set(pairs["id_a"]) | set(pairs["id_b"]))
+
+
+# --- CC small-graph guard (round 5b) -----------------------------------------
+
+def test_cc_small_graph_path_matches_distributed():
+    """The guarded driver fast path and the distributed rounds produce
+    identical (node, component) labelings — random graphs, with and
+    without an isolated-node ``nodes=`` superset."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+
+    rng = np.random.default_rng(7)
+    for seed in range(3):
+        rng = np.random.default_rng(seed)
+        n_edges = int(rng.integers(5, 120))
+        a = rng.integers(0, 90, n_edges).astype(np.int64)
+        b = rng.integers(0, 90, n_edges).astype(np.int64)
+        edges = pd.DataFrame({"id_a": a, "id_b": b})
+        nodes = pd.DataFrame({"node": np.arange(100, dtype=np.int64)})  # superset: 90..99 isolated
+
+        def run(cap):
+            return (
+                distributed_connected_components(
+                    ray.data.from_pandas(edges).repartition(3),
+                    nodes=ray.data.from_pandas(nodes),
+                    n_buckets=8,
+                    small_graph_cap=cap,
+                )
+                .to_pandas()
+                .sort_values("node")
+                .reset_index(drop=True)
+                .astype({"node": np.int64, "component": np.int64})
+            )
+
+        fast, dist = run(None), run(0)
+        pd.testing.assert_frame_equal(fast, dist)
+        # isolated nodes label themselves on both paths
+        assert (fast.loc[fast["node"] >= 90, "component"].to_numpy() == np.arange(90, 100)).all()
+
+
+def test_cc_small_graph_cap_boundary():
+    """cap semantics: sym rows <= cap -> driver path; the distributed path
+    engages just above (pinned via a 1-row cap on a 2-edge graph), and an
+    empty edge list with nodes= labels every node as itself."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+
+    edges = pd.DataFrame({"id_a": np.array([1, 3], dtype=np.int64), "id_b": np.array([2, 4], dtype=np.int64)})
+    nodes = pd.DataFrame({"node": np.arange(6, dtype=np.int64)})
+    for cap in (1, 4, 1000):  # sym rows = 4: cap 1 -> distributed, 4/1000 -> driver
+        out = (
+            distributed_connected_components(
+                ray.data.from_pandas(edges),
+                nodes=ray.data.from_pandas(nodes),
+                n_buckets=8,
+                small_graph_cap=cap,
+            )
+            .to_pandas()
+            .set_index("node")["component"]
+        )
+        assert out.loc[2] == 1 and out.loc[4] == 3 and out.loc[5] == 5 and out.loc[0] == 0
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)})
+    out = (
+        distributed_connected_components(
+            ray.data.from_pandas(empty), nodes=ray.data.from_pandas(nodes), n_buckets=8
+        )
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert (out["node"].to_numpy() == out["component"].to_numpy()).all() and len(out) == 6
