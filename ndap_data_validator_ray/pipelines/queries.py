@@ -5807,6 +5807,130 @@ WHERE component IS NULL OR component = vec_id ORDER BY vec_id
 """
 
 
+def boilerplate_fraction_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level boilerplate detection (the RefinedWeb/Gopher-style
+    inter-document repetition filter): for every doc, the fraction of its
+    DISTINCT word-3-grams whose document frequency exceeds 5 — grams
+    shared by many documents are boilerplate (headers, license blurbs,
+    nav chrome).  Shape: pass 1 explodes per-doc distinct grams and
+    counts document frequency with ONE bucketed exchange on the gram
+    (``stages/groupby.count_by_key``); the DF>5 survivors are the
+    boilerplate set — small BY CONSTRUCTION (high-DF grams are the
+    distribution's thin head; same driver-size invariant as
+    ``decontaminate``'s bench-gram set) — and broadcast once via
+    ``ray.put``; pass 2 streams the corpus again and scores each doc
+    against the broadcast set.  No driver text, two streaming passes, one
+    shuffle."""
+    from ndap_data_validator_ray.functions.hashing import word_ngrams
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        grams: list = []
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            g = word_ngrams(t or "", 3)
+            ids.extend([i] * len(g))
+            grams.extend(g)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "gram": grams})
+
+    df = count_by_key(
+        docs.map_batches(explode, batch_format="pandas"), ["gram"], n_buckets=16,
+        partial_format="pandas",
+    )
+    common = df.map_batches(
+        lambda b: b.loc[b["cnt"] > 5, ["gram"]], batch_format="pandas"
+    ).to_pandas()
+    common_ref = ray.put(frozenset(common["gram"]))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(common_ref)
+        fracs = np.empty(len(batch), dtype=np.float64)
+        for j, t in enumerate(batch["text"]):
+            g = word_ngrams(t or "", 3)
+            fracs[j] = (sum(x in cset for x in g) / len(g)) if g else 0.0
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(np.int64), "boilerplate_frac": fracs})
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    out["boilerplate_frac"] = _r6(out["boilerplate_frac"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_BOILERPLATE_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+      ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM d
+), ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+df AS (SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram),
+common AS (SELECT gram FROM df WHERE df > 5),
+per AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n,
+         SUM(CASE WHEN c.gram IS NOT NULL THEN 1 ELSE 0 END) AS nc
+  FROM ex LEFT JOIN common c ON ex.gram = c.gram GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+       ROUND(COALESCE(CAST(nc AS DOUBLE) / n, 0.0), 6) AS boilerplate_frac
+FROM d LEFT JOIN per ON d.doc_id = per.doc_id ORDER BY d.doc_id
+"""
+
+
+def debounce_events(sf_dir: str) -> pd.DataFrame:
+    """Streaming time-gap dedup (debounce): keep an event iff the previous
+    event of the same (user_id, event_type) — ordered by (ts, event_id) —
+    is at least 10 minutes older (or absent).  The continuous-ingestion
+    dedup shape for telemetry pipelines: ONE bucketed exchange on user_id
+    co-locates each key's history, the in-group kernel is a vectorized
+    sort + shift diff (int64 ns, exact), and only kept event ids leave
+    the reducers.  Gap-vs-PREVIOUS-event semantics (LAG), which SQL can
+    mirror exactly — reset-on-keep debounce is the non-oracleable
+    variant and intentionally not this query."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    gap_ns = np.int64(600 * 1_000_000_000)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "ts_ns": pa.array(t["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_ns", "event_id"])
+        same = (
+            (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1])
+            & (g["event_type"].to_numpy()[1:] == g["event_type"].to_numpy()[:-1])
+        )
+        dt = g["ts_ns"].to_numpy()[1:] - g["ts_ns"].to_numpy()[:-1]
+        keep = np.concatenate([[True], ~same | (dt >= gap_ns)])
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[keep].astype(np.int64)})
+
+    kept = bucketed_groupby(ds, ["user_id"], lambda b: b, merge, n_buckets=16).to_pandas()
+    return pd.DataFrame({"event_id": np.sort(kept["event_id"].to_numpy())})
+
+
+_DEBOUNCE_SQL = """
+SELECT event_id FROM (
+  SELECT event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+  FROM events
+) WHERE prev IS NULL OR ts - prev >= INTERVAL 600 SECOND ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5924,6 +6048,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q21_waiting_supplier": (tpch_q21_waiting_supplier, _TPCH_Q21_SQL),
     "tpch_q9_product_profit": (tpch_q9_product_profit, _TPCH_Q9_SQL),
     "semantic_dedup_survivors": (semantic_dedup_survivors, _SEMANTIC_DEDUP_SQL),
+    "boilerplate_fraction_documents": (boilerplate_fraction_documents, _BOILERPLATE_SQL),
+    "debounce_events": (debounce_events, _DEBOUNCE_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

@@ -422,3 +422,84 @@ def test_cc_small_graph_cap_boundary():
         .sort_values("node")
     )
     assert (out["node"].to_numpy() == out["component"].to_numpy()).all() and len(out) == 6
+
+
+def test_semantic_dedup_survivors_planted(tmp_path):
+    """Planted near-identical vectors inside one sign-cell collapse to one
+    survivor (min id); a near-identical pair SPLIT across cells survives
+    twice (the documented SemDeDup trade-off); isolated vectors survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import semantic_dedup_survivors
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8); base[0] = abs(base[0]) + 1.0; base[1] = abs(base[1]) + 1.0
+    rows = []
+    for i in range(3):  # trio: same cell (dims 0,1 positive), cosine ~1
+        v = base + rng.normal(scale=1e-3, size=8)
+        rows.append((10 + i, v))
+    flip = base.copy(); flip[0] = -flip[0]  # near-dup of base but other cell
+    rows.append((20, flip))
+    flip2 = flip + rng.normal(scale=1e-3, size=8)
+    rows.append((21, flip2))
+    for i in range(5):  # isolated: orthogonal-ish random
+        v = rng.normal(size=8) * 0.1; v[4 + (i % 4)] = 10.0 * (1 if i % 2 else -1)
+        rows.append((30 + i, v))
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([np.asarray(r[1], dtype=np.float32) for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = semantic_dedup_survivors(str(tmp_path))
+    got = set(out["vec_id"])
+    assert 10 in got and 11 not in got and 12 not in got   # trio -> min id
+    assert 20 in got and 21 not in got                      # flip pair -> min id
+    assert got >= {30, 31, 32, 33, 34}                      # isolated survive
+
+
+def test_boilerplate_and_debounce_vs_duckdb(tmp_path):
+    """Planted corpora through the full query fns vs their own oracle SQL
+    (fixture-independent parity, beyond the driver-gate fixtures)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _BOILERPLATE_SQL, _DEBOUNCE_SQL, boilerplate_fraction_documents, debounce_events,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    docs = [(i, f"{boiler} unique body {i} " + " ".join(f"w{i}x{j}" for j in range(6))) for i in range(8)]
+    docs += [(100, "short one"), (101, ""), (102, None)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    ts = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(12, dtype=np.int64),
+        "user_id": np.array([1] * 8 + [2] * 4, dtype=np.int64),
+        "event_type": ["click"] * 6 + ["view"] * 2 + ["click"] * 4,
+        "ts": [ts + pd.Timedelta(seconds=s) for s in
+               [0, 10, 599, 600, 1500, 1500, 0, 700, 0, 599, 1199, 1800]],
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), str(tmp_path / "events.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+
+    got = boilerplate_fraction_documents(str(tmp_path)).reset_index(drop=True)
+    want = con.execute(_BOILERPLATE_SQL).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"doc_id": np.int64}))
+    assert got.loc[got["doc_id"] == 0, "boilerplate_frac"].iloc[0] > 0.3  # planted boilerplate found
+    assert (got.loc[got["doc_id"] >= 100, "boilerplate_frac"] == 0.0).all()
+
+    got_e = debounce_events(str(tmp_path)).reset_index(drop=True)
+    want_e = con.execute(_DEBOUNCE_SQL).df().astype({"event_id": np.int64}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_e, want_e)
+    # duplicate-ts pair at 1500s: LAG gap 0 -> second one dropped
+    assert 4 in set(got_e["event_id"]) and 5 not in set(got_e["event_id"])
