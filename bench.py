@@ -177,6 +177,13 @@ _QUERY_NAMES = [
     "temperature_mixture_documents",
     "purchase_attribution_events",
     "salted_user_event_revenue",
+    # round-5b additions
+    "tpch_q12_priority_by_flag",
+    "tpch_q21_waiting_supplier",
+    "tpch_q9_product_profit",
+    "semantic_dedup_survivors",
+    "boilerplate_fraction_documents",
+    "debounce_events",
 ]
 
 
