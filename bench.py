@@ -184,6 +184,10 @@ _QUERY_NAMES = [
     "semantic_dedup_survivors",
     "boilerplate_fraction_documents",
     "debounce_events",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q2_min_price_supplier",
+    "tpch_q11_important_parts",
+    "unigram_nll_documents",
 ]
 
 

@@ -5931,6 +5931,255 @@ SELECT event_id FROM (
 """
 
 
+def tpch_q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (nested-aggregation semi-join; the fixture has no
+    partsupp, so 'excess availability' becomes dominance: suppliers who
+    shipped MORE THAN HALF of some red part's total 1996 quantity — the
+    inner per-(part,supplier) aggregate still compares against a scaled
+    per-part aggregate, Q20's defining structure).  Shape: red-part keys
+    broadcast as a sorted array, the windowed lineitem scan pre-aggregates
+    (partkey, suppkey) quantity per batch, ONE bucketed exchange on
+    partkey resolves both aggregation levels group-locally, and the
+    distinct qualifying suppliers fold on the driver (supplier is a
+    100-row dim).  Quantities are integer-valued, so float64 sums are
+    exact and the strict > against 0.5*total cannot sit on a rounding
+    boundary."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    red_ref = ray.put(np.sort(part.loc[part["p_name"].str.startswith("red"), "p_partkey"].to_numpy()))
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        red = ray.get(red_ref)
+        d = t["l_shipdate"]
+        mask = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo.to_pydatetime()).cast(d.type)),
+            pc.less(d, pa.scalar(hi.to_pydatetime()).cast(d.type)),
+        )
+        kept = t.filter(mask)
+        pk = kept["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(red, pk), 0, max(len(red) - 1, 0))
+        hit = red[pos] == pk if len(red) else np.zeros(len(pk), dtype=bool)
+        g = pa.table(
+            {
+                "l_partkey": pa.array(pk[hit], pa.int64()),
+                "l_suppkey": pa.array(kept["l_suppkey"].to_numpy()[hit], pa.int64()),
+                "qty": pa.array(kept["l_quantity"].to_numpy()[hit].astype(np.float64), pa.float64()),
+            }
+        )
+        agg = g.group_by(["l_partkey", "l_suppkey"]).aggregate([("qty", "sum")])
+        return agg.rename_columns(["l_partkey", "l_suppkey", "qty"]).to_pandas()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["qty"].sum()
+        tot = ps.groupby("l_partkey")["qty"].transform("sum")
+        return ps.loc[ps["qty"] > 0.5 * tot, ["l_suppkey"]].drop_duplicates()
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]).map_batches(
+        li_partial, batch_format="pyarrow"
+    )
+    winners = bucketed_groupby(li, ["l_partkey"], lambda b: b, merge, n_buckets=16).to_pandas()
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    names = sup.loc[sup["s_suppkey"].isin(set(winners["l_suppkey"])), "s_name"]
+    return pd.DataFrame({"s_name": np.sort(names.to_numpy())})
+
+
+_TPCH_Q20_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY 1, 2
+), tot AS (SELECT l_partkey, SUM(qty) AS t FROM ps GROUP BY 1)
+SELECT DISTINCT s_name
+FROM ps JOIN tot USING (l_partkey) JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty > 0.5 * t ORDER BY s_name
+"""
+
+
+def tpch_q2_min_price_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery; the fixture has no
+    partsupp/ps_supplycost, so the 'minimum cost' is the minimum
+    l_extendedprice ever charged for each red part, and the winning
+    supplier is the one on that line — ties broken by min suppkey,
+    mirroring Q2's deterministic ORDER BY).  Shape: red-part keys
+    broadcast, per-batch partials keep each part's lexicographic-min
+    (price, suppkey) candidate, ONE bucketed exchange on partkey
+    finalizes the argmin (pure comparisons, no float arithmetic — both
+    sides see identical stored values), supplier names join on the
+    driver (100-row dim)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"]).to_pandas()
+    red_ref = ray.put(np.sort(part.loc[part["p_name"].str.startswith("red"), "p_partkey"].to_numpy()))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        red = ray.get(red_ref)
+        pk = t["l_partkey"].to_numpy()
+        pos = np.clip(np.searchsorted(red, pk), 0, max(len(red) - 1, 0))
+        hit = red[pos] == pk if len(red) else np.zeros(len(pk), dtype=bool)
+        c = pd.DataFrame(
+            {
+                "l_partkey": pk[hit],
+                "price": t["l_extendedprice"].to_numpy()[hit],
+                "l_suppkey": t["l_suppkey"].to_numpy()[hit],
+            }
+        )
+        return (
+            c.sort_values(["l_partkey", "price", "l_suppkey"]).drop_duplicates("l_partkey")
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["l_partkey", "price", "l_suppkey"]).drop_duplicates("l_partkey")
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    best = bucketed_groupby(li, ["l_partkey"], lambda b: b, merge, n_buckets=16).to_pandas()
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    out = best.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    return pd.DataFrame(
+        {
+            "p_partkey": out["l_partkey"].astype(np.int64),
+            "s_name": out["s_name"],
+            "min_price": _r2(out["price"]),
+        }
+    ).sort_values("p_partkey").reset_index(drop=True)
+
+
+_TPCH_Q2_SQL = """
+WITH c AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_name LIKE 'red%'
+), r AS (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM c
+)
+SELECT l_partkey AS p_partkey, s_name, ROUND(l_extendedprice, 2) AS min_price
+FROM r JOIN supplier ON s_suppkey = l_suppkey WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
+def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (GROUP BY + HAVING against a global scalar
+    subquery; the fixture has no partsupp, so 'value' is lineitem revenue
+    and the threshold is 1.2x the per-part average — the grouped
+    aggregate still compares against a scalar aggregate OF the grouped
+    aggregate, Q11's defining structure).  Shape: per-part revenue via
+    ``sum_by_key`` (ONE bucketed exchange, Arrow per-batch partials),
+    materialized once; the scalar (total, n_parts) folds from per-batch
+    partials; the filter runs distributed against the broadcast
+    threshold.  The 1.2x-average margin is >=34 absolute on ~1e5-scale
+    revenues at every fixture (measured), so cross-engine float summation
+    order cannot flip a row."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev": pa.array(
+                    t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy()), pa.float64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per = sum_by_key(li, ["l_partkey"], ["rev"], n_buckets=16).materialize()
+    scal = per.map_batches(
+        lambda b: pd.DataFrame({"s": [b["rev"].sum()], "n": [len(b)]}), batch_format="pandas"
+    ).to_pandas()
+    thr = 1.2 * (scal["s"].sum() / scal["n"].sum())
+    out = per.map_batches(
+        lambda b: b[b["rev"].to_numpy() > thr], batch_format="pandas"
+    ).to_pandas()
+    return pd.DataFrame(
+        {"l_partkey": out["l_partkey"].astype(np.int64), "part_rev": _r2(out["rev"])}
+    ).sort_values("l_partkey").reset_index(drop=True)
+
+
+_TPCH_Q11_SQL = """
+WITH per AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, ROUND(rev, 2) AS part_rev FROM per
+WHERE rev > 1.2 * (SELECT AVG(rev) FROM per) ORDER BY l_partkey
+"""
+
+
+def unigram_nll_documents(sf_dir: str) -> pd.DataFrame:
+    """Unigram language-model scoring (the CCNet-style LM-quality filter,
+    with a unigram model standing in for the 5-gram LM): pass 1 counts
+    corpus token frequencies with ONE bucketed exchange
+    (``count_by_key``); tokens with count >= 3 form the vocabulary (a
+    deterministic DF threshold — top-V would tie-break ambiguously), and
+    the (token -> count) map plus the corpus total broadcast once; pass 2
+    streams the corpus and scores each doc's mean negative log-likelihood
+    ``-ln(cnt/total)`` with out-of-vocabulary tokens floored at 1/total.
+    At 100 TB the threshold bounds the broadcast exactly as the
+    boilerplate/decontaminate gram sets are bounded.  Empty docs score
+    0.0 (no tokens).  Log parity with DuckDB's ``ln`` is already pinned
+    by the entropy oracle; per-doc means round to 6."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        toks: list = []
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            ws = (t or "").split()
+            ids.extend([i] * len(ws))
+            toks.extend(ws)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "tok": toks})
+
+    counts = count_by_key(
+        docs.map_batches(explode, batch_format="pandas"), ["tok"], n_buckets=16,
+        partial_format="pandas",
+    ).to_pandas()
+    total = float(counts["cnt"].sum())
+    vocab = counts[counts["cnt"] >= 3]
+    lm_ref = ray.put((dict(zip(vocab["tok"], vocab["cnt"].astype(np.float64))), total))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lm, tot = ray.get(lm_ref)
+        out = np.empty(len(batch), dtype=np.float64)
+        for j, t in enumerate(batch["text"]):
+            ws = (t or "").split()
+            if not ws:
+                out[j] = 0.0
+                continue
+            nll = np.fromiter((-np.log(lm.get(w, 1.0) / tot) for w in ws), dtype=np.float64, count=len(ws))
+            out[j] = nll.mean()
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(np.int64), "avg_nll": out})
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    out["avg_nll"] = _r6(out["avg_nll"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_UNIGRAM_NLL_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+total AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt),
+scored AS (
+  SELECT tok.doc_id,
+         AVG(-ln(COALESCE(CASE WHEN cnt.c >= 3 THEN CAST(cnt.c AS DOUBLE) END, 1.0)
+                 / (SELECT t FROM total))) AS nll
+  FROM tok LEFT JOIN cnt ON tok.tok = cnt.tok GROUP BY tok.doc_id
+)
+SELECT d.doc_id, ROUND(COALESCE(nll, 0.0), 6) AS avg_nll
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6050,6 +6299,10 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "semantic_dedup_survivors": (semantic_dedup_survivors, _SEMANTIC_DEDUP_SQL),
     "boilerplate_fraction_documents": (boilerplate_fraction_documents, _BOILERPLATE_SQL),
     "debounce_events": (debounce_events, _DEBOUNCE_SQL),
+    "tpch_q20_dominant_suppliers": (tpch_q20_dominant_suppliers, _TPCH_Q20_SQL),
+    "tpch_q2_min_price_supplier": (tpch_q2_min_price_supplier, _TPCH_Q2_SQL),
+    "tpch_q11_important_parts": (tpch_q11_important_parts, _TPCH_Q11_SQL),
+    "unigram_nll_documents": (unigram_nll_documents, _UNIGRAM_NLL_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

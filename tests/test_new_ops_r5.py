@@ -503,3 +503,30 @@ def test_boilerplate_and_debounce_vs_duckdb(tmp_path):
     pd.testing.assert_frame_equal(got_e, want_e)
     # duplicate-ts pair at 1500s: LAG gap 0 -> second one dropped
     assert 4 in set(got_e["event_id"]) and 5 not in set(got_e["event_id"])
+
+
+def test_unigram_nll_oov_floor(tmp_path):
+    """A rare token (count < 3) must hit the 1/total OOV floor on both
+    sides — the fixture corpus never exercises it (every fixture token
+    has count >= 3), so this planted corpus pins the vocab threshold."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import _UNIGRAM_NLL_SQL, unigram_nll_documents
+
+    docs = [(0, "common common common rareword"), (1, "common common common"),
+            (2, ""), (3, None)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = unigram_nll_documents(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = con.execute(_UNIGRAM_NLL_SQL).df().astype({"doc_id": np.int64}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # rareword (count 1 < 3) floors at 1/total=1/7: doc 0 is strictly
+    # more surprising than doc 1; empty/null docs score 0
+    a = got.set_index("doc_id")["avg_nll"]
+    assert a[0] > a[1] > 0.0 and a[2] == 0.0 and a[3] == 0.0
