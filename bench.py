@@ -188,6 +188,8 @@ _QUERY_NAMES = [
     "tpch_q2_min_price_supplier",
     "tpch_q11_important_parts",
     "unigram_nll_documents",
+    "dsir_importance_documents",
+    "weighted_sample_documents",
 ]
 
 

@@ -6180,6 +6180,152 @@ FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id ORDER BY d.doc_id
 """
 
 
+def dsir_importance_documents(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus doc by how target-like it is under two
+    bag-of-hashed-unigram models — here target = the ``lang = 'en'``
+    slice, raw = the whole corpus.  Tokens hash into a FIXED 1024-bucket
+    feature space via the DuckDB-twin ``md5_lower64 % 1024``, so pass 1
+    (joint target/raw bucket counts) emits <= 1024-row per-batch partials
+    that fold on the driver with NO shuffle (the low-cardinality rule);
+    the two smoothed log-probability vectors (+1 / +B add-one smoothing)
+    broadcast as one 8 KiB array and pass 2 streams the corpus scoring
+    ``log_iw = sum_tokens ln(p_t[b]) - ln(p_raw[b])`` — the paper's
+    log importance weight.  Both passes are single streaming scans; at
+    100 TB nothing here grows beyond the 1024-float broadcast.  The
+    per-bucket log-ratio is computed with the exact expression the
+    oracle uses (two ln's of ratios — bit-identical per bucket); per-doc
+    sums round to 6 (summation-order error ~1e-12 on ~1e3-magnitude
+    cumsums)."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+
+    B = 1024
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        is_t: list = []
+        for t, lg in zip(batch["text"], batch["lang"]):
+            ws = (t or "").split()
+            toks.extend(ws)
+            is_t.extend([lg == "en"] * len(ws))
+        if not toks:
+            return pd.DataFrame(
+                {"b": np.array([], np.int64), "c_all": np.array([], np.int64), "c_t": np.array([], np.int64)}
+            )
+        b = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+        m = np.asarray(is_t, dtype=bool)
+        c_all = np.bincount(b, minlength=B)
+        c_t = np.bincount(b[m], minlength=B)
+        nz = c_all > 0
+        return pd.DataFrame(
+            {"b": np.arange(B, dtype=np.int64)[nz], "c_all": c_all[nz], "c_t": c_t[nz]}
+        )
+
+    part = docs.map_batches(counts, batch_format="pandas").to_pandas()
+    agg = part.groupby("b", as_index=False)[["c_all", "c_t"]].sum()
+    c_all = np.zeros(B, dtype=np.float64)
+    c_t = np.zeros(B, dtype=np.float64)
+    c_all[agg["b"].to_numpy()] = agg["c_all"].to_numpy(np.float64)
+    c_t[agg["b"].to_numpy()] = agg["c_t"].to_numpy(np.float64)
+    t_all, t_t = c_all.sum(), c_t.sum()
+    lr = np.log((c_t + 1.0) / (t_t + B)) - np.log((c_all + 1.0) / (t_all + B))
+    lr_ref = ray.put(lr)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        lrv = ray.get(lr_ref)
+        offs = [0]
+        toks: list = []
+        for t in batch["text"]:
+            ws = (t or "").split()
+            toks.extend(ws)
+            offs.append(len(toks))
+        out = np.zeros(len(batch), dtype=np.float64)
+        if toks:
+            b = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+            cs = np.concatenate([[0.0], np.cumsum(lrv[b])])
+            o = np.asarray(offs, dtype=np.int64)
+            out = cs[o[1:]] - cs[o[:-1]]
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(np.int64), "log_iw": out})
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    out["log_iw"] = _r6(out["log_iw"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DSIR_SQL = """
+WITH d AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, lang, md5_number_lower(unnest(ws)) % 1024 AS b FROM d
+), cnt AS (
+  SELECT b, COUNT(*) AS c_all, COUNT(*) FILTER (lang = 'en') AS c_t FROM tok GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(c_all) AS DOUBLE) AS t_all, CAST(SUM(c_t) AS DOUBLE) AS t_t FROM cnt
+), ratio AS (
+  SELECT b, ln((c_t + 1.0) / ((SELECT t_t FROM tot) + 1024))
+          - ln((c_all + 1.0) / ((SELECT t_all FROM tot) + 1024)) AS lr
+  FROM cnt
+), scored AS (
+  SELECT tok.doc_id, SUM(lr) AS liw FROM tok JOIN ratio USING (b) GROUP BY 1
+)
+SELECT d.doc_id, ROUND(COALESCE(liw, 0.0), 6) AS log_iw
+FROM d LEFT JOIN scored ON d.doc_id = scored.doc_id ORDER BY d.doc_id
+"""
+
+
+def weighted_sample_documents(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis & Spirtakis 2006, the streaming/distributed A-ES
+    scheme): each doc draws ``key = -ln(u) / w`` with weight
+    ``w = n_chars`` and a DETERMINISTIC uniform
+    ``u = (md5_lower64(str(doc_id)) + 0.5) / 2^64`` (the md5 twin makes
+    the draw replayable by SQL — replacing the usual RNG exactly as the
+    split/shard ops do); the k smallest keys are the weighted sample.
+    Shape: a single streaming scan keeps a per-batch local top-k
+    (<= k rows leave each block — the distributed top-k idiom, NO
+    shuffle), the driver merges <= k x blocks rows.  Resume-safe and
+    rerun-stable: the sample is a pure function of the data.  Selection
+    compares full-precision float64 keys identical on both sides (same
+    IEEE ops from the same integers); only the OUTPUT rounds to 6."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+
+    K = 50
+    docs = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        u = (
+            md5_lower64_batch([str(i) for i in ids]).astype(np.float64) + 0.5
+        ) / 18446744073709551616.0
+        w = np.maximum(batch["n_chars"].to_numpy(np.float64), 1.0)
+        key = -np.log(u) / w
+        d = pd.DataFrame({"doc_id": ids, "n_chars": batch["n_chars"].to_numpy(np.int64), "key": key})
+        return d.sort_values(["key", "doc_id"]).head(K)
+
+    part = docs.map_batches(local_topk, batch_format="pandas").to_pandas()
+    out = part.sort_values(["key", "doc_id"]).head(K).reset_index(drop=True)
+    return pd.DataFrame(
+        {"doc_id": out["doc_id"], "n_chars": out["n_chars"], "priority": _r6(out["key"])}
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH k AS (
+  SELECT doc_id, n_chars,
+         -ln((CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) + 0.5)
+             / 18446744073709551616.0)
+         / GREATEST(CAST(n_chars AS DOUBLE), 1.0) AS key
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(key, 6) AS priority
+FROM k ORDER BY key, doc_id LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6303,6 +6449,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "tpch_q2_min_price_supplier": (tpch_q2_min_price_supplier, _TPCH_Q2_SQL),
     "tpch_q11_important_parts": (tpch_q11_important_parts, _TPCH_Q11_SQL),
     "unigram_nll_documents": (unigram_nll_documents, _UNIGRAM_NLL_SQL),
+    "dsir_importance_documents": (dsir_importance_documents, _DSIR_SQL),
+    "weighted_sample_documents": (weighted_sample_documents, _WEIGHTED_SAMPLE_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

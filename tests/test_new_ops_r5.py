@@ -530,3 +530,69 @@ def test_unigram_nll_oov_floor(tmp_path):
     # more surprising than doc 1; empty/null docs score 0
     a = got.set_index("doc_id")["avg_nll"]
     assert a[0] > a[1] > 0.0 and a[2] == 0.0 and a[3] == 0.0
+
+
+def test_dsir_importance_direction(tmp_path):
+    """DSIR log importance weights must be POSITIVE for docs made of
+    target-heavy (en) tokens and NEGATIVE for docs made of raw-only
+    tokens — and the score is a function of CONTENT only: a zh doc with
+    en-typical text scores identically to its en twin (the resampling
+    property the paper relies on).  Also value-checked vs the SQL twin
+    on this planted corpus (the fixture never isolates token ownership
+    this cleanly)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import _DSIR_SQL, dsir_importance_documents
+
+    # token counts must dwarf the +1/+1024 smoothing for the sign to be
+    # driven by the distributions rather than the smoothing constants
+    en_text = " ".join(["target"] * 400 + ["alpha"] * 100)
+    zh_text = " ".join(["noise"] * 400 + ["gamma"] * 100)
+    docs = [
+        (0, en_text, "en"), (1, en_text, "en"), (2, en_text, "en"),
+        (3, zh_text, "zh"), (4, zh_text, "zh"), (5, zh_text, "zh"),
+        (6, en_text, "zh"),  # en-typical content, non-target label
+        (7, "", "en"), (8, None, "zh"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = dsir_importance_documents(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = con.execute(_DSIR_SQL).df().astype({"doc_id": np.int64}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    s = got.set_index("doc_id")["log_iw"]
+    assert s[0] > 0 > s[3]          # target-like up-weighted, raw-only down
+    assert s[6] == s[0]             # content-only: label doesn't enter the score
+    assert s[7] == 0.0 and s[8] == 0.0
+
+
+def test_weighted_sample_is_weighted_and_deterministic():
+    """The A-ES sample must equal the brute-force k-smallest exponential
+    keys computed directly (selection is a pure function of the data,
+    so reruns and block splits can't change it), and planted weights
+    must steer it: a doc with overwhelming weight always wins slot 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.pipelines.queries import weighted_sample_documents
+
+    with tempfile.TemporaryDirectory() as td:
+        ids = np.arange(200, dtype=np.int64)
+        n_chars = np.full(200, 10, dtype=np.int64)
+        n_chars[7] = 10**9  # overwhelming weight -> key ~ 0
+        pq.write_table(pa.table({"doc_id": ids, "n_chars": n_chars}), f"{td}/documents.parquet")
+        got = weighted_sample_documents(td)
+        u = (md5_lower64_batch([str(i) for i in ids]).astype(np.float64) + 0.5) / 2.0**64
+        key = -np.log(u) / np.maximum(n_chars.astype(np.float64), 1.0)
+        order = np.lexsort((ids, key))[:50]
+        assert got["doc_id"].tolist() == ids[order].tolist()
+        assert got["doc_id"].iloc[0] == 7
+        np.testing.assert_allclose(got["priority"].to_numpy(), np.round(key[order], 6), atol=1e-12)
