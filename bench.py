@@ -190,6 +190,8 @@ _QUERY_NAMES = [
     "unigram_nll_documents",
     "dsir_importance_documents",
     "weighted_sample_documents",
+    "lexical_diversity_documents",
+    "zipf_slope_documents",
 ]
 
 

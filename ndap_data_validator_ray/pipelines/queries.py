@@ -6326,6 +6326,160 @@ FROM k ORDER BY key, doc_id LIMIT 50
 """
 
 
+def lexical_diversity_documents(sf_dir: str) -> pd.DataFrame:
+    """Per-doc lexical-diversity features the quality/repetition ops don't
+    cover: type-token ratio (distinct tokens / tokens — the classic
+    lexical-richness filter; low TTR flags template/spam text) and
+    character-level Shannon entropy (low entropy flags gibberish /
+    single-char floods; high flags binary-ish noise).  One streaming
+    scan, fully vectorized across the batch: tokens explode once and
+    distinct-per-doc counts come from ``pd.factorize`` + a packed
+    (doc, code) ``np.unique``; char entropy packs (doc << 21 | codepoint)
+    — codepoints < 2^21 — so one ``np.unique(return_counts=True)`` yields
+    all per-(doc, char) counts and ``np.add.at`` folds ``-p ln p`` per
+    doc.  No shuffle, no driver state; per-term IEEE ops match the SQL
+    twin exactly (same int->double divisions, same ``ln``), only the
+    summation ORDER differs — rounded to 6 per the module convention."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ["" if t is None else t for t in batch["text"]]
+        n = len(texts)
+        tok_lists = [t.split() for t in texts]
+        n_tok = np.array([len(w) for w in tok_lists], dtype=np.int64)
+        distinct = np.zeros(n, dtype=np.int64)
+        all_toks = [w for ws in tok_lists for w in ws]
+        if all_toks:
+            codes = pd.factorize(np.asarray(all_toks, dtype=object))[0].astype(np.int64)
+            doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+            width = np.int64(codes.max() + 1)
+            distinct = np.bincount(
+                np.unique(doc_of_tok * width + codes) // width, minlength=n
+            )
+        ttr = np.where(n_tok > 0, distinct / np.maximum(n_tok, 1), 0.0)
+        ent = np.zeros(n, dtype=np.float64)
+        joined = "".join(texts)
+        if joined:
+            codes_c = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            lens_c = np.array([len(t) for t in texts], dtype=np.int64)
+            doc_of_ch = np.repeat(np.arange(n, dtype=np.int64), lens_c)
+            upair, cnts = np.unique((doc_of_ch << 21) | codes_c, return_counts=True)
+            udoc = upair >> 21
+            p = cnts / lens_c[udoc]
+            np.add.at(ent, udoc, -p * np.log(p))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "distinct_tokens": distinct,
+                "ttr": _r6(ttr),
+                "char_entropy": _r6(np.abs(ent)),  # -0.0 -> 0.0 for single-char docs
+            }
+        )
+
+    return (
+        docs.map_batches(fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+_LEXICAL_DIVERSITY_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws,
+         string_split(COALESCE(text, ''), '') AS cs
+  FROM documents
+), tok_stats AS (
+  SELECT doc_id, len(ws) AS n_tokens, len(list_distinct(ws)) AS distinct_tokens FROM d
+), chcnt AS (
+  SELECT doc_id, c, COUNT(*) AS k
+  FROM (SELECT doc_id, unnest(cs) AS c FROM d) WHERE c <> '' GROUP BY doc_id, c
+), chn AS (
+  SELECT doc_id, CAST(SUM(k) AS DOUBLE) AS nc FROM chcnt GROUP BY doc_id
+), ent AS (
+  SELECT chcnt.doc_id, SUM(-(k / nc) * ln(k / nc)) AS h
+  FROM chcnt JOIN chn ON chcnt.doc_id = chn.doc_id GROUP BY chcnt.doc_id
+)
+SELECT t.doc_id, t.n_tokens, t.distinct_tokens,
+       ROUND(CASE WHEN t.n_tokens > 0
+                  THEN CAST(t.distinct_tokens AS DOUBLE) / t.n_tokens ELSE 0.0 END, 6) AS ttr,
+       ROUND(ABS(COALESCE(h, 0.0)), 6) AS char_entropy
+FROM tok_stats t LEFT JOIN ent ON t.doc_id = ent.doc_id ORDER BY t.doc_id
+"""
+
+
+def zipf_slope_documents(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary health check: the Zipf rank-frequency slope
+    (natural text sits near -1; heavy template/boilerplate contamination
+    flattens it, gibberish steepens it).  Token counts ride ONE bucketed
+    exchange (``count_by_key`` — the unigram-LM pass-1 shape); each count
+    block then emits a LOCAL top-200 by (count desc, token asc) so only
+    <= 200 x blocks rows reach the driver (distributed top-k idiom — the
+    full vocabulary never leaves the cluster), plus fixed one-row
+    (vocab-size, token-total) partials.  The slope is OLS of ln(count)
+    on ln(rank) over the global top-200, computed with the population
+    covariance/variance form DuckDB's ``regr_slope`` uses; n=200
+    well-conditioned points agree to ~1e-12, rounded to 6."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    K = 200
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch["text"]:
+            toks.extend((t or "").split())
+        return pd.DataFrame({"tok": toks})
+
+    counts = count_by_key(
+        docs.map_batches(explode, batch_format="pandas"), ["tok"], n_buckets=16,
+        partial_format="pandas",
+    ).materialize()
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["cnt", "tok"], ascending=[False, True]).head(K)
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nv": [len(batch)], "tt": [int(batch["cnt"].sum())]})
+
+    top = (
+        counts.map_batches(local_top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["cnt", "tok"], ascending=[False, True])
+        .head(K)
+    )
+    tot = counts.map_batches(totals, batch_format="pandas").to_pandas()
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["cnt"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_vocab": np.array([tot["nv"].sum()], dtype=np.int64),
+            "total_tokens": np.array([tot["tt"].sum()], dtype=np.int64),
+            "slope": _r6([slope]),
+        }
+    )
+
+
+_ZIPF_SLOPE_SQL = """
+WITH d AS (
+  SELECT list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (SELECT unnest(ws) AS tok FROM d),
+cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+top AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+  QUALIFY r <= 200
+)
+SELECT (SELECT COUNT(*) FROM cnt) AS n_vocab,
+       (SELECT SUM(c) FROM cnt) AS total_tokens,
+       (SELECT ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6) FROM top) AS slope
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6451,6 +6605,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "unigram_nll_documents": (unigram_nll_documents, _UNIGRAM_NLL_SQL),
     "dsir_importance_documents": (dsir_importance_documents, _DSIR_SQL),
     "weighted_sample_documents": (weighted_sample_documents, _WEIGHTED_SAMPLE_SQL),
+    "lexical_diversity_documents": (lexical_diversity_documents, _LEXICAL_DIVERSITY_SQL),
+    "zipf_slope_documents": (zipf_slope_documents, _ZIPF_SLOPE_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

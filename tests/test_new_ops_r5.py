@@ -596,3 +596,75 @@ def test_weighted_sample_is_weighted_and_deterministic():
         assert got["doc_id"].tolist() == ids[order].tolist()
         assert got["doc_id"].iloc[0] == 7
         np.testing.assert_allclose(got["priority"].to_numpy(), np.round(key[order], 6), atol=1e-12)
+
+
+def test_lexical_diversity_known_values(tmp_path):
+    """TTR and char entropy must hit hand-computed values on a planted
+    corpus (including empty/null/single-char edge docs) and match the
+    SQL twin frame-exactly — the fixture never isolates these shapes."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _LEXICAL_DIVERSITY_SQL,
+        lexical_diversity_documents,
+    )
+
+    docs = [
+        (0, "aa bb aa"),   # 3 tokens / 2 distinct; chars a:4 b:2 ' ':2 of 8
+        (1, "x"),          # single char: entropy exactly 0
+        (2, ""),           # empty
+        (3, None),         # null
+        (4, "a a a a"),    # ttr 0.25
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = lexical_diversity_documents(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = con.execute(_LEXICAL_DIVERSITY_SQL).df().astype(
+        {"doc_id": np.int64, "n_tokens": np.int64, "distinct_tokens": np.int64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    r0 = got.set_index("doc_id").loc[0]
+    assert (r0["n_tokens"], r0["distinct_tokens"], r0["ttr"]) == (3, 2, round(2 / 3, 6))
+    # H = -(1/2 ln 1/2 + 1/4 ln 1/4 + 1/4 ln 1/4)
+    h = -(0.5 * np.log(0.5) + 2 * 0.25 * np.log(0.25))
+    assert r0["char_entropy"] == round(h, 6)
+    e = got.set_index("doc_id")
+    assert e.loc[1, "char_entropy"] == 0.0 and e.loc[2, "ttr"] == 0.0
+    assert e.loc[3, "n_tokens"] == 0 and e.loc[4, "ttr"] == 0.25
+
+
+def test_zipf_slope_planted(tmp_path):
+    """A corpus built with exact count = floor(1000 / rank) must fit a
+    slope near -1 (Zipf), with vocab/total exact; and the engine frame
+    must equal the SQL twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import _ZIPF_SLOPE_SQL, zipf_slope_documents
+
+    toks: list = []
+    for r in range(1, 41):
+        toks.extend([f"tok{r:03d}"] * (1000 // r))
+    # split across docs so per-batch partials + the exchange both engage
+    texts = [" ".join(toks[i::7]) for i in range(7)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = zipf_slope_documents(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = con.execute(_ZIPF_SLOPE_SQL).df().astype(
+        {"n_vocab": np.int64, "total_tokens": np.int64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_vocab"][0] == 40
+    assert got["total_tokens"][0] == sum(1000 // r for r in range(1, 41))
+    assert -1.1 < got["slope"][0] < -0.9
