@@ -192,6 +192,7 @@ _QUERY_NAMES = [
     "weighted_sample_documents",
     "lexical_diversity_documents",
     "zipf_slope_documents",
+    "dup_span_coverage_documents",
 ]
 
 

@@ -6410,6 +6410,127 @@ FROM tok_stats t LEFT JOIN ent ON t.doc_id = ent.doc_id ORDER BY t.doc_id
 """
 
 
+def dup_span_coverage_documents(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style duplicated-span coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    substring-dedup family none of the other dedup ops cover): for every
+    doc, the count and fraction of token positions lying inside a
+    duplicated n-token substring (n=3 here; the paper's suffix-array
+    50-token threshold scaled to the fixture).  Exact semantics: a token
+    is covered iff some n-gram window containing it occurs >= 2 times in
+    the corpus (incl. twice in the same doc) — precisely the tokens
+    ExactSubstr would trim at threshold n, since any duplicated
+    substring of length >= n is a union of duplicated n-gram windows.
+    Shape (scale-first, NO broadcast — unlike boilerplate's thin-head
+    DF>5 set, the DF>=2 gram set is O(corpus) and must never sit on the
+    driver): exchange 1 buckets positional (gram, doc, pos) rows by gram
+    and emits only occurrences of duplicated grams; exchange 2 buckets
+    the hit positions by doc and folds interval coverage with a
+    vectorized sorted-gap kernel (sum of min(gap, n) per run); a third
+    streaming scan emits per-doc token counts.  Only O(docs) rows reach
+    the driver."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    N = 3
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        poss: list = []
+        grams: list = []
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            ws = (t or "").split()
+            for p in range(len(ws) - N + 1):
+                ids.append(i)
+                poss.append(p)
+                grams.append(" ".join(ws[p : p + N]))
+        return pd.DataFrame(
+            {
+                "gram": grams,
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "pos": np.asarray(poss, dtype=np.int64),
+            }
+        )
+
+    def dup_hits(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram")["gram"].transform("size").to_numpy()
+        return g.loc[c >= 2, ["doc_id", "pos"]]
+
+    hits = bucketed_groupby(
+        docs.map_batches(explode, batch_format="pandas"), ["gram"],
+        lambda b: b, dup_hits, n_buckets=16,
+    )
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        d = g["doc_id"].to_numpy(np.int64)
+        p = g["pos"].to_numpy(np.int64)
+        if len(d) == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], np.int64), "dup_tokens": np.array([], np.int64)}
+            )
+        same = d[1:] == d[:-1]
+        contrib = np.concatenate(
+            [np.where(same, np.minimum(p[1:] - p[:-1], N), N), [N]]
+        )
+        codes, uniq = pd.factorize(d)
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(uniq, dtype=np.int64),
+                "dup_tokens": np.bincount(codes, weights=contrib).astype(np.int64),
+            }
+        )
+
+    per = bucketed_groupby(hits, ["doc_id"], lambda b: b, cover, n_buckets=16).to_pandas()
+
+    def ntok(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_tokens": np.array(
+                    [len((t or "").split()) for t in batch["text"]], dtype=np.int64
+                ),
+            }
+        )
+
+    out = docs.map_batches(ntok, batch_format="pandas").to_pandas()
+    out = out.merge(per, on="doc_id", how="left")
+    out["dup_tokens"] = out["dup_tokens"].fillna(0).astype(np.int64)
+    out["dup_frac"] = _r6(
+        np.where(
+            out["n_tokens"].to_numpy() > 0,
+            out["dup_tokens"].to_numpy() / np.maximum(out["n_tokens"].to_numpy(), 1),
+            0.0,
+        )
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_DUP_SPAN_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), tok AS (SELECT doc_id, len(ws) AS n_tokens FROM d),
+pos AS (
+  SELECT doc_id, ws,
+         unnest(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)
+                     ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM d
+), g AS (SELECT doc_id, i, array_to_string(ws[i:i+2], ' ') AS gram FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.i FROM g JOIN dup USING (gram)),
+cover AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(i, i + 3)) AS p FROM hits)
+), per AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cover GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, COALESCE(per.dup_tokens, 0) AS dup_tokens,
+       ROUND(CASE WHEN t.n_tokens > 0
+                  THEN CAST(COALESCE(per.dup_tokens, 0) AS DOUBLE) / t.n_tokens
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM tok t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id
+"""
+
+
 def zipf_slope_documents(sf_dir: str) -> pd.DataFrame:
     """Corpus vocabulary health check: the Zipf rank-frequency slope
     (natural text sits near -1; heavy template/boilerplate contamination
@@ -6607,6 +6728,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "weighted_sample_documents": (weighted_sample_documents, _WEIGHTED_SAMPLE_SQL),
     "lexical_diversity_documents": (lexical_diversity_documents, _LEXICAL_DIVERSITY_SQL),
     "zipf_slope_documents": (zipf_slope_documents, _ZIPF_SLOPE_SQL),
+    "dup_span_coverage_documents": (dup_span_coverage_documents, _DUP_SPAN_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, _EMB_NEAR_DUP_EXACT_SQL),
     "train_val_test_split_documents": (train_val_test_split_documents, _TRAIN_SPLIT_SQL),
     "shuffled_shard_assignment_documents": (shuffled_shard_assignment_documents, _SHUFFLED_SHARDS_SQL),

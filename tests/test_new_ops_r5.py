@@ -668,3 +668,47 @@ def test_zipf_slope_planted(tmp_path):
     assert got["n_vocab"][0] == 40
     assert got["total_tokens"][0] == sum(1000 // r for r in range(1, 41))
     assert -1.1 < got["slope"][0] < -0.9
+
+
+def test_dup_span_coverage_planted(tmp_path):
+    """Coverage must equal the union of duplicated 3-gram windows:
+    overlapping windows merge (no double-count), a WITHIN-doc repeat
+    counts as duplication, docs under 3 tokens are never covered, and
+    unique text contributes nothing — hand-computed per doc and matched
+    frame-exactly vs the SQL twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _DUP_SPAN_SQL,
+        dup_span_coverage_documents,
+    )
+
+    docs = [
+        # docs 0/1 share "a b c d": dup 3-grams "a b c"@0, "b c d"@1 in
+        # both -> union [0,4) = 4 covered of 6 / of 4
+        (0, "a b c d u1 u2"),
+        (1, "a b c d"),
+        # within-doc repeat: "x y z" at 0 and 3 -> covered {0,1,2} u {3,4,5} = 6 of 6
+        (2, "x y z x y z"),
+        (3, "p q"),            # too short for any 3-gram
+        (4, "only unique words here nine"),  # no dup grams
+        (5, ""), (6, None),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = dup_span_coverage_documents(str(tmp_path)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = con.execute(_DUP_SPAN_SQL).df().astype(
+        {"doc_id": np.int64, "n_tokens": np.int64, "dup_tokens": np.int64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    e = got.set_index("doc_id")
+    assert e.loc[0, "dup_tokens"] == 4 and e.loc[0, "dup_frac"] == round(4 / 6, 6)
+    assert e.loc[1, "dup_tokens"] == 4 and e.loc[1, "dup_frac"] == 1.0
+    assert e.loc[2, "dup_tokens"] == 6 and e.loc[2, "dup_frac"] == 1.0
+    assert (e.loc[[3, 4, 5, 6], "dup_tokens"] == 0).all()
