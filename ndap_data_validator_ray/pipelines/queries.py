@@ -6428,7 +6428,10 @@ def dup_span_coverage_documents(sf_dir: str) -> pd.DataFrame:
     the hit positions by doc and folds interval coverage with a
     vectorized sorted-gap kernel (sum of min(gap, n) per run); a third
     streaming scan emits per-doc token counts.  Only O(docs) rows reach
-    the driver."""
+    the driver.  Exchange 1 ships gram STRINGS for oracle-exactness; the
+    100 TB variant ships ``md5_lower64(gram)`` int64s instead (8 bytes
+    vs ~20, collision odds ~n_grams^2 / 2^64 — the dedup_hashed trade,
+    documented there)."""
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     N = 3
