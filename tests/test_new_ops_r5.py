@@ -712,3 +712,47 @@ def test_dup_span_coverage_planted(tmp_path):
     assert e.loc[1, "dup_tokens"] == 4 and e.loc[1, "dup_frac"] == 1.0
     assert e.loc[2, "dup_tokens"] == 6 and e.loc[2, "dup_frac"] == 1.0
     assert (e.loc[[3, 4, 5, 6], "dup_tokens"] == 0).all()
+
+
+def test_r5_ops_block_split_invariance(tmp_path):
+    """The new ops' distributed shapes (local top-k merge, per-batch
+    partial folds, two-exchange span coverage) must be invariant to how
+    Ray blocks the input: tiny row groups force multi-block reads, and
+    every result must equal the single-block run byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        dsir_importance_documents,
+        dup_span_coverage_documents,
+        lexical_diversity_documents,
+        weighted_sample_documents,
+        zipf_slope_documents,
+    )
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(0, 30)).tolist()) or None
+        for _ in range(60)
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array((["en", "zh", "fr"] * 20), pa.string()),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    })
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(tbl, str(one / "documents.parquet"))
+    pq.write_table(tbl, str(many / "documents.parquet"), row_group_size=7)
+
+    for fn in (
+        weighted_sample_documents, dsir_importance_documents,
+        lexical_diversity_documents, zipf_slope_documents,
+        dup_span_coverage_documents,
+    ):
+        a = fn(str(one)).reset_index(drop=True)
+        b = fn(str(many)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b), fn.__name__
