@@ -853,7 +853,7 @@ def ngram_jaccard_exact_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-_NGRAM_EXACT_SQL = """
+_NGRAM_EXACT_SQL = r"""
 WITH sub AS (
   SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws
   FROM documents WHERE doc_id % 3 = 0
@@ -3891,7 +3891,7 @@ def decontaminate_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-_DECONTAM_SQL = """
+_DECONTAM_SQL = r"""
 WITH tok AS (
   SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws FROM documents
 ), grams AS (
@@ -5465,7 +5465,7 @@ def curation_funnel_documents(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-_CURATION_FUNNEL_SQL = """
+_CURATION_FUNNEL_SQL = r"""
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
 toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM corpus),
 cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
