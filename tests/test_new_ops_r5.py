@@ -756,3 +756,54 @@ def test_r5_ops_block_split_invariance(tmp_path):
         a = fn(str(one)).reset_index(drop=True)
         b = fn(str(many)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b), fn.__name__
+
+
+def test_lexical_and_dup_span_randomized_vs_sql(tmp_path):
+    """Randomized (seeded) corpora sweep the kernels past the planted
+    fixtures: mixed-length docs, unicode letters INSIDE tokens (DuckDB
+    ``string_split(s,'')`` splits by codepoint exactly like Python
+    iteration — verified incl. combining marks and astral plane), token
+    runs, duplicated docs, empties and nulls.  Whitespace stays ASCII:
+    RE2's ``\\s`` is ASCII while Python ``str.split()`` is unicode-aware
+    — the repo-wide tokenizer-parity convention."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _DUP_SPAN_SQL,
+        _LEXICAL_DIVERSITY_SQL,
+        dup_span_coverage_documents,
+        lexical_diversity_documents,
+    )
+
+    rng = np.random.RandomState(42)
+    vocab = ["the", "héé", "data", "😀ok", "x", "ǽther", "spark", "row"]
+    for trial in range(3):
+        n = 40
+        texts: list = []
+        for i in range(n):
+            k = rng.randint(0, 25)
+            texts.append(" ".join(rng.choice(vocab, size=k).tolist()) if k else
+                         rng.choice(["", None]))
+        # plant exact duplicate docs so cross-doc 3-gram dups exist
+        if texts[0]:
+            texts[1] = texts[0]
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }), str(d / "documents.parquet"), row_group_size=9)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+        got = lexical_diversity_documents(str(d)).reset_index(drop=True)
+        want = con.execute(_LEXICAL_DIVERSITY_SQL).df().astype(
+            {"doc_id": np.int64, "n_tokens": np.int64, "distinct_tokens": np.int64}
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+        got = dup_span_coverage_documents(str(d)).reset_index(drop=True)
+        want = con.execute(_DUP_SPAN_SQL).df().astype(
+            {"doc_id": np.int64, "n_tokens": np.int64, "dup_tokens": np.int64}
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
