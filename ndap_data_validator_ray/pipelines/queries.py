@@ -6604,6 +6604,104 @@ SELECT (SELECT COUNT(*) FROM cnt) AS n_vocab,
 """
 
 
+def order_skip_triangles(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-node triangle counting (stages/triangles.py —
+    degree-oriented node-iterator: dedup -> degree attach -> orient ->
+    ``np.triu_indices`` wedge emit -> bucketed semi-join closure; every
+    wide step a bucketed exchange, only the O(nodes) count fold reaches
+    the driver) over a graph SQL can recount: each customer's orders
+    sorted by key, edges to the next AND next-next order — every
+    consecutive triple closes a triangle, so multi-wedge closure is
+    genuinely exercised (~#orders triangles, mixed per-node counts of 1,
+    2 and 3).  The DuckDB twin rebuilds the same edge set with LEAD
+    windows and recounts triangles with the generic 3-way edge self-join
+    — a structural oracle for the whole wedge/closure machinery, not a
+    closed-form shortcut."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.triangles import distributed_triangle_counts
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def skip_edges(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["o_custkey", "o_orderkey"])
+        ck = p["o_custkey"].to_numpy()
+        ok = p["o_orderkey"].to_numpy().astype(np.int64)
+        frames = []
+        for skip in (1, 2):
+            if len(ok) > skip:
+                same = ck[skip:] == ck[:-skip]
+                frames.append(pd.DataFrame({"id_a": ok[:-skip][same], "id_b": ok[skip:][same]}))
+        if not frames:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    edges = bucketed_groupby(orders, ["o_custkey"], lambda b: b, skip_edges).materialize()
+    return distributed_triangle_counts(edges)
+
+
+_TRIANGLES_SQL = """
+WITH seq AS (
+  SELECT o_orderkey AS k,
+         LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS k1,
+         LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS k2
+  FROM orders
+), raw AS (
+  SELECT k AS u, k1 AS v FROM seq WHERE k1 IS NOT NULL
+  UNION ALL
+  SELECT k AS u, k2 AS v FROM seq WHERE k2 IS NOT NULL
+), e AS (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node ORDER BY node
+"""
+
+
+def similar_orders_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT set-similarity self-join (stages/setsim.py — AllPairs/PPJoin
+    prefix filtering over bucketed exchanges): orders as their distinct
+    part-id sets, all pairs with Jaccard >= 0.6.  Unlike the
+    LSH/MinHash near-dup families this is exact-by-construction — the
+    prefix filter only PRUNES (rarest-token prefixes under a global
+    (df, token) order), and the distributed verify recomputes true
+    Jaccard — so DuckDB's brute-force intersection join is a full value
+    oracle for candidate generation + verification end to end."""
+    from ndap_data_validator_ray.stages.setsim import allpairs_jaccard_join
+
+    rows = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    out = allpairs_jaccard_join(rows, "l_orderkey", "l_partkey", threshold=0.6)
+    out["jaccard"] = _r9(out["jaccard"])
+    return out
+
+
+_SETSIM_SQL = """
+WITH s AS (SELECT DISTINCT l_orderkey AS id, l_partkey AS tok FROM lineitem),
+sz AS (SELECT id, COUNT(*) AS n FROM s GROUP BY id),
+inter AS (
+  SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS i
+  FROM s a JOIN s b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i), 9) AS jaccard
+FROM inter
+JOIN sz na ON na.id = ia
+JOIN sz nb ON nb.id = ib
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6653,6 +6751,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "order_chain_pagerank": (order_chain_pagerank, _PAGERANK_SQL),
+    "order_skip_triangles": (order_skip_triangles, _TRIANGLES_SQL),
+    "similar_orders_jaccard": (similar_orders_jaccard, _SETSIM_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),
