@@ -6702,6 +6702,193 @@ ORDER BY id_a, id_b
 """
 
 
+def bigram_pmi_documents(sf_dir: str) -> pd.DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information (min count 5) — the classic corpus-analysis signal
+    for multi-word expressions (Church & Hanks 1990).  Distributed shape:
+    unigram and bigram counts via two bucketed exchanges (the
+    ``top_bigrams_documents`` kernels), totals folded from the aggregated
+    partials (cheap block scans), unigram counts attached to the
+    count-filtered bigram rows through the guarded
+    ``stages/broadcast.attach_or_join`` (vocab broadcast under the cap, a
+    bucketed hash join above — the full vocabulary never has to fit on
+    the driver), PMI computed per block, local top-k partials merged on
+    the driver.  The PMI expression and its association order are
+    mirrored VERBATIM in the SQL (left-assoc products, one division)
+    so both sides agree before the round-6."""
+    from ndap_data_validator_ray.functions.text import bigram_counts
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    texts = _read(sf_dir, "documents", columns=["text"])
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"[a-z0-9]+")
+        arrs = [a for a in toks.to_numpy() if len(a)]
+        if not arrs:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object), "c": pd.Series([], dtype=np.int64)})
+        vc = pd.Series(np.concatenate(arrs), dtype=object).value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(), "c": vc.to_numpy().astype(np.int64)})
+
+    ucnt = sum_by_key(
+        texts.map_batches(uni_partial, batch_format="pandas"), ["tok"], ["c"], n_buckets=16
+    ).materialize()
+    bcnt = sum_by_key(
+        texts.map_batches(lambda b: bigram_counts(b["text"]), batch_format="pandas"),
+        ["bigram"],
+        ["cnt"],
+        n_buckets=16,
+    ).materialize()
+
+    def fold_total(ds: "ray.data.Dataset", col: str) -> float:
+        parts = ds.map_batches(
+            lambda b: pd.DataFrame({"s": [int(b[col].sum())]}), batch_format="pandas"
+        ).to_pandas()
+        return float(parts["s"].sum())
+
+    n_tok = fold_total(ucnt, "c")
+    n_bi = fold_total(bcnt, "cnt")
+
+    def split_filter(b: pd.DataFrame) -> pd.DataFrame:
+        kept = b[b["cnt"] >= 5]
+        if kept.empty:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype=np.int64),
+                    "l": pd.Series([], dtype=object),
+                    "r": pd.Series([], dtype=object),
+                }
+            )
+        sp = kept["bigram"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame(
+            {"bigram": kept["bigram"].to_numpy(), "cnt": kept["cnt"].to_numpy(), "l": sp[0].to_numpy(), "r": sp[1].to_numpy()}
+        )
+
+    filtered = bcnt.map_batches(split_filter, batch_format="pandas").materialize()
+    with_ca = attach_or_join(
+        filtered,
+        ucnt.map_batches(lambda b: b.rename(columns={"tok": "l", "c": "ca"}), batch_format="pandas"),
+        on_fact="l",
+        on_side="l",
+        attach_cols=["ca"],
+    )
+    with_cb = attach_or_join(
+        with_ca,
+        ucnt.map_batches(lambda b: b.rename(columns={"tok": "r", "c": "cb"}), batch_format="pandas"),
+        on_fact="r",
+        on_side="r",
+        attach_cols=["cb"],
+    )
+
+    def score_topk(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "bigram": pd.Series([], dtype=object),
+                    "cnt": pd.Series([], dtype=np.int64),
+                    "pmi": pd.Series([], dtype=np.float64),
+                }
+            )
+        cnt = b["cnt"].to_numpy().astype(np.float64)
+        ca = b["ca"].to_numpy().astype(np.float64)
+        cb = b["cb"].to_numpy().astype(np.float64)
+        # association order mirrored in the SQL: ((cnt*nt)*nt) / ((nb*ca)*cb)
+        pmi = _r6(np.log((cnt * n_tok * n_tok) / ((n_bi * ca) * cb)))
+        out = pd.DataFrame(
+            {"bigram": b["bigram"].to_numpy(), "cnt": b["cnt"].to_numpy().astype(np.int64), "pmi": pmi}
+        )
+        return out.sort_values(["pmi", "bigram"], ascending=[False, True]).head(20)
+
+    out = with_cb.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = out.sort_values(["pmi", "bigram"], ascending=[False, True]).head(20)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.reset_index(drop=True)[["bigram", "cnt", "pmi"]]
+
+
+_BIGRAM_PMI_SQL = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+uni AS (SELECT unnest(arr) AS tok FROM toks),
+ucnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(arr)), i -> arr[i] || ' ' || arr[i + 1])) AS bigram
+  FROM toks),
+bcnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM bi GROUP BY bigram),
+nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM bi),
+scored AS (
+  SELECT b.bigram, b.cnt,
+         ROUND(ln((CAST(b.cnt AS DOUBLE) * (SELECT v FROM nt) * (SELECT v FROM nt))
+               / (((SELECT v FROM nb) * CAST(ua.c AS DOUBLE)) * CAST(ub.c AS DOUBLE))), 6) AS pmi
+  FROM bcnt b
+  JOIN ucnt ua ON ua.tok = split_part(b.bigram, ' ', 1)
+  JOIN ucnt ub ON ub.tok = split_part(b.bigram, ' ', 2)
+  WHERE b.cnt >= 5
+)
+SELECT bigram, cnt, pmi FROM scored ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count and conditional probability of (event_type -> next event_type),
+    ordered by (ts, event_id) within each user.  One bucketed exchange on
+    user_id (a user's whole stream lands in one reducer — transitions are
+    boundary-safe by construction), vectorized shift kernel per reducer,
+    and since the type x type matrix is LOW cardinality the per-reducer
+    partials fold on the driver (the repo's low-cardinality groupby rule
+    — no second exchange for a few dozen rows)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = p["user_id"].to_numpy()
+        et = p["event_type"].to_numpy()
+        if len(p) < 2:
+            return pd.DataFrame(
+                {"from_type": pd.Series([], dtype=object), "to_type": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)}
+            )
+        same = uid[1:] == uid[:-1]
+        g = (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    parts = bucketed_groupby(ds, ["user_id"], lambda b: b, transitions, n_buckets=32).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "to_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "p": pd.Series([], dtype=np.float64),
+            }
+        )
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    totals = out.groupby("from_type")["n"].transform("sum")
+    out["n"] = out["n"].astype(np.int64)
+    out["p"] = _r9(out["n"].to_numpy().astype(np.float64) / totals.to_numpy().astype(np.float64))
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS ft,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+  FROM events
+), tr AS (SELECT ft, tt FROM seq WHERE tt IS NOT NULL)
+SELECT ft AS from_type, tt AS to_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER (PARTITION BY ft) AS DOUBLE), 9) AS p
+FROM tr GROUP BY ft, tt ORDER BY from_type, to_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6753,6 +6940,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "order_chain_pagerank": (order_chain_pagerank, _PAGERANK_SQL),
     "order_skip_triangles": (order_skip_triangles, _TRIANGLES_SQL),
     "similar_orders_jaccard": (similar_orders_jaccard, _SETSIM_SQL),
+    "bigram_pmi_documents": (bigram_pmi_documents, _BIGRAM_PMI_SQL),
+    "event_transitions": (event_transitions, _EVENT_TRANSITIONS_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),

@@ -151,3 +151,53 @@ def test_allpairs_as_dataset_matches_pandas():
         .astype({"id_a": np.int64, "id_b": np.int64})
     )
     pd.testing.assert_frame_equal(got, df)
+
+
+def test_bigram_pmi_planted(tmp_path):
+    """Hand-computed PMI on a tiny corpus; min-count filter honored."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from ndap_data_validator_ray.pipelines.queries import bigram_pmi_documents
+
+    # "x y" appears 5 times (passes min count), tokens once more each at
+    # the edges; "y z" appears only once (filtered out)
+    docs = ["x y " * 5 + "y z", "solo tokens here"]
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": docs, "lang": ["en", "en"], "source": ["a", "a"], "n_chars": [1, 1]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = bigram_pmi_documents(str(tmp_path))
+    assert "y z" not in set(out["bigram"])
+    row = out[out["bigram"] == "x y"].iloc[0]
+    # doc1 tokens = [x y]*5 + [y z] = 12 (5x, 6y, 1z), doc2 = 3
+    n_tok = 15.0
+    n_bi = 11.0 + 2.0  # doc1 has 11 adjacent pairs, doc2 has 2
+    c_xy, c_x, c_y = 5.0, 5.0, 6.0
+    want = np.round(np.log((c_xy * n_tok * n_tok) / ((n_bi * c_x) * c_y)), 6)
+    assert row["pmi"] == want and row["cnt"] == 5
+
+
+def test_event_transitions_block_split(tmp_path):
+    """Transition counts are invariant to input block boundaries (a user's
+    stream re-coalesces in one reducer) and ties break on event_id."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from ndap_data_validator_ray.pipelines.queries import event_transitions
+
+    ts = pd.to_datetime("2024-01-01")
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [ts, ts, ts + pd.Timedelta("1h"), ts, ts + pd.Timedelta("2h"), ts + pd.Timedelta("3h")],
+        "user_id": [7, 7, 7, 9, 9, 9],
+        "event_type": ["a", "b", "a", "b", "b", "c"],
+        "value": [0.0] * 6,
+        "props": ["{}"] * 6,
+    }
+    # user 7: (ts ties on events 1,2 -> order by event_id) a->b, b->a
+    # user 9: b->b, b->c
+    pq.write_table(pa.table(rows), str(tmp_path / "events.parquet"))
+    out = event_transitions(str(tmp_path))
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in out.itertuples()}
+    assert got[("a", "b")] == (1, 1.0)
+    assert got[("b", "a")][0] == 1 and got[("b", "b")][0] == 1 and got[("b", "c")][0] == 1
+    assert abs(got[("b", "a")][1] - 1 / 3) < 1e-9
