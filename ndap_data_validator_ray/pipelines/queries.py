@@ -6889,6 +6889,49 @@ FROM tr GROUP BY ft, tt ORDER BY from_type, to_type
 """
 
 
+def overlapping_order_windows(sf_dir: str) -> pd.DataFrame:
+    """Interval OVERLAP join (stages/intervaljoin.py — temporal bucket
+    replication + owner-bucket emit rule, the parallel spatial-join
+    pattern): 7-day windows starting at each order date, all overlapping
+    (A, B) pairs between two keyed order subsets.  Closed intervals; the
+    emitted ``overlap`` is the shared span in days (>= 0).  Bucket width
+    = the window length (replication factor <= 2 per interval)."""
+    from ndap_data_validator_ray.stages.intervaljoin import interval_overlap_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def windows(mod: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            kept = b[b["o_custkey"].to_numpy() % mod == 0]
+            s = kept["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            return pd.DataFrame(
+                {"id": kept["o_orderkey"].to_numpy().astype(np.int64), "s": s, "e": s + 7}
+            )
+
+        return fn
+
+    left = orders.map_batches(windows(97), batch_format="pandas")
+    right = orders.map_batches(windows(89), batch_format="pandas")
+    return interval_overlap_join(left, right, bucket_width=7)
+
+
+_OVERLAP_JOIN_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS id_a,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s_a
+  FROM orders WHERE o_custkey % 97 = 0
+), b AS (
+  SELECT o_orderkey AS id_b,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS s_b
+  FROM orders WHERE o_custkey % 89 = 0
+)
+SELECT id_a, id_b,
+       CAST(LEAST(s_a + 7, s_b + 7) - GREATEST(s_a, s_b) AS BIGINT) AS overlap
+FROM a JOIN b ON s_a <= s_b + 7 AND s_b <= s_a + 7
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6942,6 +6985,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "similar_orders_jaccard": (similar_orders_jaccard, _SETSIM_SQL),
     "bigram_pmi_documents": (bigram_pmi_documents, _BIGRAM_PMI_SQL),
     "event_transitions": (event_transitions, _EVENT_TRANSITIONS_SQL),
+    "overlapping_order_windows": (overlapping_order_windows, _OVERLAP_JOIN_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),

@@ -201,3 +201,48 @@ def test_event_transitions_block_split(tmp_path):
     assert got[("a", "b")] == (1, 1.0)
     assert got[("b", "a")][0] == 1 and got[("b", "b")][0] == 1 and got[("b", "c")][0] == 1
     assert abs(got[("b", "a")][1] - 1 / 3) < 1e-9
+
+
+def test_interval_overlap_random_vs_brute():
+    """Owner-bucket replication emits each overlapping pair exactly once:
+    randomized intervals (multi-bucket spans, negative starts, touching
+    endpoints) match a brute-force O(n^2) join at two bucket widths."""
+    from ndap_data_validator_ray.stages.intervaljoin import interval_overlap_join
+
+    rng = np.random.default_rng(13)
+    def mk(n, seed_off):
+        r = np.random.default_rng(13 + seed_off)
+        s = r.integers(-50, 200, n).astype(np.int64)
+        ln = r.integers(0, 40, n).astype(np.int64)  # includes zero-length
+        return pd.DataFrame({"id": np.arange(n, dtype=np.int64) + seed_off * 1000, "s": s, "e": s + ln})
+
+    a, b = mk(80, 1), mk(70, 2)
+    want = []
+    for ra in a.itertuples():
+        for rb in b.itertuples():
+            if ra.s <= rb.e and rb.s <= ra.e:
+                want.append((ra.id, rb.id, min(ra.e, rb.e) - max(ra.s, rb.s)))
+    want = pd.DataFrame(want, columns=["id_a", "id_b", "overlap"]).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True).astype(np.int64)
+    for width in (7, 25):
+        got = interval_overlap_join(
+            ray.data.from_pandas(a).repartition(3),
+            ray.data.from_pandas(b).repartition(2),
+            bucket_width=width,
+            n_buckets=8,
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_interval_overlap_edges():
+    from ndap_data_validator_ray.stages.intervaljoin import interval_overlap_join
+
+    # touching endpoints overlap (closed intervals, overlap 0); disjoint
+    # and degenerate (e < s) intervals do not
+    a = pd.DataFrame({"id": [1, 2, 3], "s": [0, 100, 50], "e": [10, 110, 40]})
+    b = pd.DataFrame({"id": [7, 8], "s": [10, 200], "e": [20, 210]})
+    got = interval_overlap_join(
+        ray.data.from_pandas(a), ray.data.from_pandas(b), bucket_width=7, n_buckets=8
+    )
+    assert list(zip(got["id_a"], got["id_b"], got["overlap"])) == [(1, 7, 0)]
