@@ -193,6 +193,11 @@ _QUERY_NAMES = [
     "lexical_diversity_documents",
     "zipf_slope_documents",
     "dup_span_coverage_documents",
+    "order_skip_triangles",
+    "similar_orders_jaccard",
+    "bigram_pmi_documents",
+    "event_transitions",
+    "overlapping_order_windows",
 ]
 
 
