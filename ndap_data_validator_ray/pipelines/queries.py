@@ -6932,6 +6932,121 @@ ORDER BY id_a, id_b
 """
 
 
+def customer_order_p90(sf_dir: str) -> pd.DataFrame:
+    """HIGH-cardinality grouped exact percentiles (every customer with
+    >= 3 orders gets a p50/p90 of order totals) — the grouped-quantile
+    shape ``quantiles_by_returnflag`` can't show (3 groups fold on the
+    driver there; here the group domain is the customer key space, so the
+    groups THEMSELVES ride a bucketed exchange and each reducer computes
+    its customers' percentiles locally).  Linear interpolation matches
+    SQL PERCENTILE_CONT bit-for-bit (same v_lo + frac*(v_hi-v_lo) form);
+    round-6 on both sides."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def pct(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ck, g in group.groupby("o_custkey", sort=False):
+            v = np.sort(g["o_totalprice"].to_numpy().astype(np.float64))
+            if len(v) < 3:
+                continue
+            outs.append((ck, np.percentile(v, 50), np.percentile(v, 90), len(v)))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "p50": pd.Series([], dtype=np.float64),
+                    "p90": pd.Series([], dtype=np.float64),
+                    "n_orders": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = pd.DataFrame(outs, columns=["o_custkey", "p50", "p90", "n_orders"])
+        out["o_custkey"] = out["o_custkey"].astype(np.int64)
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return out
+
+    out = bucketed_groupby(orders, ["o_custkey"], lambda b: b, pct).to_pandas()
+    out["p50"] = _r6(out["p50"])
+    out["p90"] = _r6(out["p90"])
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_CUSTOMER_P90_SQL = """
+SELECT o_custkey,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p50,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
+"""
+
+
+def daily_revenue_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Time-series health check: lag-1 and lag-7 autocorrelation of the
+    daily order-revenue series.  The heavy leg (daily sums over the full
+    fact table) is one bucketed exchange on the ~2.4k-day key; the tiny
+    aggregated series folds on the driver (the low-cardinality rule) where
+    the sequence-lag correlations are two numpy expressions.  Lags are
+    over the ORDERED OBSERVED sequence (rows with a lag-k predecessor),
+    exactly what the SQL's LAG window computes; correlation is
+    normalization-invariant so engine covariance and DuckDB corr() agree
+    to float noise, rounded at 6."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        g = pd.DataFrame({"day": d, "rev": b["o_totalprice"].to_numpy()}).groupby(
+            "day", as_index=False
+        )["rev"].sum()
+        return g
+
+    daily = (
+        sum_by_key(
+            orders.map_batches(day_partial, batch_format="pandas"),
+            ["day"],
+            ["rev"],
+            n_buckets=32,
+            partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = _r2(daily["rev"])  # 2-decimal money sums: kill summation-order noise
+
+    def ac(k: int) -> float:
+        a, b = x[:-k], x[k:]
+        am, bm = a.mean(), b.mean()
+        denom = np.sqrt(((a - am) ** 2).sum() * ((b - bm) ** 2).sum())
+        return float(((a - am) * (b - bm)).sum() / denom) if denom else 0.0
+
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(x))],
+            "ac1": _r6(ac(1)),
+            "ac7": _r6(ac(7)),
+        }
+    )
+
+
+_DAILY_AUTOCORR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, ROUND(SUM(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT rev,
+         LAG(rev, 1) OVER (ORDER BY day) AS rev1,
+         LAG(rev, 7) OVER (ORDER BY day) AS rev7
+  FROM daily
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       ROUND((SELECT corr(rev, rev1) FROM seq WHERE rev1 IS NOT NULL), 6) AS ac1,
+       ROUND((SELECT corr(rev, rev7) FROM seq WHERE rev7 IS NOT NULL), 6) AS ac7
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6986,6 +7101,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "bigram_pmi_documents": (bigram_pmi_documents, _BIGRAM_PMI_SQL),
     "event_transitions": (event_transitions, _EVENT_TRANSITIONS_SQL),
     "overlapping_order_windows": (overlapping_order_windows, _OVERLAP_JOIN_SQL),
+    "customer_order_p90": (customer_order_p90, _CUSTOMER_P90_SQL),
+    "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),
