@@ -7047,6 +7047,92 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
 """
 
 
+def cms_part_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-Min sketch with a FULL cross-engine value oracle: the
+    repo's production CMS (``functions/sketches.CountMin``, multiply-shift
+    hashed — powering the heavy-hitter prefilter) is only oracle-checked
+    through its exact second pass; THIS query builds the same depth-4
+    sketch with md5-twin bucket hashes (``md5_lower64(key#i) % 1024`` ==
+    DuckDB ``md5_number_lower(...)``), so the sketch CELLS and the
+    row-wise-min estimates are recomputed verbatim by SQL — the estimate
+    values themselves are value-pinned, not just the exact counts.
+    Distributed shape (the DSIR rule): the feature space is FIXED
+    (4 x 1024 cells), so per-block partials are <= 4096 rows and fold on
+    the driver — no shuffle for the sketch; the exact top-20 side is the
+    heavy-hitter count exchange.  Emits (l_partkey, exact_cnt, cms_est)
+    for the exact top-20 parts; CMS one-sided error guarantees
+    cms_est >= exact_cnt."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    D, W = 4, 1024
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def cms_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, counts = np.unique(b["l_partkey"].to_numpy().astype(np.int64), return_counts=True)
+        frames = []
+        for i in range(D):
+            cols = (md5_lower64_batch([f"{k}#{i}" for k in keys]) % np.uint64(W)).astype(np.int64)
+            acc = np.zeros(W, dtype=np.int64)
+            np.add.at(acc, cols, counts)
+            nz = np.nonzero(acc)[0]
+            frames.append(pd.DataFrame({"row": np.full(len(nz), i, dtype=np.int64), "b": nz, "cnt": acc[nz]}))
+        return pd.concat(frames, ignore_index=True)
+
+    cms = (
+        ds.map_batches(cms_partial, batch_format="pandas")
+        .to_pandas()  # <= 4096 rows per block: driver fold, never a shuffle
+        .groupby(["row", "b"], as_index=False)["cnt"]
+        .sum()
+    )
+    table = np.zeros((D, W), dtype=np.int64)
+    table[cms["row"].to_numpy(), cms["b"].to_numpy()] = cms["cnt"].to_numpy()
+
+    counts = count_by_key(ds, ["l_partkey"], n_buckets=32, count_col="exact_cnt")
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["exact_cnt", "l_partkey"], ascending=[False, True]).head(20)
+
+    top = counts.map_batches(local_topk, batch_format="pandas").to_pandas()
+    top = top.sort_values(["exact_cnt", "l_partkey"], ascending=[False, True]).head(20)
+    keys = top["l_partkey"].to_numpy().astype(np.int64)
+    est = np.full(len(keys), np.iinfo(np.int64).max)
+    for i in range(D):
+        cols = (md5_lower64_batch([f"{k}#{i}" for k in keys]) % np.uint64(W)).astype(np.int64)
+        est = np.minimum(est, table[i, cols])
+    out = pd.DataFrame(
+        {
+            "l_partkey": keys,
+            "exact_cnt": top["exact_cnt"].to_numpy().astype(np.int64),
+            "cms_est": est.astype(np.int64),
+        }
+    )
+    assert (out["cms_est"] >= out["exact_cnt"]).all()  # CMS one-sided error
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+_CMS_SQL = """
+WITH exact AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM lineitem GROUP BY 1
+), top AS (
+  SELECT l_partkey, exact_cnt FROM exact ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+), cells AS (
+  SELECT i,
+         CAST(md5_number_lower(CAST(l_partkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)) % 1024 AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem, range(4) t(i) GROUP BY 1, 2
+)
+SELECT t.l_partkey, t.exact_cnt, MIN(c.cnt) AS cms_est
+FROM top t
+JOIN range(4) r(i) ON TRUE
+JOIN cells c
+  ON c.i = r.i
+ AND c.b = CAST(md5_number_lower(CAST(t.l_partkey AS VARCHAR) || '#' || CAST(r.i AS VARCHAR)) % 1024 AS BIGINT)
+GROUP BY 1, 2 ORDER BY l_partkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7103,6 +7189,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "overlapping_order_windows": (overlapping_order_windows, _OVERLAP_JOIN_SQL),
     "customer_order_p90": (customer_order_p90, _CUSTOMER_P90_SQL),
     "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
+    "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),

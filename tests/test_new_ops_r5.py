@@ -807,3 +807,49 @@ def test_lexical_and_dup_span_randomized_vs_sql(tmp_path):
             {"doc_id": np.int64, "n_tokens": np.int64, "dup_tokens": np.int64}
         ).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_cms_part_counts_planted_and_split_invariant(tmp_path):
+    """CMS with md5-twin bucket hashes: planted lineitem with known key
+    frequencies must (a) match the DuckDB sketch-cell recomputation
+    byte-for-byte, (b) respect the one-sided error bound
+    (cms_est >= exact_cnt for every reported key), and (c) be invariant
+    to Ray's input blocking (the sketch is a fixed 4x1024 additive
+    partial — block boundaries must not change any cell)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import _CMS_SQL, cms_part_counts
+
+    rng = np.random.RandomState(11)
+    # skewed key universe: key k appears ~(40 - k) times, keys 100.. are noise
+    keys = np.concatenate(
+        [np.repeat(k, 40 - k) for k in range(1, 31)]
+        + [rng.randint(100, 5000, size=400)]
+    ).astype(np.int64)
+    rng.shuffle(keys)
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    tbl = pa.table({"l_partkey": pa.array(keys, pa.int64())})
+    pq.write_table(tbl, str(one / "lineitem.parquet"))
+    pq.write_table(tbl, str(many / "lineitem.parquet"), row_group_size=37)
+
+    got = cms_part_counts(str(one)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{one}/lineitem.parquet'")
+    want = con.execute(_CMS_SQL).df().astype(
+        {"l_partkey": np.int64, "exact_cnt": np.int64, "cms_est": np.int64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    assert (got["cms_est"] >= got["exact_cnt"]).all()
+    # top-20 must be the 20 heaviest planted keys (counts 39..20 -> keys 1..20)
+    assert set(got["l_partkey"]) == set(range(1, 21))
+    # ~430 distinct keys in 4x1024 cells: the heavy keys should be exact
+    # (min over 4 rows kills any single-row collision) for most rows
+    assert (got["cms_est"] == got["exact_cnt"]).mean() >= 0.8
+
+    split = cms_part_counts(str(many)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, split)
