@@ -7133,6 +7133,182 @@ GROUP BY 1, 2 ORDER BY l_partkey
 """
 
 
+def hll_distinct_users_by_type(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog with a FULL cross-engine value oracle — the CMS twin's
+    companion (see ``cms_part_counts``): the production HLL
+    (``functions/sketches.HLL``, A11) is only oracle-checked through an
+    exact COUNT(DISTINCT) twin; THIS query builds a p=9 (512-register)
+    HLL per event_type with the md5-twin hash, so the REGISTERS
+    (per-bucket max leading-zero rank) and the Flajolet-style estimate
+    are recomputed verbatim by SQL — the estimate values themselves are
+    value-pinned.  Cross-engine float determinism: the harmonic sum
+    ``sum(2^-rho)`` is kept in EXACT integer arithmetic (``2^56 >> rho``
+    summed as HUGEINT / Python int — float addition of 512 powers of two
+    spans >53 mantissa bits and would round order-dependently), converted
+    to double once; rho uses an exact 6-step binary bit_length (float
+    ``log2`` misrounds near powers of two).  Distributed shape: registers
+    are mergeable maxes over a FIXED 5x512 space, so per-block partials
+    are tiny and fold on the driver (low-cardinality rule) — the sketch
+    never shuffles; only the exact COUNT(DISTINCT) twin pays a bucketed
+    exchange.  Emits (event_type, n_users, hll_est)."""
+    import math
+
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+
+    M = 512  # registers (p=9); w keeps the remaining 55 hash bits
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def hll_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()  # registers depend only on distinct pairs
+        h = md5_lower64_batch(b["user_id"].astype(str).to_numpy())
+        bucket = (h % np.uint64(M)).astype(np.int64)
+        w = h >> np.uint64(9)
+        bl = np.zeros(len(w), dtype=np.int64)  # exact bit_length of w
+        for s in (32, 16, 8, 4, 2, 1):
+            big = w >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            w[big] >>= np.uint64(s)
+        bl += (w > 0).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": b["event_type"].to_numpy(), "bucket": bucket, "rho": 56 - bl}
+        )
+        return df.groupby(["event_type", "bucket"], as_index=False)["rho"].max()
+
+    regs = (
+        ds.map_batches(hll_partial, batch_format="pandas")
+        .to_pandas()  # <= n_types*512 rows per block: driver fold, no shuffle
+        .groupby(["event_type", "bucket"], as_index=False)["rho"]
+        .max()
+    )
+    # alpha_512 * m^2 * 2^56 — identical literal expression in the SQL twin
+    alpha_num = 0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 72057594037927936.0
+    rows = []
+    for t, g in regs.groupby("event_type"):
+        s_int = (M - len(g)) * (1 << 56) + sum((1 << 56) >> int(r) for r in g["rho"])
+        v0 = M - len(g)  # untouched registers
+        e_raw = alpha_num / float(s_int)
+        est = 512.0 * math.log(512.0 / v0) if (e_raw <= 1280.0 and v0 > 0) else e_raw
+        rows.append((t, est))
+    est_df = pd.DataFrame(rows, columns=["event_type", "hll_est"])
+    est_df["hll_est"] = _r6(est_df["hll_est"])
+    out = distinct_users_by_type(sf_dir).merge(est_df, on="event_type")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_HLL_SQL = """
+WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 512 AS BIGINT) AS bucket,
+         md5_number_lower(CAST(user_id AS VARCHAR)) // 512 AS w
+  FROM pairs
+), r AS (
+  SELECT event_type, bucket,
+         MAX(56 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END)) AS rho
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         COUNT(*) AS touched,
+         SUM(72057594037927936 // (1::BIGINT << CAST(rho AS BIGINT))) AS s_touched
+  FROM r GROUP BY 1
+), fin AS (
+  SELECT event_type,
+         CAST(512 - touched AS BIGINT) AS v0,
+         (0.7213::DOUBLE / (1.0 + 1.079::DOUBLE / 512.0) * 262144.0 * 72057594037927936.0)
+           / CAST(CAST(512 - touched AS HUGEINT) * 72057594037927936::HUGEINT + s_touched AS DOUBLE) AS e_raw
+  FROM agg
+)
+SELECT f.event_type, d.n_users,
+       ROUND(CASE WHEN f.e_raw <= 1280.0 AND f.v0 > 0
+                  THEN 512.0 * ln(512.0 / f.v0) ELSE f.e_raw END, 6) AS hll_est
+FROM fin f
+JOIN (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events GROUP BY 1) d USING (event_type)
+ORDER BY event_type
+"""
+
+
+def bloom_false_positives_customers(sf_dir: str) -> pd.DataFrame:
+    """Bloom filter with a FULL cross-engine value oracle — completing the
+    sketch trilogy (``cms_part_counts``, ``hll_distinct_users_by_type``):
+    the production Bloom (``stages/bloom.BloomFilter``, powering every
+    anti-join) hashes with ``pd.util.hash_array`` so it is only checked
+    via NOT-EXISTS equivalence; THIS query builds an md5-twin Bloom
+    (k=3 independent hashes ``md5_lower64(key#i) % 4096``) whose BIT
+    ARRAY and exact false-positive set DuckDB recomputes verbatim.
+    Semantics: build = distinct custkeys of URGENT orders; probe = all
+    customers; emit the probe keys that PASS the filter yet are NOT true
+    members (the false positives — the exact rows a Bloom prefilter would
+    send to its verify leg in vain).  Distributed shape: set-bit
+    positions are mergeable ORs over a FIXED 4096-bit space, so per-block
+    partials are <= 4096 ints and fold on the driver (no shuffle for the
+    filter); the tiny bitmap ships in the probe closure; membership truth
+    goes through the production ``bloom_anti_join`` (Bloom prefilter +
+    bucketed exact verify), never a driver key set."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
+
+    M_BITS, K = 4096, 3
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))["o_custkey"]
+        return pa.table({"o_custkey": pc.unique(k)})
+
+    # feeds the bit fold AND bloom_anti_join (count + bloom pass + join)
+    build = orders.map_batches(urgent_keys, batch_format="pyarrow").materialize()
+
+    def bit_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
+        pos: set[int] = set()
+        for i in range(K):
+            pos.update(
+                (md5_lower64_batch([f"{k}#{i}" for k in keys]) % np.uint64(M_BITS)).tolist()
+            )
+        return pd.DataFrame({"b": np.array(sorted(pos), dtype=np.int64)})
+
+    bits = np.zeros(M_BITS, dtype=bool)
+    parts = build.map_batches(bit_partial, batch_format="pandas").to_pandas()
+    bits[parts["b"].to_numpy()] = True  # <= 4096 rows/block: driver OR-fold
+
+    def probe(b: pd.DataFrame) -> pd.DataFrame:
+        keys = b["c_custkey"].to_numpy().astype(np.int64)
+        ok = np.ones(len(keys), dtype=bool)
+        for i in range(K):  # bits is 4 KB — rides the task closure
+            p = (md5_lower64_batch([f"{k}#{i}" for k in keys]) % np.uint64(M_BITS)).astype(np.int64)
+            ok &= bits[p]
+        return b.loc[ok, ["c_custkey"]]
+
+    passed = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        probe, batch_format="pandas"
+    )
+    fp = bloom_anti_join(passed, build, "c_custkey", "o_custkey").to_pandas()
+    if "c_custkey" not in fp.columns:  # zero false positives at tiny SF
+        fp = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64)})
+    fp["c_custkey"] = fp["c_custkey"].astype(np.int64)
+    return fp.sort_values("c_custkey").reset_index(drop=True)
+
+
+_BLOOM_FP_SQL = """
+WITH build AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), bits AS (
+  SELECT DISTINCT
+    CAST(md5_number_lower(CAST(o_custkey AS VARCHAR) || '#' || CAST(i AS VARCHAR)) % 4096 AS BIGINT) AS b
+  FROM build, range(3) t(i)
+), pass AS (
+  SELECT c.c_custkey
+  FROM customer c, range(3) t(i)
+  WHERE CAST(md5_number_lower(CAST(c.c_custkey AS VARCHAR) || '#' || CAST(t.i AS VARCHAR)) % 4096 AS BIGINT)
+        IN (SELECT b FROM bits)
+  GROUP BY 1 HAVING COUNT(*) = 3
+)
+SELECT p.c_custkey FROM pass p
+WHERE NOT EXISTS (SELECT 1 FROM build b WHERE b.o_custkey = p.c_custkey)
+ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7190,6 +7366,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "customer_order_p90": (customer_order_p90, _CUSTOMER_P90_SQL),
     "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
+    "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
+    "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),

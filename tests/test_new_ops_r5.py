@@ -853,3 +853,126 @@ def test_cms_part_counts_planted_and_split_invariant(tmp_path):
 
     split = cms_part_counts(str(many)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, split)
+
+
+def test_hll_distinct_users_both_branches_vs_sql(tmp_path):
+    """Value-pinned HLL: planted events with one high-cardinality type
+    (raw-estimate branch, ~3000 distinct users > 2.5m = 1280) and one
+    low-cardinality type (linear-counting branch, 50 users) must (a)
+    match the DuckDB register+estimate recomputation byte-for-byte in
+    BOTH branches, (b) land within HLL's error envelope of the exact
+    count (sigma = 1.04/sqrt(512) ~ 4.6%; assert 15%), and (c) be
+    invariant to Ray's input blocking (registers are mergeable maxes)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _HLL_SQL,
+        hll_distinct_users_by_type,
+    )
+
+    rng = np.random.RandomState(7)
+    big_users = rng.choice(np.arange(10_000, 60_000), size=3000, replace=False)
+    rows_big = rng.choice(big_users, size=9000)  # repeats: dedup must not matter
+    rows_small = rng.choice(np.arange(1, 51), size=800)
+    user_id = np.concatenate([rows_big, rows_small]).astype(np.int64)
+    event_type = np.array(["view"] * len(rows_big) + ["buy"] * len(rows_small))
+    order = rng.permutation(len(user_id))
+    tbl = pa.table(
+        {
+            "event_type": pa.array(event_type[order]),
+            "user_id": pa.array(user_id[order], pa.int64()),
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(tbl, str(one / "events.parquet"))
+    pq.write_table(tbl, str(many / "events.parquet"), row_group_size=251)
+
+    got = hll_distinct_users_by_type(str(one)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{one}/events.parquet'")
+    want = con.execute(_HLL_SQL).df().astype(
+        {"n_users": np.int64, "hll_est": np.float64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    by_type = got.set_index("event_type")
+    assert by_type.loc["view", "n_users"] == len(np.unique(rows_big))
+    assert by_type.loc["view", "n_users"] > 1280  # raw-estimate branch
+    assert by_type.loc["buy", "n_users"] == 50  # linear-counting branch
+    rel_err = (got["hll_est"] - got["n_users"]).abs() / got["n_users"]
+    assert (rel_err <= 0.15).all(), rel_err.tolist()
+
+    split = hll_distinct_users_by_type(str(many)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, split)
+
+
+def test_bloom_false_positives_planted_vs_sim_and_sql(tmp_path):
+    """md5-twin Bloom: a planted orders/customer fixture sized so the
+    4096-bit filter has a ~4-5% false-positive rate must (a) match a
+    pure-Python Bloom simulation exactly, (b) match the DuckDB bit-array
+    recomputation, (c) contain NO true members (no false negatives leak
+    through: every member passes the filter and is then removed by the
+    exact verify), and (d) be invariant to input blocking (set bits are
+    mergeable ORs)."""
+    import hashlib
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        _BLOOM_FP_SQL,
+        bloom_false_positives_customers,
+    )
+
+    members = np.arange(1, 601, dtype=np.int64)  # 600 urgent custkeys
+    non_members = np.arange(10_000, 11_000, dtype=np.int64)  # 1000 probes
+    rng = np.random.RandomState(3)
+    # urgent orders cover every member (some repeated); noise rows are other priorities
+    o_cust = np.concatenate([members, rng.choice(members, 400)])
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(np.concatenate([o_cust, non_members[:200]]), pa.int64()),
+            "o_orderpriority": pa.array(
+                ["1-URGENT"] * len(o_cust) + ["3-MEDIUM"] * 200
+            ),
+        }
+    )
+    customer = pa.table(
+        {"c_custkey": pa.array(np.concatenate([members, non_members]), pa.int64())}
+    )
+
+    def md5l(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+    bits = {md5l(f"{k}#{i}") % 4096 for k in members for i in range(3)}
+    sim_fp = sorted(
+        int(k) for k in non_members
+        if all(md5l(f"{k}#{i}") % 4096 in bits for i in range(3))
+    )
+    assert len(sim_fp) >= 1  # fixture actually exercises the FP path
+
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(orders, str(one / "orders.parquet"))
+    pq.write_table(customer, str(one / "customer.parquet"))
+    pq.write_table(orders, str(many / "orders.parquet"), row_group_size=67)
+    pq.write_table(customer, str(many / "customer.parquet"), row_group_size=113)
+
+    got = bloom_false_positives_customers(str(one)).reset_index(drop=True)
+    assert got["c_custkey"].tolist() == sim_fp  # exact vs pure-Python Bloom
+    assert not set(got["c_custkey"]) & set(members)  # no member survives
+
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{one}/{t}.parquet'")
+    want = con.execute(_BLOOM_FP_SQL).df().astype({"c_custkey": np.int64}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    split = bloom_false_positives_customers(str(many)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, split)
