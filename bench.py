@@ -198,6 +198,10 @@ _QUERY_NAMES = [
     "bigram_pmi_documents",
     "event_transitions",
     "overlapping_order_windows",
+    "cms_part_counts",
+    "hll_distinct_users_by_type",
+    "bloom_false_positives_customers",
+    "token_kl_by_source",
 ]
 
 

@@ -7309,6 +7309,97 @@ ORDER BY c_custkey
 """
 
 
+def token_kl_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source distribution shift: KL(P_source || P_corpus) over the
+    global top-200 token vocabulary — the domain-mixing diagnostic a
+    training-data pipeline runs before weighting sources (a source whose
+    token distribution diverges from the corpus gets re-weighted or
+    flagged).  Both distributions renormalize over the shared vocab, so
+    q > 0 everywhere and absent source tokens contribute 0.
+    Distributed shape: (source, token) counts ride ONE bucketed exchange
+    bucketed on TOKEN alone (``bucketed_groupby`` with extra ``source``
+    rows riding along), so a token's global count is bucket-local; the
+    top-200 vocab comes from per-block local top-k (the full vocabulary
+    never reaches the driver — the ``zipf_slope`` idiom); only the
+    <= 200 x n_sources vocab slice hits the driver for the finalize.
+    Float determinism: every KL term is built from exact int counts with
+    the identical double formula on both engines — only the 200-term
+    summation order differs (~1e-15), absorbed by ROUND(6).  Tokenizes
+    with str.split() == list_filter(regexp_split_to_array) (the round-4
+    gram-oracle convention)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    K = 200
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs: list = []
+        toks: list = []
+        for s, t in zip(batch["source"], batch["text"]):
+            ws = (t or "").split()
+            toks.extend(ws)
+            srcs.extend([s] * len(ws))
+        df = pd.DataFrame({"tok": toks, "source": srcs})
+        return df.groupby(["tok", "source"], as_index=False, dropna=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["tok", "source"], as_index=False, dropna=False)["cnt"].sum()
+
+    counts = bucketed_groupby(docs.map_batches(explode, batch_format="pandas"),
+                              ["tok"], lambda b: b, merge, n_buckets=16).materialize()
+
+    def local_top(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("tok", as_index=False)["cnt"].sum().rename(columns={"cnt": "ct"})
+        return g.sort_values(["ct", "tok"], ascending=[False, True]).head(K)
+
+    vocab_df = (
+        counts.map_batches(local_top, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["ct", "tok"], ascending=[False, True])
+        .head(K)
+    )
+    vocab = set(vocab_df["tok"])  # 200 strings — rides the filter closure
+
+    slice_df = counts.map_batches(
+        lambda b: b[b["tok"].isin(vocab)], batch_format="pandas"
+    ).to_pandas()  # <= 200 x n_sources rows
+
+    ct = vocab_df.set_index("tok")["ct"].astype(np.int64)
+    tot = float(int(ct.sum()))
+    rows = []
+    for src, g in slice_df.groupby("source"):
+        st = float(int(g["cnt"].sum()))
+        p = g["cnt"].to_numpy(np.float64) / st
+        q = ct.loc[g["tok"]].to_numpy(np.float64) / tot
+        rows.append((src, np.int64(st), float((p * np.log(p / q)).sum())))
+    out = pd.DataFrame(rows, columns=["source", "vocab_tokens", "kl"])
+    out["kl"] = _r6(out["kl"])
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_TOKEN_KL_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT tok, SUM(cnt) AS ct FROM counts GROUP BY 1 ORDER BY ct DESC, tok LIMIT 200
+), vtot AS (SELECT SUM(ct) AS tot FROM vocab),
+vc AS (SELECT c.source, c.tok, c.cnt, v.ct FROM counts c JOIN vocab v USING (tok)),
+stot AS (SELECT source, SUM(cnt) AS st FROM vc GROUP BY 1)
+SELECT vc.source,
+       CAST(s.st AS BIGINT) AS vocab_tokens,
+       ROUND(SUM((vc.cnt::DOUBLE / s.st::DOUBLE)
+                 * ln((vc.cnt::DOUBLE / s.st::DOUBLE) / (vc.ct::DOUBLE / t.tot::DOUBLE))), 6) AS kl
+FROM vc JOIN stot s USING (source) CROSS JOIN vtot t
+GROUP BY 1, 2 ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7368,6 +7459,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),
+    "token_kl_by_source": (token_kl_by_source, _TOKEN_KL_SQL),
     "events_hourly_gapfilled": (events_hourly_gapfilled, _GAPFILL_SQL),
     "near_dup_clusters_documents": (near_dup_clusters_documents, None),
     "near_dup_clusters_exact": (near_dup_clusters_exact, _NEAR_DUP_CLUSTERS_EXACT_SQL),

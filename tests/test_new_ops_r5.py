@@ -976,3 +976,68 @@ def test_bloom_false_positives_planted_vs_sim_and_sql(tmp_path):
 
     split = bloom_false_positives_customers(str(many)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, split)
+
+
+def test_token_kl_by_source_planted_vs_pandas_and_sql(tmp_path):
+    """KL(P_source || P_corpus) over the top-200 vocab: a planted corpus
+    with one source drawn from the corpus-mix distribution (low KL), one
+    heavily skewed source (higher KL), must (a) match a pure-pandas
+    recomputation, (b) match the DuckDB twin byte-for-byte, and (c) be
+    invariant to input blocking (one token-bucketed exchange + local
+    top-k)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import _TOKEN_KL_SQL, token_kl_by_source
+
+    rng = np.random.RandomState(23)
+    vocab = [f"w{i:03d}" for i in range(50)]
+    probs_a = np.ones(50) / 50.0  # uniform
+    probs_b = np.zeros(50); probs_b[:5] = 0.2  # all mass on 5 tokens
+    texts, srcs = [], []
+    for _ in range(120):
+        texts.append(" ".join(rng.choice(vocab, size=40, p=probs_a)))
+        srcs.append("uniform")
+    for _ in range(120):
+        texts.append(" ".join(rng.choice(vocab, size=40, p=probs_b)))
+        srcs.append("skewed")
+    tbl = pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    one = tmp_path / "one"; many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(tbl, str(one / "documents.parquet"))
+    pq.write_table(tbl, str(many / "documents.parquet"), row_group_size=17)
+
+    got = token_kl_by_source(str(one)).reset_index(drop=True)
+
+    # pure-pandas reference (same top-200 vocab rule; 50 distinct tokens here)
+    rows = [(s, t) for s, txt in zip(srcs, texts) for t in txt.split()]
+    df = pd.DataFrame(rows, columns=["source", "tok"])
+    ctok = df.groupby("tok").size().sort_values(ascending=False)
+    v = set(ctok.head(200).index)
+    dfv = df[df["tok"].isin(v)]
+    tot = float(len(dfv))
+    q = dfv.groupby("tok").size() / tot
+    want_rows = []
+    for s, g in dfv.groupby("source"):
+        p = g.groupby("tok").size() / float(len(g))
+        want_rows.append((s, np.int64(len(g)),
+                          round(float((p * np.log(p / q.loc[p.index])).sum()), 6)))
+    want = pd.DataFrame(want_rows, columns=["source", "vocab_tokens", "kl"]) \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, atol=2e-6, rtol=0)
+
+    # both sources diverge from the 50/50 corpus mix; the 5-token source
+    # concentrates mass harder, so its KL is strictly larger
+    s = got.set_index("source")["kl"]
+    assert s["skewed"] > s["uniform"] > 0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{one}/documents.parquet'")
+    sql = con.execute(_TOKEN_KL_SQL).df().astype(
+        {"vocab_tokens": np.int64, "kl": np.float64}
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, sql)
+
+    split = token_kl_by_source(str(many)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, split)
