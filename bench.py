@@ -202,6 +202,7 @@ _QUERY_NAMES = [
     "hll_distinct_users_by_type",
     "bloom_false_positives_customers",
     "token_kl_by_source",
+    "tfidf_cosine_pairs_documents",
 ]
 
 

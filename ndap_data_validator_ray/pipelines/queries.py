@@ -7400,6 +7400,106 @@ GROUP BY 1, 2 ORDER BY source
 """
 
 
+def tfidf_cosine_pairs_documents(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF weighted cosine similarity self-join over char-8-gram
+    document vectors (``stages/setsim.weighted_cosine_join`` — the
+    weighted sibling of the exact AllPairs Jaccard join): all pairs with
+    cosine >= 0.5.  Char grams, not word tokens, because this corpus's
+    WORD vocabulary is 31 types at df ~400/500 — word tf-idf is
+    degenerate; 8-gram vocabulary is ~10k types at median df 4.  Terms
+    with df > 100 (or present in EVERY doc, idf = 0) are cut before
+    weighting — the df cut both bounds the inverted-index fanout
+    (sum over terms of C(df, 2)) and drops only ~idf-0 mass, the
+    standard sparse-similarity scale lever.  Fully distributed: df via
+    ``count_by_key``, idf attach via the guarded broadcast-or-join,
+    norms + pair partial products + global pair sums all bucketed
+    exchanges; only the thresholded pairs reach the driver.  Per-element
+    IEEE ops (tf * ln(n/df), w / sqrt(sum w^2), products) are exact SQL
+    twins; the SUMS are order-dependent, so both sides threshold the
+    ROUND(..., 6) value per the module convention."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+    from ndap_data_validator_ray.stages.setsim import weighted_cosine_join
+
+    K, DF_CAP, TAU, NB = 8, 100, 0.5, 16
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ["" if t is None else str(t) for t in batch["text"]]
+        ids = batch["doc_id"].to_numpy(np.int64)
+        grams: list[str] = []
+        counts: list[int] = []
+        for s in texts:
+            m = len(s) - K + 1
+            if m > 0:
+                grams.extend(s[i : i + K] for i in range(m))
+                counts.append(m)
+            else:
+                counts.append(0)
+        if not grams:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "tok": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype=np.int64),
+                }
+            )
+        codes, uniq = pd.factorize(np.asarray(grams, dtype=object))
+        uniq = np.asarray(uniq, dtype=object)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        width = np.int64(len(uniq))
+        packed, tf = np.unique(doc_idx * width + codes.astype(np.int64), return_counts=True)
+        return pd.DataFrame(
+            {
+                "doc_id": ids[packed // width],
+                "tok": uniq[packed % width],
+                "tf": tf.astype(np.int64),
+            }
+        )
+
+    tf = docs.map_batches(tf_rows, batch_format="pandas").materialize()
+    dfc = count_by_key(tf, ["tok"], n_buckets=NB, count_col="df")
+    dff = dfc.map_batches(
+        lambda b: b[(b["df"] <= DF_CAP) & (b["df"] < n_docs)], batch_format="pandas"
+    ).materialize()
+    weighted = attach_or_join(tf, dff, on_fact="tok", on_side="tok", attach_cols=["df"])
+
+    def weigh(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["tf"].to_numpy(np.float64) * np.log(float(n_docs) / b["df"].to_numpy(np.float64))
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(np.int64), "tok": b["tok"].to_numpy(), "w": w}
+        )
+
+    wrows = weighted.map_batches(weigh, batch_format="pandas")
+    return weighted_cosine_join(wrows, "doc_id", "tok", "w", threshold=TAU, n_buckets=NB)
+
+
+_TFIDF_COSINE_SQL = """
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+tf AS (
+  SELECT doc_id, g AS tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(list_transform(range(1, length(t) - 6), i -> substr(t, i, 8))) AS g
+    FROM d
+  ) GROUP BY doc_id, g
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+        HAVING COUNT(*) <= 100 AND COUNT(*) < (SELECT COUNT(*) FROM documents)),
+w AS (SELECT doc_id, tok,
+             CAST(tf AS DOUBLE) * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)) AS w
+      FROM tf JOIN dft USING (tok)),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nr FROM w GROUP BY doc_id),
+nw AS (SELECT w.doc_id, tok, w / nr AS nw FROM w JOIN nrm ON w.doc_id = nrm.doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND(SUM(a.nw * b.nw), 6) AS cosine
+  FROM nw a JOIN nw b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5 ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7451,6 +7551,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "order_chain_pagerank": (order_chain_pagerank, _PAGERANK_SQL),
     "order_skip_triangles": (order_skip_triangles, _TRIANGLES_SQL),
     "similar_orders_jaccard": (similar_orders_jaccard, _SETSIM_SQL),
+    "tfidf_cosine_pairs_documents": (tfidf_cosine_pairs_documents, _TFIDF_COSINE_SQL),
     "bigram_pmi_documents": (bigram_pmi_documents, _BIGRAM_PMI_SQL),
     "event_transitions": (event_transitions, _EVENT_TRANSITIONS_SQL),
     "overlapping_order_windows": (overlapping_order_windows, _OVERLAP_JOIN_SQL),

@@ -58,6 +58,7 @@ from ndap_data_validator_ray.stages.groupby import (
     bucketed_groupby,
     count_by_key,
     default_n_buckets,
+    sum_by_key,
 )
 
 _SEP = "\x1f"
@@ -227,3 +228,133 @@ def allpairs_jaccard_join(
     kept["id_a"] = kept["id_a"].astype(np.int64)
     kept["id_b"] = kept["id_b"].astype(np.int64)
     return kept.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def weighted_cosine_join(
+    rows: "ray.data.Dataset",
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    threshold: float,
+    n_buckets: int | None = None,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """Exact WEIGHTED cosine set-similarity self-join — the tf-idf sibling
+    of ``allpairs_jaccard_join`` (reference parity: the unweighted set
+    joins above; the weighting follows the classic sparse
+    document-similarity formulation, cf. Bayardo et al. WWW'07 §2).
+
+    ``rows``: exploded sparse vectors — one (id, token, weight) row per
+    nonzero coordinate, (id, token) UNIQUE, weights nonzero (a zero
+    weight contributes nothing to the dot product but would poison the
+    norm of an all-zero vector; callers drop such rows — the tf-idf
+    caller guarantees w > 0 by construction).  Returns
+    (id_a, id_b, cosine) pairs with ROUND(cosine, round_to) >=
+    ``threshold``, id_a < id_b, sorted.
+
+    Distributed shape (no driver state until the final thresholded pair
+    list, which is O(true matches)):
+
+    1. squared norms — ``sum_by_key(id)`` over w^2;
+    2. norms attach back via the guarded ``attach_or_join`` (broadcast
+       under the cap, bucketed hash join above) and each row normalizes
+       in place: nw = w / sqrt(||w||^2);
+    3. inverted-index exchange keyed by token: within one token's
+       posting list every id pair (``np.triu_indices``, no row loops)
+       emits a partial product nw_a * nw_b; partials PRE-SUM per
+       (id_a, id_b) inside the reducer before the next exchange;
+    4. global pair sum — ``sum_by_key((id_a, id_b))`` — then a
+       distributed threshold filter on the ROUNDED value; only
+       qualifying pairs reach the driver.
+
+    Scale posture: step-3 fanout is sum over tokens of C(df, 2) — the
+    caller bounds it with a document-frequency cut (high-df tokens carry
+    ~zero idf weight anyway), the same lever AllPairs' prefix filter
+    automates for the unweighted case.  Cosine is a float SUM whose
+    order differs between engine and any oracle — compare ROUNDED values
+    (the queries-module convention); per-element products are IEEE-exact
+    twins.
+    """
+    nb = n_buckets or default_n_buckets()
+
+    def sq(b: pd.DataFrame) -> pd.DataFrame:
+        w = b[weight_col].to_numpy(np.float64)
+        return pd.DataFrame({"id": b[id_col].to_numpy(np.int64), "_w2": w * w})
+
+    norms = sum_by_key(
+        rows.map_batches(sq, batch_format="pandas"), ["id"], ["_w2"], n_buckets=nb
+    ).materialize()
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        # the fact side was renamed id_col -> "id" before the attach
+        return pd.DataFrame(
+            {
+                "tok": b[token_col].astype(str).to_numpy(),
+                "id": b["id"].to_numpy(np.int64),
+                "_nw": b[weight_col].to_numpy(np.float64) / np.sqrt(b["_w2"].to_numpy(np.float64)),
+            }
+        )
+
+    renamed = rows.map_batches(
+        lambda b: b.rename(columns={id_col: "id"}) if id_col != "id" else b,
+        batch_format="pandas",
+    )
+    normalized = attach_or_join(renamed, norms, on_fact="id", on_side="id", attach_cols=["_w2"])
+    posting = normalized.map_batches(slim, batch_format="pandas")
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "id"], kind="stable")
+        ids = g["id"].to_numpy(np.int64)
+        nw = g["_nw"].to_numpy(np.float64)
+        codes = pd.factorize(g["tok"].to_numpy())[0]
+        sizes = np.bincount(codes)
+        starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+        out_a, out_b, out_p = [], [], []
+        for s, n in zip(starts, sizes):
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(int(n), 1)
+            out_a.append(ids[s + ia])
+            out_b.append(ids[s + ib])
+            out_p.append(nw[s + ia] * nw[s + ib])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "p": pd.Series([], dtype=np.float64),
+                }
+            )
+        part = pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "p": np.concatenate(out_p),
+            }
+        )
+        return part.groupby(["id_a", "id_b"], as_index=False)["p"].sum()
+
+    partials = bucketed_groupby(posting, ["tok"], lambda b: b, pair_partials, n_buckets=nb)
+    totals = sum_by_key(partials, ["id_a", "id_b"], ["p"], n_buckets=nb)
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["p"].to_numpy(np.float64), round_to)
+        m = c >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": b["id_a"].to_numpy(np.int64)[m],
+                "id_b": b["id_b"].to_numpy(np.int64)[m],
+                "cosine": c[m],
+            }
+        )
+
+    out = totals.map_batches(keep, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype=np.int64),
+                "id_b": pd.Series([], dtype=np.int64),
+                "cosine": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

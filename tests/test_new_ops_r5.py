@@ -1041,3 +1041,85 @@ def test_token_kl_by_source_planted_vs_pandas_and_sql(tmp_path):
 
     split = token_kl_by_source(str(many)).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, split)
+
+
+def test_tfidf_cosine_pairs_planted_both_paths(tmp_path, monkeypatch):
+    """weighted_cosine_join end-to-end through the tfidf query: a planted
+    corpus (exact dup pair, a partial overlap, an unrelated doc, a null,
+    a sub-gram-length doc) must match a local numpy brute force of the
+    same formula, stay invariant to Ray blocking, and produce identical
+    rows when the broadcast cap is zeroed (every attach takes the
+    bucketed-join path — the 100 TB configuration)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ndap_data_validator_ray.stages.broadcast as br
+    from ndap_data_validator_ray.pipelines.queries import tfidf_cosine_pairs_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun light"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "streaming arrow batches through an object store with backpressure"
+    )
+    texts = [base, base, base[: len(base) // 2] + other[: len(other) // 2],
+             other, None, "tiny"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir()
+    many.mkdir()
+    pq.write_table(tbl, str(one / "documents.parquet"))
+    pq.write_table(tbl, str(many / "documents.parquet"), row_group_size=2)
+
+    # local brute force of the exact formula (k=8 grams, df<=100 & df<n,
+    # w = tf * ln(n/df), cosine of normalized vectors, round 6, tau 0.5)
+    n = len(texts)
+    K = 8
+    tfs = []
+    for t in texts:
+        s = t or ""
+        grams = [s[i : i + K] for i in range(len(s) - K + 1)]
+        cnt: dict = {}
+        for g in grams:
+            cnt[g] = cnt.get(g, 0) + 1
+        tfs.append(cnt)
+    df: dict = {}
+    for cnt in tfs:
+        for g in cnt:
+            df[g] = df.get(g, 0) + 1
+    vecs = []
+    for cnt in tfs:
+        w = {g: c * math.log(n / df[g]) for g, c in cnt.items() if df[g] <= 100 and df[g] < n}
+        nr = math.sqrt(sum(v * v for v in w.values()))
+        vecs.append({g: v / nr for g, v in w.items()} if nr else {})
+    want = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            c = sum(vecs[a][g] * vecs[b].get(g, 0.0) for g in vecs[a])
+            if round(c, 6) >= 0.5:
+                want.append((a, b, round(c, 6)))
+    expected = pd.DataFrame(want, columns=["id_a", "id_b", "cosine"])
+    assert (0, 1) in {(r[0], r[1]) for r in want}  # the exact dup pair
+    assert len(want) < (n * (n - 1)) // 2  # and NOT everything
+
+    got = tfidf_cosine_pairs_documents(str(one))
+    pd.testing.assert_frame_equal(
+        got, expected.astype({"id_a": np.int64, "id_b": np.int64}), atol=1e-9
+    )
+
+    split = tfidf_cosine_pairs_documents(str(many))
+    pd.testing.assert_frame_equal(got, split)
+
+    monkeypatch.setattr(br, "DEFAULT_BROADCAST_CAP", 0)
+    joined = tfidf_cosine_pairs_documents(str(one))
+    pd.testing.assert_frame_equal(got, joined)
