@@ -203,6 +203,7 @@ _QUERY_NAMES = [
     "bloom_false_positives_customers",
     "token_kl_by_source",
     "tfidf_cosine_pairs_documents",
+    "order_skip_clustering_coeff",
 ]
 
 

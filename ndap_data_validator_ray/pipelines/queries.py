@@ -6617,8 +6617,16 @@ def order_skip_triangles(sf_dir: str) -> pd.DataFrame:
     windows and recounts triangles with the generic 3-way edge self-join
     — a structural oracle for the whole wedge/closure machinery, not a
     closed-form shortcut."""
-    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
     from ndap_data_validator_ray.stages.triangles import distributed_triangle_counts
+
+    return distributed_triangle_counts(_order_skip_edges(sf_dir))
+
+
+def _order_skip_edges(sf_dir: str) -> "ray.data.Dataset":
+    """The shared order-skip graph: per customer, orders sorted by key
+    with edges to the next AND next-next order (one bucketed exchange on
+    customer; every consecutive triple is a triangle)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
@@ -6637,8 +6645,82 @@ def order_skip_triangles(sf_dir: str) -> pd.DataFrame:
             )
         return pd.concat(frames, ignore_index=True)
 
-    edges = bucketed_groupby(orders, ["o_custkey"], lambda b: b, skip_edges).materialize()
-    return distributed_triangle_counts(edges)
+    return bucketed_groupby(orders, ["o_custkey"], lambda b: b, skip_edges).materialize()
+
+
+def order_skip_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient c(v) = 2*T(v) / (deg(v) * (deg(v)-1))
+    over the order-skip graph — the graph-quality metric the triangle
+    counts are the numerator of (community density / link-spam signal on
+    web graphs).  Distributed shape: triangle counts via the
+    degree-oriented node-iterator (``stages/triangles.py``), degrees via
+    the canonical-edge dedup exchange + ``count_by_key`` on exploded
+    endpoints; both folds are O(nodes) — the same size class the
+    triangle query already returns — and merge on the driver (LEFT:
+    deg>=2 nodes without triangles keep c = 0).  The division is exact
+    int-to-float on both sides; no order-dependent float sums anywhere."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+    from ndap_data_validator_ray.stages.triangles import (
+        _canonical_distinct_edges,
+        distributed_triangle_counts,
+    )
+
+    edges = _order_skip_edges(sf_dir)
+    tri = distributed_triangle_counts(edges)
+    canon = _canonical_distinct_edges(edges, "id_a", "id_b", 16)
+    ends = canon.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": np.concatenate([b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)])}
+        ),
+        batch_format="pandas",
+    )
+    deg = count_by_key(ends, ["node"], n_buckets=16, count_col="degree").to_pandas()
+    out = deg.merge(tri, on="node", how="left")
+    out["triangles"] = out["triangles"].fillna(0).astype(np.int64)
+    out = out[out["degree"] >= 2].copy()
+    d = out["degree"].to_numpy(np.float64)
+    t = out["triangles"].to_numpy(np.float64)
+    out["coeff"] = _r6((2.0 * t) / (d * (d - 1.0)))
+    out["degree"] = out["degree"].astype(np.int64)
+    out["node"] = out["node"].astype(np.int64)
+    return out.sort_values("node").reset_index(drop=True)[
+        ["node", "degree", "triangles", "coeff"]
+    ]
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH seq AS (
+  SELECT o_orderkey AS k,
+         LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS k1,
+         LEAD(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS k2
+  FROM orders
+), raw AS (
+  SELECT k AS u, k1 AS v FROM seq WHERE k1 IS NOT NULL
+  UNION ALL
+  SELECT k AS u, k2 AS v FROM seq WHERE k2 IS NOT NULL
+), e AS (
+  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v FROM raw
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), tcnt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+       ROUND((2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE))
+             / (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0)), 6) AS coeff
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.degree >= 2 ORDER BY d.node
+"""
 
 
 _TRIANGLES_SQL = """
@@ -7550,6 +7632,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "order_chain_components": (order_chain_components, _ORDER_CHAIN_CC_SQL),
     "order_chain_pagerank": (order_chain_pagerank, _PAGERANK_SQL),
     "order_skip_triangles": (order_skip_triangles, _TRIANGLES_SQL),
+    "order_skip_clustering_coeff": (order_skip_clustering_coeff, _CLUSTERING_COEFF_SQL),
     "similar_orders_jaccard": (similar_orders_jaccard, _SETSIM_SQL),
     "tfidf_cosine_pairs_documents": (tfidf_cosine_pairs_documents, _TFIDF_COSINE_SQL),
     "bigram_pmi_documents": (bigram_pmi_documents, _BIGRAM_PMI_SQL),

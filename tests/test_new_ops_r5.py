@@ -1123,3 +1123,34 @@ def test_tfidf_cosine_pairs_planted_both_paths(tmp_path, monkeypatch):
     monkeypatch.setattr(br, "DEFAULT_BROADCAST_CAP", 0)
     joined = tfidf_cosine_pairs_documents(str(one))
     pd.testing.assert_frame_equal(got, joined)
+
+
+def test_clustering_coeff_planted(tmp_path):
+    """Hand-checkable skip graph: one customer with orders 1..4 gives
+    edges {12,23,34,13,24} — a 4-path with two chords.  Degrees
+    (1:2, 2:3, 3:3, 4:2); triangles (123) and (234) touch (1:1, 2:2,
+    3:2, 4:1).  Coefficients: 1 -> 1.0, 2 -> 2/3, 3 -> 2/3, 4 -> 1.0.
+    A second customer with two orders (one edge, both deg 1) must be
+    excluded entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import order_skip_clustering_coeff
+
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 10, 11], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    got = order_skip_clustering_coeff(str(tmp_path))
+    expected = pd.DataFrame(
+        {
+            "node": np.array([1, 2, 3, 4], dtype=np.int64),
+            "degree": np.array([2, 3, 3, 2], dtype=np.int64),
+            "triangles": np.array([1, 2, 2, 1], dtype=np.int64),
+            "coeff": np.round([1.0, 2 / 3, 2 / 3, 1.0], 6),
+        }
+    )
+    pd.testing.assert_frame_equal(got, expected)
