@@ -204,6 +204,7 @@ _QUERY_NAMES = [
     "token_kl_by_source",
     "tfidf_cosine_pairs_documents",
     "order_skip_clustering_coeff",
+    "knn_hard_negatives",
 ]
 
 

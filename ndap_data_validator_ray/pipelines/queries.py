@@ -912,6 +912,50 @@ ORDER BY query_id, rank
 """
 
 
+def knn_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining — for each of the first 5 vectors, the exact
+    cosine top-10 among vectors with a DIFFERENT ``label`` (contrastive /
+    retriever training's negative-sampling stage; the query row excludes
+    itself via its own label).  Same actor-pool broadcast-matmul shape as
+    ``knn_embeddings`` with a per-query label mask applied before the
+    local top-k; emits ranks only, so float summation order can't flip
+    the value hash."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk
+
+    small = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        .map_batches(lambda b: b[b["vec_id"] < 5], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = small["vec_id"].to_numpy(np.int64)
+    qmat = np.vstack(small["embedding"].to_numpy()).astype(np.float64)
+    qlabels = small["label"].to_numpy()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    out = brute_force_topk(
+        ds, qids, qmat, k=10, concurrency=2, label_col="label", query_labels=qlabels
+    )
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+_HARD_NEG_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q JOIN embeddings e ON e.label <> q.ql
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
 def knn_embeddings_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate top-k (rows-only; recall-vs-cost variant)."""
     from ndap_data_validator_ray.stages.similarity import lsh_topk
@@ -7626,6 +7670,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "ngram_jaccard_documents": (ngram_jaccard_documents, None),
     "ngram_jaccard_exact_documents": (ngram_jaccard_exact_documents, _NGRAM_EXACT_SQL),
     "knn_embeddings": (knn_embeddings, _KNN_SQL),
+    "knn_hard_negatives": (knn_hard_negatives, _HARD_NEG_SQL),
     "knn_embeddings_lsh": (knn_embeddings_lsh, None),
     "knn_embeddings_ivf": (knn_embeddings_ivf, None),
     "knn_embeddings_ivf_indexed": (knn_embeddings_ivf_indexed, None),

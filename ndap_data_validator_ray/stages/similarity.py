@@ -35,25 +35,34 @@ class BruteForceScorer:
     """Actor stage: fetch the broadcast query matrix ONCE in __init__,
     emit per-batch local top-k (query_id, vec_id, sim) partials."""
 
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int, label_col: str | None = None):
         q = ray.get(queries_ref)  # broadcast: one object-store read per actor
         self.q_ids = q["ids"]
         self.q_mat = _normalize(q["matrix"])
+        self.q_labels = q.get("labels")  # per-query exclusion label (hard negatives)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.label_col = label_col
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_batch_matrix(batch, self.vec_col))
         sims = m @ self.q_mat.T  # (n_batch, n_queries)
         ids = batch[self.id_col].to_numpy()
+        labels = batch[self.label_col].to_numpy() if self.label_col is not None else None
         k = min(self.k, len(ids))
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.q_ids):
             # deterministic local top-k on the composite (sim desc, id asc):
             # exact-duplicate embeddings tying at the k-th similarity keep
             # the lowest ids, matching the driver merge / SQL tie-break
-            rows = np.lexsort((ids, -sims[:, qi]))[:k]
+            if labels is not None:
+                sel = np.flatnonzero(labels != self.q_labels[qi])
+                if not len(sel):
+                    continue
+                rows = sel[np.lexsort((ids[sel], -sims[sel, qi]))[:k]]
+            else:
+                rows = np.lexsort((ids, -sims[:, qi]))[:k]
             for r in rows:
                 out_q.append(qid)
                 out_v.append(ids[r])
@@ -69,14 +78,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
     concurrency: int | tuple = 4,
+    label_col: str | None = None,
+    query_labels: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact cosine top-k of every query against the whole dataset.
     Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
-    neighbor_id for determinism."""
-    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)})
+    neighbor_id for determinism.  With ``label_col``/``query_labels``,
+    rows sharing a query's label are EXCLUDED from that query's top-k —
+    hard-negative mining (most-similar different-label items; the query
+    row itself is excluded by its own label)."""
+    payload = {"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
+    if query_labels is not None:
+        payload["labels"] = np.asarray(query_labels)
+    ref = ray.put(payload)
     partials = ds.map_batches(
         BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k, label_col=label_col),
         batch_format="pandas",
         concurrency=concurrency,
     ).to_pandas()

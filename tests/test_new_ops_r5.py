@@ -1154,3 +1154,45 @@ def test_clustering_coeff_planted(tmp_path):
         }
     )
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_knn_hard_negatives_planted(tmp_path):
+    """Planted two-cluster fixture: queries sit in cluster A (label 0);
+    the nearest DIFFERENT-label vectors are the planted B vectors even
+    though same-label A vectors are far more similar — every returned
+    neighbor must carry another label, self never appears, and the top
+    negative is the B vector tilted toward A."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import knn_hard_negatives
+
+    rng = np.random.default_rng(3)
+    a_dir = np.array([1.0, 0.0, 0.0, 0.0])
+    b_dir = np.array([0.0, 1.0, 0.0, 0.0])
+    vecs, labels = [], []
+    for i in range(20):  # label 0 cluster, tight around a_dir
+        vecs.append(a_dir + 0.01 * rng.standard_normal(4))
+        labels.append(0)
+    # label-1 vectors: one tilted 30% toward A (the expected top negative),
+    # the rest orthogonal-ish
+    tilted = 0.7 * b_dir + 0.3 * a_dir
+    for i, v in enumerate([tilted] + [b_dir + 0.01 * rng.standard_normal(4) for _ in range(14)]):
+        vecs.append(v)
+        labels.append(1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = knn_hard_negatives(str(tmp_path))
+    assert set(out["query_id"]) == {0, 1, 2, 3, 4}
+    lbl = dict(zip(range(len(labels)), labels))
+    for q, g in out.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, 11))
+        assert all(lbl[n] == 1 for n in g["neighbor_id"]), "same-label leak"
+        assert int(g[g["rank"] == 1]["neighbor_id"].iloc[0]) == 20  # the tilted B vector
