@@ -97,6 +97,17 @@ def clips_violation_counts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"check": [k for k, _ in items], "n_violations": [int(v) for _, v in items]})
 
 
+def clips_audio_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact audio-content duplicate groups (decoded-PCM md5) of the same
+    synthesized clips table the flagship validates — finds the injected
+    hot-dup copies and id-duplicate rows by CONTENT, not metadata.
+    Rows-only: the fingerprint space is engine-defined (no SQL audio
+    decode); parity vs a single-process brute force is pinned by tests."""
+    from ndap_data_validator_ray.pipelines.audio_dedup import audio_dup_groups
+
+    return audio_dup_groups(_clips_dir(_clips_rows_for(sf_dir)))
+
+
 def role_validation_lineitem(sf_dir: str) -> pd.DataFrame:
     """Reference-parity role validation applied to lineitem (rows-only:
     report shape is the reference's, not a SQL result)."""
@@ -145,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["clips_validation_report"] = clips_validation_report
     out["clips_violation_rows"] = clips_violation_rows
     out["clips_violation_counts"] = clips_violation_counts
+    out["clips_audio_dedup"] = clips_audio_dedup
     out["role_validation_lineitem"] = role_validation_lineitem
     return out
 

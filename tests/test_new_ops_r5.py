@@ -1196,3 +1196,59 @@ def test_knn_hard_negatives_planted(tmp_path):
         assert list(g["rank"]) == list(range(1, 11))
         assert all(lbl[n] == 1 for n in g["neighbor_id"]), "same-label leak"
         assert int(g[g["rank"] == 1]["neighbor_id"].iloc[0]) == 20  # the tilted B vector
+
+
+def test_audio_dedup_vs_brute_force(tmp_path):
+    """audio_dup_groups must equal a single-process brute force over the
+    same clips table: decode every blob, md5 the (sr, pcm) content, group
+    locally.  The synth injects hot-dup copies (guaranteed content-equal),
+    id-dup rows, and corrupt blobs (counted, never silently dropped)."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    from ndap_data_validator_ray.functions import audio_codec as ac
+    from ndap_data_validator_ray.pipelines.audio_dedup import audio_dup_groups
+    from ndap_data_validator_ray.sources.synthetic import (
+        ClipTableSpec,
+        clip_files,
+        write_clips_dataset,
+    )
+
+    spec = ClipTableSpec(n_rows=300, n_files=4, hot_dup_copies=7)
+    write_clips_dataset(str(tmp_path), spec)
+
+    tbl = pads.dataset(clip_files(str(tmp_path)), format="parquet").to_table()
+    fps: dict = {}
+    n_undec = 0
+    for cid, blob in zip(tbl["clip_id"].to_pylist(), tbl["bytes"].to_pylist()):
+        if blob is None:
+            n_undec += 1
+            continue
+        try:
+            _c, sr, pcm = ac.decode(bytes(blob))
+        except ac.AudioDecodeError:
+            n_undec += 1
+            continue
+        fp = hashlib.md5(np.int64(sr).tobytes() + pcm.tobytes()).hexdigest()
+        fps.setdefault(fp, []).append(cid)
+    want = sorted(
+        (min(ids), len(ids), len(set(ids)), fp)
+        for fp, ids in fps.items()
+        if len(ids) > 1
+    )
+    expected = pd.DataFrame(
+        want, columns=["rep_clip_id", "n_copies", "n_clip_ids", "fp"]
+    )[["fp", "rep_clip_id", "n_copies", "n_clip_ids"]]
+    expected["n_copies"] = expected["n_copies"].astype(np.int64)
+    expected["n_clip_ids"] = expected["n_clip_ids"].astype(np.int64)
+
+    stats: dict = {}
+    got = audio_dup_groups(str(tmp_path), stats=stats)
+    pd.testing.assert_frame_equal(got, expected)
+    assert stats["n_undecodable"] == n_undec
+    assert stats["n_rows"] == tbl.num_rows
+    # the hot clip-0 group is present with all its copies
+    hot = got[got["rep_clip_id"] == "clip-000000000000"]
+    assert len(hot) == 1 and int(hot["n_copies"].iloc[0]) >= 8
+    assert stats["n_dup_rows"] == int((got["n_copies"] - 1).sum()) > 0
