@@ -108,6 +108,16 @@ def clips_audio_dedup(sf_dir: str) -> pd.DataFrame:
     return audio_dup_groups(_clips_dir(_clips_rows_for(sf_dir)))
 
 
+def clips_audio_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Audio NEAR-dup clusters (codec-robust spectral fingerprints + the
+    embedding LSH machinery): collapses re-encodes of the same signal the
+    exact PCM dedup keeps apart.  Rows-only; cross-codec collapse and
+    silence grouping pinned by tests."""
+    from ndap_data_validator_ray.pipelines.audio_dedup import audio_near_dup_groups
+
+    return audio_near_dup_groups(_clips_dir(_clips_rows_for(sf_dir)))
+
+
 def role_validation_lineitem(sf_dir: str) -> pd.DataFrame:
     """Reference-parity role validation applied to lineitem (rows-only:
     report shape is the reference's, not a SQL result)."""
@@ -157,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["clips_violation_rows"] = clips_violation_rows
     out["clips_violation_counts"] = clips_violation_counts
     out["clips_audio_dedup"] = clips_audio_dedup
+    out["clips_audio_near_dup"] = clips_audio_near_dup
     out["role_validation_lineitem"] = role_validation_lineitem
     return out
 

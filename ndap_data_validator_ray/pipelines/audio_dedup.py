@@ -125,3 +125,95 @@ def audio_dup_groups(
         stats["n_undecodable"] = n_undecodable
         stats["n_dup_rows"] = int((groups["n_copies"] - 1).sum())
     return groups
+
+
+def _spectral_fingerprint(
+    pcm: np.ndarray, sr_hz: int, n_bands: int = 64, fmax: float = 4000.0
+) -> np.ndarray:
+    """Codec-robust content signature: band-pooled magnitude spectrum of
+    the whole clip (band edges in Hz, so the declared sample rate — not
+    the sample count — fixes the geometry).  Lossy companding (ulaw/alaw/
+    fake-opus) perturbs each band by its quantization-noise floor only, so
+    re-encodes of the same signal keep cosine ~0.999+ while distinct
+    two-tone synth clips concentrate energy in different bands.  A clip
+    with no measurable energy (injected silence) maps to the constant
+    vector — silences group with silences, never with content."""
+    if len(pcm) == 0:
+        return np.ones(n_bands, dtype=np.float64)
+    spec = np.abs(np.fft.rfft(pcm))
+    freqs = np.fft.rfftfreq(len(pcm), 1.0 / float(sr_hz))
+    hi = min(fmax, sr_hz / 2.0)
+    edges = np.linspace(0.0, hi, n_bands + 1)
+    idx = np.searchsorted(edges, freqs, side="right") - 1
+    valid = (idx >= 0) & (idx < n_bands)
+    e = np.zeros(n_bands, dtype=np.float64)
+    np.add.at(e, idx[valid], spec[valid] ** 2)
+    v = np.sqrt(e)
+    if not np.any(v > 1e-9):
+        return np.ones(n_bands, dtype=np.float64)
+    return v
+
+
+def audio_near_dup_groups(
+    data_dir: str,
+    threshold: float = 0.995,
+    n_bands: int = 64,
+    stats: dict | None = None,
+) -> pd.DataFrame:
+    """Audio near-duplicate clusters: the SAME signal re-encoded under a
+    different (lossy) codec collapses here even though the exact
+    decoded-PCM dedup above correctly keeps it apart.  Shape: decode +
+    spectral fingerprint per clip (task map_batches; the blob and PCM die
+    in the task, only a ``n_bands``-float vector ships), then the
+    embedding near-dup LSH machinery verbatim
+    (``stages/similarity.embedding_near_duplicates``: hyperplane-signature
+    buckets, in-bucket vectorized cosine verify, over-cap sub-bucketing
+    surfaced via ``stats``), then driver union-find over the O(matches)
+    pair list.  Returns (clip_id, cluster_id = min member) for every
+    member of a cluster with >= 2 clips, sorted."""
+    from ndap_data_validator_ray.sources.synthetic import clip_files
+    from ndap_data_validator_ray.stages.dedup_near import connected_components
+    from ndap_data_validator_ray.stages.similarity import embedding_near_duplicates
+
+    files = clip_files(data_dir)
+    ds = ray.data.read_parquet(files, columns=["clip_id", "bytes", "sr_hz"])
+
+    def featurize(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["clip_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        out_id, out_env = [], []
+        for cid, blob in zip(ids, blobs):
+            if blob is None:
+                continue
+            try:
+                _codec, sr, pcm = ac.decode(bytes(blob))
+            except ac.AudioDecodeError:
+                continue
+            out_id.append(cid)
+            out_env.append(_spectral_fingerprint(pcm, sr, n_bands=n_bands))
+        if not out_id:
+            return pd.DataFrame(
+                {"clip_id": pd.Series([], dtype=object), "env": pd.Series([], dtype=object)}
+            )
+        return pd.DataFrame({"clip_id": out_id, "env": out_env})
+
+    feats = ds.map_batches(featurize, batch_format="pyarrow").materialize()
+    if stats is not None:
+        # undecodable = input rows minus featurized rows (block-layout safe)
+        stats["n_undecodable"] = int(ds.count()) - int(feats.count())
+
+    pairs = embedding_near_duplicates(
+        feats,
+        id_col="clip_id",
+        vec_col="env",
+        threshold=threshold,
+        concurrency=2,
+        stats=stats,
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {"clip_id": pd.Series([], dtype=object), "cluster_id": pd.Series([], dtype=object)}
+        )
+    comp = connected_components(pairs)
+    comp = comp.rename(columns={"doc_id": "clip_id"})
+    return comp.sort_values(["cluster_id", "clip_id"]).reset_index(drop=True)

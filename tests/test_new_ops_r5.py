@@ -1252,3 +1252,62 @@ def test_audio_dedup_vs_brute_force(tmp_path):
     hot = got[got["rep_clip_id"] == "clip-000000000000"]
     assert len(hot) == 1 and int(hot["n_copies"].iloc[0]) >= 8
     assert stats["n_dup_rows"] == int((got["n_copies"] - 1).sum()) > 0
+
+
+def test_audio_near_dup_cross_codec(tmp_path):
+    """The spectral-fingerprint near-dup must collapse the SAME signal
+    re-encoded under pcm16/ulaw/alaw (which the exact decoded-PCM dedup
+    correctly keeps apart), group injected silences together, and leave
+    distinct signals alone; corrupt blobs are counted, never clustered."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.functions import audio_codec as ac
+    from ndap_data_validator_ray.pipelines.audio_dedup import (
+        audio_dup_groups,
+        audio_near_dup_groups,
+    )
+    from ndap_data_validator_ray.sources.synthetic import CLIP_SCHEMA
+
+    sr = 16000
+    sig_a = ac.synth_pcm(0, sr, sr)
+    sig_b = ac.synth_pcm(1, sr, sr)
+    sig_c = ac.synth_pcm(2, sr, sr)
+    silent = np.zeros(sr, dtype=np.float64)
+    rows = [
+        ("a-pcm", ac.encode(sig_a, sr, "pcm_s16le"), "pcm_s16le"),
+        ("a-ulaw", ac.encode(sig_a, sr, "ulaw"), "ulaw"),
+        ("a-alaw", ac.encode(sig_a, sr, "alaw"), "alaw"),
+        ("b", ac.encode(sig_b, sr, "pcm_s16le"), "pcm_s16le"),
+        ("c", ac.encode(sig_c, sr, "pcm_s16le"), "pcm_s16le"),
+        ("bad", b"not audio at all", "pcm_s16le"),
+        ("sil1", ac.encode(silent, sr, "pcm_s16le"), "pcm_s16le"),
+        ("sil2", ac.encode(silent, sr, "pcm_s16le"), "pcm_s16le"),
+    ]
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([r[0] for r in rows], pa.string()),
+            "bytes": pa.array([r[1] for r in rows], pa.binary()),
+            "sr_hz": pa.array([sr] * len(rows), pa.int32()),
+            "dur_ms": pa.array([1000] * len(rows), pa.int32()),
+            "codec": pa.array([r[2] for r in rows], pa.string()),
+            "transcript": pa.array(["t"] * len(rows), pa.string()),
+        },
+        schema=CLIP_SCHEMA,
+    )
+    pq.write_table(tbl, str(tmp_path / "part-00000.parquet"))
+
+    stats: dict = {}
+    near = audio_near_dup_groups(str(tmp_path), stats=stats)
+    clusters = near.groupby("cluster_id")["clip_id"].apply(sorted).to_dict()
+    assert sorted(clusters.get("a-alaw", [])) == ["a-alaw", "a-pcm", "a-ulaw"]
+    assert sorted(clusters.get("sil1", [])) == ["sil1", "sil2"]
+    assert len(clusters) == 2, clusters  # b and c stay singletons
+    assert stats["n_undecodable"] == 1
+
+    # the EXACT dedup keeps codec variants apart but catches the silences
+    exact_stats: dict = {}
+    exact = audio_dup_groups(str(tmp_path), stats=exact_stats)
+    assert list(exact["rep_clip_id"]) == ["sil1"]
+    assert int(exact["n_copies"].iloc[0]) == 2
+    assert exact_stats["n_undecodable"] == 1
