@@ -205,6 +205,7 @@ _QUERY_NAMES = [
     "tfidf_cosine_pairs_documents",
     "order_skip_clustering_coeff",
     "knn_hard_negatives",
+    "cusum_daily_revenue",
 ]
 
 

@@ -7526,6 +7526,85 @@ GROUP BY 1, 2 ORDER BY source
 """
 
 
+def cusum_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint scan over the daily order-revenue series — the
+    sequential drift-LOCALIZATION op next to the global drift tests
+    (KS / PSI): s_i = max(0, s_{i-1} + x_i - k), alarm when s > 5k.
+    Distributed shape: daily sums are per-batch Arrow partials folded on
+    the driver (the low-cardinality ~2.4k-day rule); the O(days)
+    recurrence runs on the driver — a per-KEY CUSUM over a high-card key
+    would instead ride a bucketed exchange with per-key vectorized scans
+    (the sessionization shape).  Everything is EXACT integer cents
+    (round(price*100) per row, integer sums, k = total // n_days), so
+    the inherently ORDER-FIXED recurrence is bit-identical to the SQL
+    twin — a recursive CTE replays it verbatim, making this genuinely
+    sequential op fully value-oracled."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_orderdate", "o_totalprice"])
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"day": d, "cents": cents}).groupby("day", as_index=False)[
+            "cents"
+        ].sum()
+
+    daily = (
+        sum_by_key(
+            orders.map_batches(day_partial, batch_format="pandas"),
+            ["day"],
+            ["cents"],
+            n_buckets=32,
+            partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["cents"].to_numpy(np.int64)
+    n = len(x)
+    k = int(x.sum()) // n
+    s = np.zeros(n, dtype=np.int64)
+    run = 0
+    for i in range(n):
+        run = max(0, run + int(x[i]) - k)
+        s[i] = run
+    return pd.DataFrame(
+        {
+            "day": daily["day"].to_numpy(np.int64),
+            "revenue": _r2(x / 100.0),
+            "cusum": _r2(s / 100.0),
+            "alarm": s > 5 * k,
+        }
+    )
+
+
+_CUSUM_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+p AS (SELECT SUM(cents) // COUNT(*) AS k FROM idx),
+c AS (
+  SELECT i, GREATEST(CAST(0 AS BIGINT), cents - (SELECT k FROM p)) AS s
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i, GREATEST(CAST(0 AS BIGINT), c.s + idx.cents - (SELECT k FROM p))
+  FROM c JOIN idx ON idx.i = c.i + 1
+)
+SELECT CAST(idx.day AS BIGINT) AS day,
+       ROUND(CAST(idx.cents AS DOUBLE) / 100, 2) AS revenue,
+       ROUND(CAST(c.s AS DOUBLE) / 100, 2) AS cusum,
+       c.s > 5 * (SELECT k FROM p) AS alarm
+FROM idx JOIN c USING (i) ORDER BY day
+"""
+
+
 def tfidf_cosine_pairs_documents(sf_dir: str) -> pd.DataFrame:
     """TF-IDF weighted cosine similarity self-join over char-8-gram
     document vectors (``stages/setsim.weighted_cosine_join`` — the
@@ -7685,6 +7764,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "overlapping_order_windows": (overlapping_order_windows, _OVERLAP_JOIN_SQL),
     "customer_order_p90": (customer_order_p90, _CUSTOMER_P90_SQL),
     "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
+    "cusum_daily_revenue": (cusum_daily_revenue, _CUSUM_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),

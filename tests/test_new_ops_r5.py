@@ -1311,3 +1311,40 @@ def test_audio_near_dup_cross_codec(tmp_path):
     assert list(exact["rep_clip_id"]) == ["sil1"]
     assert int(exact["n_copies"].iloc[0]) == 2
     assert exact_stats["n_undecodable"] == 1
+
+
+def test_cusum_daily_revenue_planted_shift(tmp_path):
+    """Planted level shift: 40 days at ~100.00/day then 10 days at
+    ~800.00/day.  k = overall mean -> the CUSUM must stay low before the
+    shift, climb after it, and the alarm (s > 5k) must fire within the
+    shifted window and never before it.  Values replay an exact integer
+    local recurrence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import cusum_daily_revenue
+
+    days = list(range(40)) + list(range(40, 50))
+    prices = [100.0 + (i % 3) * 0.17 for i in range(40)] + [800.0 + (i % 5) * 0.29 for i in range(10)]
+    dates = np.array(days, dtype="datetime64[D]").astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "o_orderdate": pa.array(dates.astype("datetime64[us]")),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+
+    out = cusum_daily_revenue(str(tmp_path))
+    assert len(out) == 50
+    cents = np.round(np.array(prices) * 100).astype(np.int64)
+    k = int(cents.sum()) // 50
+    run, s = 0, []
+    for c in cents:
+        run = max(0, run + int(c) - k)
+        s.append(run)
+    s = np.asarray(s)
+    np.testing.assert_allclose(out["cusum"].to_numpy(), np.round(s / 100.0, 2))
+    alarms = out["alarm"].to_numpy()
+    assert not alarms[:40].any(), "false alarm before the shift"
+    assert alarms[40:].any(), "shift never detected"
