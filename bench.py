@@ -206,6 +206,7 @@ _QUERY_NAMES = [
     "order_skip_clustering_coeff",
     "knn_hard_negatives",
     "cusum_daily_revenue",
+    "cusum_user_events",
 ]
 
 

@@ -7605,6 +7605,96 @@ FROM idx JOIN c USING (i) ORDER BY day
 """
 
 
+def cusum_user_events(sf_dir: str) -> pd.DataFrame:
+    """Per-KEY CUSUM — the high-cardinality sibling of
+    ``cusum_daily_revenue``: for every user, the maximum of
+    s_i = max(0, s_{i-1} + x_i - k_user) over the (ts, event_id)-ordered
+    event-value stream (k_user = that user's exact integer mean), with
+    where it peaked and an alarm at s > 5k.  The sequential recurrence
+    VECTORIZES via the prefix identity s_i = P_i - min(0, min_{j<=i} P_j)
+    (P = running sum of x - k), so one bucketed exchange on user_id
+    followed by grouped cumsum / cummin — no per-row Python loop, no
+    driver state beyond the O(users) summary.  Exact integer cents end
+    to end; the SQL twin computes the SAME identity with window
+    functions (the recurrence needs no recursion once rewritten)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def slim(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["event_id", "ts", "user_id", "value"])
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "ts": b["ts"].to_numpy(),
+                "event_id": b["event_id"].to_numpy(np.int64),
+                "cents": np.round(b["value"].to_numpy(np.float64) * 100.0).astype(np.int64),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(drop=True)
+        grp = g.groupby("user_id", sort=False)
+        tot = grp["cents"].transform("sum")
+        n = grp["cents"].transform("size")
+        k = tot // n  # pandas int floor div == DuckDB //
+        p = (g["cents"] - k).groupby(g["user_id"], sort=False).cumsum()
+        m = np.minimum(p, 0).groupby(g["user_id"], sort=False).cummin()
+        s = (p - m).to_numpy(np.int64)
+        d = g.assign(_s=s, _k=k.to_numpy(np.int64), _n=n.to_numpy(np.int64))
+        # earliest row achieving the per-user max (sort is already
+        # (ts, event_id) within user; idxmax takes the first hit)
+        peak = d.loc[d.groupby("user_id", sort=False)["_s"].idxmax()]
+        return pd.DataFrame(
+            {
+                "user_id": peak["user_id"].to_numpy(np.int64),
+                "n_events": peak["_n"].to_numpy(np.int64),
+                "k": _r2(peak["_k"].to_numpy(np.int64) / 100.0),
+                "max_cusum": _r2(peak["_s"].to_numpy(np.int64) / 100.0),
+                "peak_event_id": peak["event_id"].to_numpy(np.int64),
+                "alarm": peak["_s"].to_numpy(np.int64) > 5 * peak["_k"].to_numpy(np.int64),
+            }
+        )
+
+    out = bucketed_groupby(
+        ev.map_batches(slim, batch_format="pandas"), ["user_id"], lambda b: b, merge, n_buckets=16
+    ).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_CUSUM_USER_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL
+),
+ku AS (SELECT user_id, SUM(cents) // COUNT(*) AS k, COUNT(*) AS n FROM e GROUP BY 1),
+w AS (
+  SELECT e.user_id, e.ts, e.event_id, ku.k, ku.n,
+         SUM(e.cents - ku.k) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+             ROWS UNBOUNDED PRECEDING) AS p
+  FROM e JOIN ku USING (user_id)
+),
+s AS (
+  SELECT user_id, ts, event_id, k, n,
+         p - MIN(LEAST(p, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS s
+  FROM w
+),
+r AS (
+  SELECT user_id, k, n, s, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s DESC, ts, event_id) AS rn
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(CAST(k AS DOUBLE) / 100, 2) AS k,
+       ROUND(CAST(s AS DOUBLE) / 100, 2) AS max_cusum,
+       event_id AS peak_event_id,
+       s > 5 * k AS alarm
+FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
 def tfidf_cosine_pairs_documents(sf_dir: str) -> pd.DataFrame:
     """TF-IDF weighted cosine similarity self-join over char-8-gram
     document vectors (``stages/setsim.weighted_cosine_join`` — the
@@ -7765,6 +7855,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "customer_order_p90": (customer_order_p90, _CUSTOMER_P90_SQL),
     "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
     "cusum_daily_revenue": (cusum_daily_revenue, _CUSUM_SQL),
+    "cusum_user_events": (cusum_user_events, _CUSUM_USER_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),

@@ -1348,3 +1348,54 @@ def test_cusum_daily_revenue_planted_shift(tmp_path):
     alarms = out["alarm"].to_numpy()
     assert not alarms[:40].any(), "false alarm before the shift"
     assert alarms[40:].any(), "shift never detected"
+
+
+def test_cusum_user_identity_vs_naive(tmp_path):
+    """The vectorized prefix identity s = P - cummin(min(P,0)) must equal
+    the naive per-user max(0, s + x - k) recurrence on random (seeded)
+    data — including negative values — and be invariant to Ray blocking."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import cusum_user_events
+
+    rng = np.random.default_rng(11)
+    n = 400
+    users = rng.integers(0, 8, n)
+    vals = np.round(rng.normal(10.0, 25.0, n), 2)  # negatives included
+    ts = np.datetime64("2024-01-01", "us") + rng.permutation(n).astype("timedelta64[s]") * 60
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts),
+            "user_id": pa.array(users, pa.int64()),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array([None] * n, pa.string()),
+        }
+    )
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(); many.mkdir()
+    pq.write_table(tbl, str(one / "events.parquet"))
+    pq.write_table(tbl, str(many / "events.parquet"), row_group_size=13)
+
+    got = cusum_user_events(str(one))
+    split = cusum_user_events(str(many))
+    pd.testing.assert_frame_equal(got, split)
+
+    df = pd.DataFrame({"u": users, "ts": ts, "eid": range(n),
+                       "c": np.round(vals * 100).astype(np.int64)})
+    df = df.sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+    for u, g in df.groupby("u"):
+        k = int(g["c"].sum()) // len(g)
+        run, best, peak = 0, None, None
+        for _, row in g.iterrows():
+            run = max(0, run + int(row["c"]) - k)
+            if best is None or run > best:
+                best, peak = run, int(row["eid"])
+        mine = got[got["user_id"] == u].iloc[0]
+        assert mine["n_events"] == len(g)
+        assert mine["k"] == round(k / 100.0, 2)
+        assert mine["max_cusum"] == round(best / 100.0, 2)
+        assert mine["peak_event_id"] == peak
