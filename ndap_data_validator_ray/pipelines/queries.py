@@ -879,8 +879,14 @@ SELECT id_a, id_b, jaccard FROM (
 # ---------------------------------------------------------------------------
 
 def _query_vectors(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
-    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
-    emb = emb.sort_values("vec_id").head(n)
+    # filter BEFORE collecting: only the n query vectors ever reach the
+    # driver (the full embeddings table streams through the filter)
+    emb = (
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .map_batches(lambda b: b[b["vec_id"] < n], batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     return emb["vec_id"].to_numpy(), np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
 
 
