@@ -207,6 +207,7 @@ _QUERY_NAMES = [
     "knn_hard_negatives",
     "cusum_daily_revenue",
     "cusum_user_events",
+    "mad_outlier_orders",
 ]
 
 

@@ -7532,6 +7532,84 @@ GROUP BY 1, 2 ORDER BY source
 """
 
 
+def mad_outlier_orders(sf_dir: str) -> pd.DataFrame:
+    """Robust per-customer outliers: orders whose price deviates from the
+    customer's MEDIAN by more than 3x the customer's MAD (median absolute
+    deviation) — the robust-statistics sibling of the mean/std
+    ``outlier_orders_by_priority`` (medians don't chase the outliers they
+    flag).  Both medians AND the flagging run inside ONE bucketed
+    exchange on the customer key: a customer's rows are co-located in
+    their reducer, so med, dev, mad and the filter are all local —
+    exactly one wide step for a two-pass-looking statistic.  Per-element
+    float ops (interpolated percentile, abs, 3*mad compare) are IEEE
+    twins of quantile_cont; no order-dependent sums, so the strict
+    boundary compare agrees bit-for-bit."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ck, g in group.groupby("o_custkey", sort=False):
+            if len(g) < 5:
+                continue
+            x = g["o_totalprice"].to_numpy(np.float64)
+            med = np.percentile(x, 50)
+            dev = np.abs(x - med)
+            mad = np.percentile(dev, 50)
+            if not mad > 0:
+                continue
+            m = dev > 3.0 * mad
+            if not m.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "o_orderkey": g["o_orderkey"].to_numpy(np.int64)[m],
+                        "o_custkey": np.int64(ck),
+                        "o_totalprice": x[m],
+                        "med": med,
+                        "mad": mad,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype=np.int64),
+                    "o_custkey": pd.Series([], dtype=np.int64),
+                    "o_totalprice": pd.Series([], dtype=np.float64),
+                    "med": pd.Series([], dtype=np.float64),
+                    "mad": pd.Series([], dtype=np.float64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    out = bucketed_groupby(orders, ["o_custkey"], lambda b: b, merge, n_buckets=16).to_pandas()
+    out["med"] = _r6(out["med"])
+    out["mad"] = _r6(out["mad"])
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_MAD_OUTLIER_SQL = """
+WITH m AS (
+  SELECT o_custkey, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY 1 HAVING COUNT(*) >= 5
+),
+d AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, m.med,
+         abs(o.o_totalprice - m.med) AS dev
+  FROM orders o JOIN m USING (o_custkey)
+),
+md AS (SELECT o_custkey, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT d.o_orderkey, d.o_custkey, d.o_totalprice,
+       ROUND(d.med, 6) AS med, ROUND(md.mad, 6) AS mad
+FROM d JOIN md USING (o_custkey)
+WHERE md.mad > 0 AND d.dev > 3.0 * md.mad
+ORDER BY d.o_orderkey
+"""
+
+
 def cusum_daily_revenue(sf_dir: str) -> pd.DataFrame:
     """CUSUM changepoint scan over the daily order-revenue series — the
     sequential drift-LOCALIZATION op next to the global drift tests
@@ -7862,6 +7940,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "daily_revenue_autocorr": (daily_revenue_autocorr, _DAILY_AUTOCORR_SQL),
     "cusum_daily_revenue": (cusum_daily_revenue, _CUSUM_SQL),
     "cusum_user_events": (cusum_user_events, _CUSUM_USER_SQL),
+    "mad_outlier_orders": (mad_outlier_orders, _MAD_OUTLIER_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),

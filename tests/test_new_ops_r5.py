@@ -1399,3 +1399,31 @@ def test_cusum_user_identity_vs_naive(tmp_path):
         assert mine["k"] == round(k / 100.0, 2)
         assert mine["max_cusum"] == round(best / 100.0, 2)
         assert mine["peak_event_id"] == peak
+
+
+def test_mad_outlier_planted(tmp_path):
+    """Hand-checkable MAD: customer 1 has prices [10,10,10,10,100] ->
+    med 10, dev [0,0,0,0,90], mad 0 -> EXCLUDED (mad=0 guard).
+    Customer 2 has [10,12,14,16,100] -> med 14, dev [4,2,0,2,86],
+    mad 2, threshold 6 -> only the 100 flags.  Customer 3 has 4 rows ->
+    below the min-5 cutoff."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import mad_outlier_orders
+
+    prices = [10, 10, 10, 10, 100] + [10, 12, 14, 16, 100] + [1, 2, 3, 900]
+    custs = [1] * 5 + [2] * 5 + [3] * 4
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(prices)), pa.int64()),
+            "o_custkey": pa.array(custs, pa.int64()),
+            "o_totalprice": pa.array([float(p) for p in prices], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"))
+    out = mad_outlier_orders(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["o_orderkey"]), int(r["o_custkey"])) == (9, 2)
+    assert (r["o_totalprice"], r["med"], r["mad"]) == (100.0, 14.0, 2.0)
