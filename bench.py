@@ -208,6 +208,8 @@ _QUERY_NAMES = [
     "cusum_daily_revenue",
     "cusum_user_events",
     "mad_outlier_orders",
+    "benford_first_digit_prices",
+    "corr_matrix_lineitem",
 ]
 
 

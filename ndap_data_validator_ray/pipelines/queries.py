@@ -7532,6 +7532,155 @@ GROUP BY 1, 2 ORDER BY source
 """
 
 
+def benford_first_digit_prices(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law conformance of order prices — the classic
+    fabricated-data / corruption screen: observed first-significant-digit
+    frequencies vs log10(1 + 1/d), with the chi-square statistic.  Digit
+    extraction goes through EXACT integer cents and their decimal string
+    (never float log10, whose misrounding near powers of ten flips
+    digits — the sketch-trilogy bit_length rule's decimal cousin); the
+    9-bin histogram is a fixed-space per-batch partial folded on the
+    driver (the sketch-family no-shuffle shape).  Per-digit expected
+    counts are IEEE twins; the chi-square SUM over 9 addends is the only
+    order-dependent float — round-6 per the module convention."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key  # noqa: F401 (shape doc)
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["o_totalprice"].dropna().to_numpy(np.float64) * 100.0).astype(np.int64)
+        cents = cents[cents > 0]
+        counts = np.zeros(9, dtype=np.int64)
+        if len(cents):
+            # leading digit by vectorized integer division (<= 19 passes,
+            # each whole-array): exact, no float log10, no per-row loop
+            lead = cents.copy()
+            while True:
+                big = lead >= 10
+                if not big.any():
+                    break
+                lead[big] //= 10
+            counts = np.bincount(lead, minlength=10)[1:10]
+        return pd.DataFrame({"digit": np.arange(1, 10, dtype=np.int64), "n_obs": counts})
+
+    hist = (
+        orders.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("digit", as_index=False)["n_obs"]
+        .sum()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    n = float(hist["n_obs"].sum())
+    d = hist["digit"].to_numpy(np.float64)
+    exp = n * np.log10(1.0 + 1.0 / d)
+    chi2 = float(np.sum((hist["n_obs"].to_numpy(np.float64) - exp) ** 2 / exp))
+    return pd.DataFrame(
+        {
+            "digit": hist["digit"].astype(np.int64),
+            "n_obs": hist["n_obs"].astype(np.int64),
+            "expected": _r6(exp),
+            "chi2": _r6(np.full(9, chi2)),
+        }
+    )
+
+
+_BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+lead AS (
+  SELECT CAST(LEFT(CAST(cents AS VARCHAR), 1) AS BIGINT) AS digit FROM c WHERE cents > 0
+),
+obs AS (
+  SELECT d.digit, CAST(COUNT(lead.digit) AS BIGINT) AS n_obs
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+  LEFT JOIN lead ON lead.digit = d.digit
+  GROUP BY d.digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS n FROM obs),
+e AS (
+  SELECT digit, n_obs,
+         (SELECT n FROM tot) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp
+  FROM obs
+),
+x AS (
+  SELECT ROUND(SUM((CAST(n_obs AS DOUBLE) - exp) * (CAST(n_obs AS DOUBLE) - exp) / exp), 6) AS chi2
+  FROM e
+)
+SELECT digit, n_obs, ROUND(exp, 6) AS expected, (SELECT chi2 FROM x) AS chi2
+FROM e ORDER BY digit
+"""
+
+
+def corr_matrix_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four numeric
+    measures (quantity, extendedprice, discount, tax) — the profiling
+    staple next to the per-flag regression/correlation ops.  One
+    streaming pass: each batch emits a FIXED 15-scalar moment partial
+    (n, 4 sums, 4 sum-of-squares, 6 cross-products — all commutative),
+    the driver folds and evaluates the closed form
+    (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) — the sketch
+    family's no-shuffle shape with a 15-float 'sketch'.  Rows with ANY
+    null among the four columns drop on both sides so every pair shares
+    one n.  DuckDB's corr() is a numerically-stable one-pass of the same
+    statistic; round-6 absorbs the formulation difference."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=cols)
+        m = b[cols].to_numpy(np.float64)
+        out = {"n": [float(len(m))]}
+        for i, ci in enumerate(cols):
+            out[f"s_{ci}"] = [m[:, i].sum()]
+            for j, cj in enumerate(cols):
+                if j >= i:
+                    out[f"s_{ci}_{cj}"] = [(m[:, i] * m[:, j]).sum()]
+        return pd.DataFrame(out)
+
+    f = ds.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n = f["n"]
+    rows = []
+    for i, ci in enumerate(cols):
+        for j, cj in enumerate(cols):
+            if j <= i:
+                continue
+            num = n * f[f"s_{ci}_{cj}"] - f[f"s_{ci}"] * f[f"s_{cj}"]
+            va = n * f[f"s_{ci}_{ci}"] - f[f"s_{ci}"] ** 2
+            vb = n * f[f"s_{cj}_{cj}"] - f[f"s_{cj}"] ** 2
+            den = np.sqrt(va * vb)
+            a, b_ = sorted([ci, cj])  # corr is symmetric: canonical name order
+            rows.append((a, b_, round(float(num / den), 6) if den > 0 else 0.0))
+    return pd.DataFrame(rows, columns=["col_a", "col_b", "corr"]).sort_values(
+        ["col_a", "col_b"]
+    ).reset_index(drop=True)
+
+
+_CORR_MATRIX_SQL = """
+WITH d AS (
+  SELECT l_quantity AS q, l_extendedprice AS e, l_discount AS di, l_tax AS t
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+),
+c AS (
+  SELECT corr(q, e) AS c_qe, corr(q, di) AS c_qd, corr(q, t) AS c_qt,
+         corr(e, di) AS c_ed, corr(e, t) AS c_et, corr(di, t) AS c_dt
+  FROM d
+)
+SELECT * FROM (
+  SELECT 'l_extendedprice' AS col_a, 'l_quantity' AS col_b, ROUND(c_qe, 6) AS corr FROM c
+  UNION ALL SELECT 'l_discount', 'l_quantity', ROUND(c_qd, 6) FROM c
+  UNION ALL SELECT 'l_quantity', 'l_tax', ROUND(c_qt, 6) FROM c
+  UNION ALL SELECT 'l_discount', 'l_extendedprice', ROUND(c_ed, 6) FROM c
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', ROUND(c_et, 6) FROM c
+  UNION ALL SELECT 'l_discount', 'l_tax', ROUND(c_dt, 6) FROM c
+) ORDER BY col_a, col_b
+"""
+
+
 def mad_outlier_orders(sf_dir: str) -> pd.DataFrame:
     """Robust per-customer outliers: orders whose price deviates from the
     customer's MEDIAN by more than 3x the customer's MAD (median absolute
@@ -7941,6 +8090,8 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "cusum_daily_revenue": (cusum_daily_revenue, _CUSUM_SQL),
     "cusum_user_events": (cusum_user_events, _CUSUM_USER_SQL),
     "mad_outlier_orders": (mad_outlier_orders, _MAD_OUTLIER_SQL),
+    "benford_first_digit_prices": (benford_first_digit_prices, _BENFORD_SQL),
+    "corr_matrix_lineitem": (corr_matrix_lineitem, _CORR_MATRIX_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),

@@ -1427,3 +1427,47 @@ def test_mad_outlier_planted(tmp_path):
     r = out.iloc[0]
     assert (int(r["o_orderkey"]), int(r["o_custkey"])) == (9, 2)
     assert (r["o_totalprice"], r["med"], r["mad"]) == (100.0, 14.0, 2.0)
+
+
+def test_benford_and_corr_planted(tmp_path):
+    """Benford: planted digit-exact counts (prices 1.00..9.00 weighted) and
+    a boundary price 1000.00 must land in digit 1 (the float-log10 trap).
+    Corr: constructed measures with corr +1, -1 and ~0 recover exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import (
+        benford_first_digit_prices,
+        corr_matrix_lineitem,
+    )
+
+    prices = [float(d) for d in range(1, 10) for _ in range(d)] + [1000.00, 999.99]
+    pq.write_table(
+        pa.table({"o_totalprice": pa.array(prices, pa.float64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = benford_first_digit_prices(str(tmp_path))
+    assert list(out["digit"]) == list(range(1, 10))
+    want = np.array([d for d in range(1, 10)], dtype=np.int64)
+    want[0] += 1  # 1000.00 -> digit 1
+    want[8] += 1  # 999.99 -> digit 9
+    assert list(out["n_obs"]) == list(want)
+    assert (out["chi2"] > 0).all() and out["chi2"].nunique() == 1
+
+    n = 200
+    q = np.arange(n, dtype=np.float64)
+    tbl = pa.table(
+        {
+            "l_quantity": pa.array(q),
+            "l_extendedprice": pa.array(3.0 * q + 7.0),   # corr +1 with quantity
+            "l_discount": pa.array(-2.0 * q + 100.0),      # corr -1 with quantity
+            "l_tax": pa.array(np.tile([0.0, 1.0], n // 2)),  # ~0 with the others
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"))
+    c = corr_matrix_lineitem(str(tmp_path))
+    m = {(r.col_a, r.col_b): r.corr for r in c.itertuples()}
+    assert m[("l_extendedprice", "l_quantity")] == 1.0
+    assert m[("l_discount", "l_quantity")] == -1.0
+    assert m[("l_discount", "l_extendedprice")] == -1.0
+    assert abs(m[("l_quantity", "l_tax")]) < 0.02
