@@ -210,6 +210,7 @@ _QUERY_NAMES = [
     "mad_outlier_orders",
     "benford_first_digit_prices",
     "corr_matrix_lineitem",
+    "key_skew_gini_orders",
 ]
 
 

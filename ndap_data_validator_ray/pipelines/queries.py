@@ -7532,6 +7532,70 @@ GROUP BY 1, 2 ORDER BY source
 """
 
 
+def key_skew_gini_orders(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostic: the Gini coefficient of orders-per-customer —
+    the statistic behind this repo's salting/bucketing decisions, as a
+    first-class op.  Shape: per-key counts ride one bucketed exchange;
+    the COUNT-OF-COUNTS (how many keys occur c times) is a bounded-domain
+    second fold, so the Gini's sorted-rank sum collapses to EXACT integer
+    block arithmetic (keys tied at count c occupy consecutive ranks:
+    sum(i * x_i) over the block = c * (m*B + m(m+1)/2)) — the key list
+    itself never sorts and never reaches the driver.  Only the final
+    division is float, with the association order mirrored in the SQL."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key, sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    counts = count_by_key(orders, ["o_custkey"], n_buckets=16, count_col="c")
+
+    def coc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["c"].value_counts()
+        return pd.DataFrame({"c": vc.index.to_numpy(np.int64), "m": vc.to_numpy(np.int64)})
+
+    coc = (
+        sum_by_key(
+            counts.map_batches(coc_partial, batch_format="pandas"),
+            ["c"],
+            ["m"],
+            n_buckets=8,
+            partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("c")
+        .reset_index(drop=True)
+    )
+    c = coc["c"].to_numpy(np.int64)
+    m = coc["m"].to_numpy(np.int64)
+    n = int(m.sum())
+    s = int((c * m).sum())
+    b_prev = np.concatenate([[0], np.cumsum(m)[:-1]])
+    t = int((c * (m * b_prev + m * (m + 1) // 2)).sum())
+    gini = (2.0 * float(t)) / float(n * s) - (float(n) + 1.0) / float(n)
+    return pd.DataFrame(
+        {
+            "n_keys": [np.int64(n)],
+            "n_rows": [np.int64(s)],
+            "max_per_key": [np.int64(c.max())],
+            "gini": [round(gini, 6)],
+        }
+    )
+
+
+_KEY_SKEW_SQL = """
+WITH k AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+coc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM k GROUP BY c),
+o AS (SELECT c, m, SUM(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - m AS b FROM coc),
+t AS (
+  SELECT SUM(c * (m * b + m * (m + 1) // 2)) AS tt,
+         SUM(c * m) AS s, SUM(m) AS n, MAX(c) AS maxc
+  FROM o
+)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS n_rows,
+       CAST(maxc AS BIGINT) AS max_per_key,
+       ROUND(2.0 * tt / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM t
+"""
+
+
 def benford_first_digit_prices(sf_dir: str) -> pd.DataFrame:
     """Benford's-law conformance of order prices — the classic
     fabricated-data / corruption screen: observed first-significant-digit
@@ -8092,6 +8156,7 @@ REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "mad_outlier_orders": (mad_outlier_orders, _MAD_OUTLIER_SQL),
     "benford_first_digit_prices": (benford_first_digit_prices, _BENFORD_SQL),
     "corr_matrix_lineitem": (corr_matrix_lineitem, _CORR_MATRIX_SQL),
+    "key_skew_gini_orders": (key_skew_gini_orders, _KEY_SKEW_SQL),
     "cms_part_counts": (cms_part_counts, _CMS_SQL),
     "hll_distinct_users_by_type": (hll_distinct_users_by_type, _HLL_SQL),
     "bloom_false_positives_customers": (bloom_false_positives_customers, _BLOOM_FP_SQL),

@@ -1471,3 +1471,35 @@ def test_benford_and_corr_planted(tmp_path):
     assert m[("l_discount", "l_quantity")] == -1.0
     assert m[("l_discount", "l_extendedprice")] == -1.0
     assert abs(m[("l_quantity", "l_tax")]) < 0.02
+
+
+def test_key_skew_gini_planted(tmp_path):
+    """Hand-checkable Gini: uniform counts -> 0; one dominant key over
+    many singletons -> the closed-form value of the sorted-rank sum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import key_skew_gini_orders
+
+    # uniform: 10 customers x 4 orders each -> gini exactly 0
+    custs = [i for i in range(10) for _ in range(4)]
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(custs, pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = key_skew_gini_orders(str(tmp_path))
+    assert out.iloc[0]["gini"] == 0.0
+    assert int(out.iloc[0]["n_keys"]) == 10 and int(out.iloc[0]["max_per_key"]) == 4
+
+    # skewed: 9 singleton customers + one with 91 orders
+    custs = list(range(9)) + [99] * 91
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(custs, pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = key_skew_gini_orders(str(tmp_path))
+    x = np.array([1] * 9 + [91], dtype=np.float64)  # sorted asc
+    i = np.arange(1, 11, dtype=np.float64)
+    want = round(float(2 * (i * x).sum() / (10 * x.sum()) - 11 / 10), 6)
+    assert out.iloc[0]["gini"] == want
+    assert int(out.iloc[0]["max_per_key"]) == 91
