@@ -8096,7 +8096,144 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.5 ORDER BY id_a, id_b
 # Registry
 # ---------------------------------------------------------------------------
 
+def pareto_skyline_parts(sf_dir: str) -> pd.DataFrame:
+    """Pareto skyline over parts: minimize p_retailprice, maximize p_size
+    (the 'cheapest big parts' frontier).  Per-block local skylines (a
+    lossless pre-filter — skylines are closed under union-then-reduce)
+    stream to a driver fold of a few candidate rows; the kernel is one
+    lexsort + running max, no per-row Python (stages/skyline.py).  Ties
+    on both dimensions all survive, matching the strict-dominance
+    NOT EXISTS twin."""
+    from ndap_data_validator_ray.stages.skyline import distributed_skyline2d
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_retailprice", "p_size"])
+    out = distributed_skyline2d(ds, "p_retailprice", "p_size")
+    out = out.sort_values("p_partkey").reset_index(drop=True)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out[["p_partkey", "p_retailprice", "p_size"]]
+
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+FROM part p
+WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p.p_partkey
+"""
+
+
+def event_hour_mutual_info(sf_dir: str) -> pd.DataFrame:
+    """Pointwise mutual information between event_type and hour-of-day:
+    Arrow-native per-batch contingency partials (group_by count) fold on
+    the driver — the cell domain is n_types x 24, so the exchange is a
+    few hundred rows regardless of input size (the low-cardinality
+    driver-fold rule).  Every float is a pure per-cell function of exact
+    integer counts (one multiply, one divide, one log), so both engines
+    compute bit-identical doubles up to libm's log ulp — absorbed by the
+    shared ROUND(_, 9) convention.  Counts are cast to float64 BEFORE the
+    product (cnt * total overflows int64 at ~10^12 rows)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["event_type"]), pc.is_valid(batch["ts"]))
+        t = batch.filter(m)
+        cells = pa.table({"event_type": t["event_type"], "hour": pc.hour(t["ts"])})
+        agg = cells.group_by(["event_type", "hour"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "hour", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cells = parts.groupby(["event_type", "hour"], as_index=False)["cnt"].sum()
+    total = float(cells["cnt"].sum())
+    rc = cells.groupby("event_type")["cnt"].sum().astype(np.float64)
+    cc = cells.groupby("hour")["cnt"].sum().astype(np.float64)
+    c = cells["cnt"].to_numpy(dtype=np.float64)
+    r = cells["event_type"].map(rc).to_numpy(dtype=np.float64)
+    m = cells["hour"].map(cc).to_numpy(dtype=np.float64)
+    out = pd.DataFrame(
+        {
+            "event_type": cells["event_type"],
+            "hour": cells["hour"].astype(np.int64),
+            "cnt": cells["cnt"].astype(np.int64),
+            "pxy": _r9(c / total),
+            "pmi": _r9(np.log(c * total / (r * m))),
+        }
+    )
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+_EVENT_HOUR_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+         COUNT(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells),
+rm AS (SELECT event_type, CAST(SUM(c) AS DOUBLE) AS rc FROM cells GROUP BY 1),
+cm AS (SELECT hour, CAST(SUM(c) AS DOUBLE) AS cc FROM cells GROUP BY 1)
+SELECT c.event_type, c.hour, CAST(c.c AS BIGINT) AS cnt,
+       ROUND(CAST(c.c AS DOUBLE) / t.n, 9) AS pxy,
+       ROUND(LN(CAST(c.c AS DOUBLE) * t.n / (r.rc * m.cc)), 9) AS pmi
+FROM cells c CROSS JOIN tot t
+JOIN rm r ON r.event_type = c.event_type
+JOIN cm m ON m.hour = c.hour
+ORDER BY c.event_type, c.hour
+"""
+
+
+def cumulative_new_users_events(sf_dir: str) -> pd.DataFrame:
+    """Cumulative distinct users per day (running distinct = cumsum of
+    first-appearance counts).  ONE bucketed exchange keyed on user_id
+    (high-cardinality): per-batch (user, min day) partials, and the
+    bucket merge finishes BOTH aggregations — per-user first day, then
+    per-day new-user counts — so only <=n_days rows per bucket reach the
+    driver, never the user set.  The driver folds day counts and takes
+    the exact integer prefix sum."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=["user_id", "ts"])
+        return pd.DataFrame(
+            {"user_id": b["user_id"].to_numpy(), "d": b["ts"].dt.normalize().to_numpy()}
+        ).groupby("user_id", as_index=False)["d"].min()
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        first = part.groupby("user_id", as_index=False)["d"].min()
+        dc = first.groupby("d", as_index=False).size()
+        return dc.rename(columns={"size": "new_users"})
+
+    parts = bucketed_groupby(ds, ["user_id"], partial, merge, n_buckets=32).to_pandas()
+    days = parts.groupby("d", as_index=False)["new_users"].sum().sort_values("d")
+    return pd.DataFrame(
+        {
+            "day": pd.to_datetime(days["d"]).dt.strftime("%Y-%m-%d"),
+            "new_users": days["new_users"].to_numpy(dtype=np.int64),
+            "cum_users": days["new_users"].to_numpy(dtype=np.int64).cumsum(),
+        }
+    ).reset_index(drop=True)
+
+
+_CUMULATIVE_USERS_SQL = """
+WITH fd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), dc AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM fd GROUP BY 1)
+SELECT STRFTIME(d, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM dc ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "pareto_skyline_parts": (pareto_skyline_parts, _SKYLINE_SQL),
+    "event_hour_mutual_info": (event_hour_mutual_info, _EVENT_HOUR_MI_SQL),
+    "cumulative_new_users_events": (cumulative_new_users_events, _CUMULATIVE_USERS_SQL),
     "profile_lineitem": (profile_lineitem, _PROFILE_SQL),
     "distinct_counts_lineitem": (distinct_counts_lineitem,
         "SELECT COUNT(DISTINCT l_orderkey) AS orderkeys, COUNT(DISTINCT l_partkey) AS partkeys, "

@@ -1503,3 +1503,111 @@ def test_key_skew_gini_planted(tmp_path):
     want = round(float(2 * (i * x).sum() / (10 * x.sum()) - 11 / 10), 6)
     assert out.iloc[0]["gini"] == want
     assert int(out.iloc[0]["max_per_key"]) == 91
+
+
+# --- Pareto skyline / mutual information / cumulative distinct --------------
+
+def test_skyline_kernel_vs_bruteforce():
+    """skyline2d against the O(n^2) strict-dominance definition on random
+    points with heavy ties and nulls; distributed fold must match the
+    single-frame kernel regardless of blocking."""
+    from ndap_data_validator_ray.stages.skyline import distributed_skyline2d, skyline2d
+
+    rng = np.random.RandomState(23)
+    for trial in range(5):
+        n = int(rng.randint(5, 120))
+        df = pd.DataFrame(
+            {
+                "price": rng.choice([1.0, 2.5, 2.5, 3.0, 7.25, np.nan], n),
+                "size": pd.array(
+                    [None if rng.rand() < 0.08 else int(v) for v in rng.randint(0, 8, n)],
+                    dtype="Int64",
+                ),
+                "id": np.arange(n, dtype=np.int64),
+            }
+        )
+        got = skyline2d(df, "price", "size")
+        d = df.dropna(subset=["price", "size"]).reset_index(drop=True)
+        keep = []
+        for i in range(len(d)):
+            p, s = d["price"][i], d["size"][i]
+            dominated = any(
+                (d["price"][j] <= p and d["size"][j] >= s and (d["price"][j] < p or d["size"][j] > s))
+                for j in range(len(d))
+            )
+            if not dominated:
+                keep.append(i)
+        want = d.iloc[keep].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.sort_values("id").reset_index(drop=True),
+            want.sort_values("id").reset_index(drop=True),
+        )
+        dist = distributed_skyline2d(
+            ray.data.from_pandas(df).repartition(4), "price", "size"
+        )
+        pd.testing.assert_frame_equal(
+            dist.sort_values("id").reset_index(drop=True),
+            want.sort_values("id").reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_event_hour_mutual_info_vs_pandas():
+    """The distributed contingency fold equals a plain pandas crosstab
+    computation over the same parquet, cell by cell."""
+    from ndap_data_validator_ray.pipelines.queries import event_hour_mutual_info
+
+    got = event_hour_mutual_info(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts"]).dropna()
+    cells = (
+        ev.assign(hour=ev["ts"].dt.hour.astype(np.int64))
+        .groupby(["event_type", "hour"], as_index=False)
+        .size()
+        .rename(columns={"size": "cnt"})
+    )
+    total = float(cells["cnt"].sum())
+    rc = cells.groupby("event_type")["cnt"].sum().astype(np.float64)
+    cc = cells.groupby("hour")["cnt"].sum().astype(np.float64)
+    c = cells["cnt"].to_numpy(dtype=np.float64)
+    want = cells.assign(
+        cnt=cells["cnt"].astype(np.int64),
+        pxy=np.round(c / total, 9),
+        pmi=np.round(
+            np.log(c * total / (cells["event_type"].map(rc).to_numpy() * cells["hour"].map(cc).to_numpy())),
+            9,
+        ),
+    ).sort_values(["event_type", "hour"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # MI (= sum of pxy-weighted pmi over exact cells) is finite and >= -eps
+    assert float((got["pxy"] * got["pmi"]).sum()) > -1e-9
+
+
+def test_cumulative_new_users_planted(tmp_path):
+    """Planted first-appearance pattern: users repeat across days; only
+    the FIRST day counts, and the running sum is exact.  Tiny row groups
+    force the multi-block path through the bucketed exchange."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import cumulative_new_users_events
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    rows = [
+        (1, days[0]), (2, days[0]),           # day 1: users 1, 2
+        (1, days[1]), (3, days[1]), (2, days[1]),  # day 2: only 3 is new
+        (4, days[2]), (1, days[2]),           # day 3: only 4 is new
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(f"{r[1]} 0{i % 10}:30:00") for i, r in enumerate(rows)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), row_group_size=2)
+    out = cumulative_new_users_events(str(tmp_path))
+    assert out["day"].tolist() == days
+    assert out["new_users"].tolist() == [2, 1, 1]
+    assert out["cum_users"].tolist() == [2, 3, 4]
