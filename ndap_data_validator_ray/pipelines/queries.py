@@ -6703,28 +6703,19 @@ def order_skip_clustering_coeff(sf_dir: str) -> pd.DataFrame:
     over the order-skip graph — the graph-quality metric the triangle
     counts are the numerator of (community density / link-spam signal on
     web graphs).  Distributed shape: triangle counts via the
-    degree-oriented node-iterator (``stages/triangles.py``), degrees via
-    the canonical-edge dedup exchange + ``count_by_key`` on exploded
-    endpoints; both folds are O(nodes) — the same size class the
-    triangle query already returns — and merge on the driver (LEFT:
-    deg>=2 nodes without triangles keep c = 0).  The division is exact
-    int-to-float on both sides; no order-dependent float sums anywhere."""
-    from ndap_data_validator_ray.stages.groupby import count_by_key
-    from ndap_data_validator_ray.stages.triangles import (
-        _canonical_distinct_edges,
-        distributed_triangle_counts,
-    )
+    degree-oriented node-iterator (``stages/triangles.py``), degrees
+    straight out of the triangle stage (``return_degrees=True`` — the
+    orientation step already holds the (node, deg) fold, so the
+    coefficient costs ZERO exchanges beyond the triangle count; it used
+    to re-scan the raw edges and re-run the dedup + count exchanges);
+    both folds are O(nodes) and merge on the driver (LEFT: deg>=2 nodes
+    without triangles keep c = 0).  The division is exact int-to-float
+    on both sides; no order-dependent float sums anywhere."""
+    from ndap_data_validator_ray.stages.triangles import distributed_triangle_counts
 
     edges = _order_skip_edges(sf_dir)
-    tri = distributed_triangle_counts(edges)
-    canon = _canonical_distinct_edges(edges, "id_a", "id_b", 16)
-    ends = canon.map_batches(
-        lambda b: pd.DataFrame(
-            {"node": np.concatenate([b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)])}
-        ),
-        batch_format="pandas",
-    )
-    deg = count_by_key(ends, ["node"], n_buckets=16, count_col="degree").to_pandas()
+    tri, deg = distributed_triangle_counts(edges, return_degrees=True)
+    deg = deg.rename(columns={"deg": "degree"})
     out = deg.merge(tri, on="node", how="left")
     out["triangles"] = out["triangles"].fillna(0).astype(np.int64)
     out = out[out["degree"] >= 2].copy()

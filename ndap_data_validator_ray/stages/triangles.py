@@ -101,11 +101,17 @@ def distributed_triangle_counts(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     n_buckets: int | None = None,
-) -> pd.DataFrame:
+    return_degrees: bool = False,
+) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
     """Per-node triangle counts of the undirected simple graph given by
     ``edges`` (module docstring).  Output is the per-node fold — O(nodes
     in triangles) rows — returned as pandas; the graph-sized intermediates
     (edge list, wedges) stay distributed throughout.
+
+    ``return_degrees=True`` additionally returns the (node, deg) fold the
+    orientation step already computed — same O(nodes) size class as the
+    result — so clustering-coefficient callers don't pay a second raw
+    edge scan + dedup + count exchange for a frame this stage holds.
 
     ``n_buckets`` defaults ADAPTIVELY from the distinct edge count (the
     stages/cc.py rule: every exchange pays O(buckets) task overhead, so a
@@ -116,10 +122,24 @@ def distributed_triangle_counts(
     the one pass that sees the RAW, pre-dedup volume)."""
     nb0 = n_buckets or default_n_buckets()
 
+    _EMPTY_DEG = pd.DataFrame(
+        {"node": pd.Series([], dtype=np.int64), "deg": pd.Series([], dtype=np.int64)}
+    )
+
+    def _ret(tri: pd.DataFrame, deg_ds) -> pd.DataFrame | tuple[pd.DataFrame, pd.DataFrame]:
+        if not return_degrees:
+            return tri
+        if deg_ds is None:
+            return tri, _EMPTY_DEG.copy()
+        d = deg_ds.to_pandas()
+        d["node"] = d["node"].astype(np.int64)
+        d["deg"] = d["deg"].astype(np.int64)
+        return tri, d.sort_values("node").reset_index(drop=True)
+
     e = _canonical_distinct_edges(edges, src_col, dst_col, nb0).materialize()
     n_e = e.count()
     if n_e == 0:
-        return _EMPTY.copy()
+        return _ret(_EMPTY.copy(), None)
     nb = n_buckets or int(min(default_n_buckets(), max(8, n_e // 100_000 + 8)))
 
     ends = e.map_batches(
@@ -221,7 +241,7 @@ def distributed_triangle_counts(
     )
     out = count_by_key(corners, ["node"], n_buckets=nb, count_col="triangles").to_pandas()
     if out.empty:
-        return _EMPTY.copy()
+        return _ret(_EMPTY.copy(), deg)
     out["node"] = out["node"].astype(np.int64)
     out["triangles"] = out["triangles"].astype(np.int64)
-    return out.sort_values("node").reset_index(drop=True)
+    return _ret(out.sort_values("node").reset_index(drop=True), deg)
