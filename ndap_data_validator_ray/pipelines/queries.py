@@ -8221,7 +8221,561 @@ FROM dc ORDER BY day
 """
 
 
+def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Whole-schema referential-integrity audit: every FK edge of the
+    star schema (plus events.user_id -> customer, which genuinely dangles
+    on this data) runs through the Bloom-prefiltered anti-join
+    (stages/bloom.py) and reports its violation count — the reference's
+    single referential check (J1, utils/validation.py) generalized to an
+    all-edges audit.  Per edge the build side folds into one fixed-size
+    Bloom broadcast, bloom-MISS probe rows short-circuit as definite
+    violations (no shuffle), bloom-HIT rows pay the exact bucketed anti
+    verify, and only one integer per edge ever reaches the driver.  Null
+    probe keys count as violations (SQL NOT EXISTS semantics).  The
+    seven edges are independent pipelines, so they execute concurrently
+    in driver threads (sequential execution measured ~30 s of pure
+    orchestration at ANY sf; overlapped it is bounded by the slowest
+    edge).  Concurrency safety: all Datasets are built on the MAIN
+    thread (Ray's lazy path-util imports aren't thread-safe) and the
+    anti-joins run in ``mode="task"`` — 7 concurrent actor-mode joins
+    try to place ~14 min-1 mark pools and deadlock a small session."""
+    import concurrent.futures
+
+    from ndap_data_validator_ray.stages.bloom import bloom_anti_join
+
+    edges = [
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    # main-thread Dataset construction; threads only execute
+    reads = [
+        (_read(sf_dir, probe_t, columns=[probe_k]), _read(sf_dir, build_t, columns=[build_k]))
+        for _, probe_t, probe_k, build_t, build_k in edges
+    ]
+
+    def count_edge(i: int) -> int:
+        probe, build = reads[i]
+        return bloom_anti_join(
+            probe, build, probe_on=edges[i][2], build_on=edges[i][4], mode="task"
+        ).count()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=len(edges)) as pool:
+        counts = list(pool.map(count_edge, range(len(edges))))
+    return pd.DataFrame(
+        {"fk": [e[0] for e in edges], "violations": np.asarray(counts, dtype=np.int64)}
+    )
+
+
+_FK_AUDIT_SQL = """
+WITH v AS (
+  SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS violations FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+  UNION ALL
+  SELECT 'events.user_id->customer', COUNT(*) FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', COUNT(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', COUNT(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', COUNT(*) FROM supplier s
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+)
+SELECT fk, CAST(violations AS BIGINT) AS violations FROM v ORDER BY fk
+"""
+
+
+def _emit_within_group_pairs(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered (val_i, val_j) pairs within each key group, fully
+    vectorized (no per-group Python loop): rows must arrive sorted by
+    (key, val) with vals unique within a key; for each row i the partners
+    are the rows i+1..group_end, enumerated via repeat/cumsum index
+    arithmetic."""
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=vals.dtype), np.empty(0, dtype=vals.dtype)
+    change = np.r_[True, keys[1:] != keys[:-1]]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, n])
+    gid = np.cumsum(change) - 1
+    group_end = (starts + sizes)[gid]  # one past each row's group
+    reps = group_end - np.arange(n) - 1  # partners to the right of row i
+    ia = np.repeat(np.arange(n), reps)
+    run_start = np.repeat(np.r_[0, np.cumsum(reps)[:-1]], reps)
+    jb = ia + 1 + (np.arange(int(reps.sum())) - run_start)
+    return vals[ia], vals[jb]
+
+
+def copurchase_lift_parts(sf_dir: str) -> pd.DataFrame:
+    """Market-basket mining: the top-20 part pairs by LIFT among pairs
+    co-purchased in >= 3 orders.  Distributed shape (no all-pairs self
+    join): (1) one bucketed exchange on l_orderkey co-locates each
+    order's distinct parts and the reducer emits pair rows via the
+    vectorized repeat/cumsum kernel (order sizes are bounded, so pairs
+    per order are O(size^2) with a small constant — never O(parts^2));
+    (2) pair counts fold through a second bucketed exchange keyed on the
+    pair; (3) per-part order frequencies ride their own keyed exchange;
+    (4) only pairs at/above min-support survive to the lift join, which
+    goes through stages/broadcast.attach_or_join (broadcast under the
+    cap, bucketed join above).  Lift = P(a,b) / (P(a) P(b)) computed in
+    the exact same float64 expression as the SQL twin; ties at the
+    top-20 boundary are broken by (part_a, part_b)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby, count_by_key
+
+    min_support = 3
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+        a, b = _emit_within_group_pairs(
+            part["l_orderkey"].to_numpy(np.int64), part["l_partkey"].to_numpy(np.int64)
+        )
+        return pd.DataFrame({"part_a": a, "part_b": b})
+
+    pair_rows = bucketed_groupby(li, ["l_orderkey"], distinct_partial, emit_pairs, n_buckets=32)
+    pair_cnt = count_by_key(
+        pair_rows, ["part_a", "part_b"], n_buckets=32, count_col="pair_cnt",
+        partial_format="pandas",
+    )
+    strong = pair_cnt.map_batches(
+        lambda b: b[b["pair_cnt"] >= min_support], batch_format="pandas"
+    ).materialize()
+
+    def part_freq_merge(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.drop_duplicates().groupby("l_partkey", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    part_cnt = bucketed_groupby(
+        li, ["l_partkey"], distinct_partial, part_freq_merge, n_buckets=32
+    ).materialize()
+
+    def order_count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"l_orderkey": b["l_orderkey"].dropna().unique()})
+
+    def order_count_merge(p: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [p["l_orderkey"].nunique()]})
+
+    n_orders = int(
+        bucketed_groupby(li, ["l_orderkey"], order_count_partial, order_count_merge, n_buckets=32)
+        .to_pandas()["n"].sum()
+    )
+
+    side_a = part_cnt.map_batches(
+        lambda b: b.rename(columns={"cnt": "cnt_a"}), batch_format="pandas"
+    )
+    side_b = part_cnt.map_batches(
+        lambda b: b.rename(columns={"cnt": "cnt_b"}), batch_format="pandas"
+    )
+    scored = attach_or_join(
+        attach_or_join(strong, side_a, on_fact="part_a", on_side="l_partkey", attach_cols=["cnt_a"]),
+        side_b, on_fact="part_b", on_side="l_partkey", attach_cols=["cnt_b"],
+    )
+    # survivors are bounded by the support threshold — small by construction
+    out = scored.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "part_a": pd.Series([], dtype="int64"),
+                "part_b": pd.Series([], dtype="int64"),
+                "pair_cnt": pd.Series([], dtype="int64"),
+                "cnt_a": pd.Series([], dtype="int64"),
+                "cnt_b": pd.Series([], dtype="int64"),
+                "lift": pd.Series([], dtype="float64"),
+            }
+        )
+    # identical float expression to the SQL twin: (cnt * n) as DOUBLE over
+    # the exact int64 product cnt_a*cnt_b
+    lift = (
+        out["pair_cnt"].to_numpy(np.float64) * np.float64(n_orders)
+    ) / (out["cnt_a"].to_numpy(np.int64) * out["cnt_b"].to_numpy(np.int64)).astype(np.float64)
+    out = out.assign(lift=_r6(lift)).sort_values(
+        ["lift", "part_a", "part_b"], ascending=[False, True, True]
+    )
+    return (
+        out.head(20)
+        .reset_index(drop=True)[["part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b", "lift"]]
+        .astype({"part_a": np.int64, "part_b": np.int64, "pair_cnt": np.int64,
+                 "cnt_a": np.int64, "cnt_b": np.int64})
+    )
+
+
+_COPURCHASE_SQL = """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM op),
+pcnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM op GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, pair_cnt, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       ROUND(CAST(pair_cnt AS DOUBLE) * (SELECT n FROM tot)
+             / CAST(ca.cnt * cb.cnt AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN pcnt ca ON ca.l_partkey = part_a
+JOIN pcnt cb ON cb.l_partkey = part_b
+WHERE pair_cnt >= 3
+ORDER BY lift DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+def chi2_status_priority(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence over the (o_orderstatus x
+    o_orderpriority) contingency table, plus Cramer's V effect size.
+    The table has <= a few dozen cells, so per-batch crosstab partials
+    fold on the driver (the low-cardinality no-shuffle rule); expected
+    counts come from exact int64 marginals and the statistic uses the
+    same float64 expression as the SQL twin (zero cells included — the
+    full observed-marginal grid, not just observed cells)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        g = b.groupby(["o_orderstatus", "o_orderpriority"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["o_orderstatus", "o_orderpriority"], as_index=False)["cnt"].sum()
+    )
+    grid = cells.pivot_table(
+        index="o_orderstatus", columns="o_orderpriority", values="cnt",
+        fill_value=0, aggfunc="sum",
+    )
+    obs = grid.to_numpy(np.int64)
+    rn = obs.sum(axis=1).astype(np.int64)  # exact row marginals
+    cn = obs.sum(axis=0).astype(np.int64)
+    n = int(obs.sum())
+    # same op order as SQL: exact BIGINT rn*cn, float division by n
+    exp = (rn[:, None] * cn[None, :]).astype(np.float64) / np.float64(n)
+    d = obs.astype(np.float64) - exp
+    chi2 = float((d * d / exp).sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    cramers_v = float(np.sqrt(chi2 / (np.float64(n * min(r - 1, c - 1)))))
+    return pd.DataFrame(
+        {
+            "n": np.int64([n]),
+            "n_rows_grid": np.int64([r]),
+            "n_cols_grid": np.int64([c]),
+            "dof": np.int64([dof]),
+            "chi2": _r6([chi2]),
+            "cramers_v": _r6([cramers_v]),
+        }
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+rs AS (SELECT s, CAST(SUM(cnt) AS BIGINT) AS rn FROM cells GROUP BY 1),
+cs AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rs.rn, cs.cn, COALESCE(cells.cnt, 0) AS obs,
+         CAST(rs.rn * cs.cn AS DOUBLE) / (SELECT n FROM tot) AS e
+  FROM rs CROSS JOIN cs
+  LEFT JOIN cells ON cells.s = rs.s AND cells.p = cs.p
+),
+stat AS (SELECT SUM((obs - e) * (obs - e) / e) AS chi2 FROM grid)
+SELECT (SELECT n FROM tot) AS n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rs) AS n_rows_grid,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cs) AS n_cols_grid,
+       CAST(((SELECT COUNT(*) FROM rs) - 1) * ((SELECT COUNT(*) FROM cs) - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / CAST((SELECT n FROM tot)
+             * LEAST((SELECT COUNT(*) FROM rs) - 1, (SELECT COUNT(*) FROM cs) - 1) AS DOUBLE)), 6)
+         AS cramers_v
+FROM stat
+"""
+
+
+def welch_ttest_price_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test of mean l_extendedprice between
+    every pair of return flags — the two-sample significance op next to
+    the distribution-drift tests (KS / PSI).  One streaming pass folds
+    (n, Σx, Σx²) moment partials per flag on the driver (3 groups, the
+    low-cardinality rule); t, Welch–Satterthwaite dof and means finalize
+    from six numbers per group.  The SQL twin computes the SAME naive
+    moment formulas (SUM(x), SUM(x*x)) rather than var_samp, so the only
+    cross-engine difference is float summation order, absorbed by the
+    6-dp rounding convention."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({"f": b["l_returnflag"].to_numpy(), "n": 1, "sx": x, "sxx": x * x})
+        return g.groupby("f", as_index=False).sum()
+
+    m = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("f", as_index=False)
+        .sum()
+        .sort_values("f")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            a, b = m.iloc[i], m.iloc[j]
+            na, nb = float(a["n"]), float(b["n"])
+            ma, mb = a["sx"] / na, b["sx"] / nb
+            va = (a["sxx"] - a["sx"] * a["sx"] / na) / (na - 1)
+            vb = (b["sxx"] - b["sx"] * b["sx"] / nb) / (nb - 1)
+            sea, seb = va / na, vb / nb
+            t = (ma - mb) / np.sqrt(sea + seb)
+            dof = (sea + seb) * (sea + seb) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+            rows.append((a["f"], b["f"], int(na), int(nb), ma, mb, t, dof))
+    out = pd.DataFrame(
+        rows, columns=["flag_a", "flag_b", "n_a", "n_b", "mean_a", "mean_b", "t_stat", "welch_dof"]
+    )
+    for c in ["mean_a", "mean_b", "t_stat", "welch_dof"]:
+        out[c] = _r6(out[c])
+    return out.astype({"n_a": np.int64, "n_b": np.int64}).sort_values(
+        ["flag_a", "flag_b"]
+    ).reset_index(drop=True)
+
+
+_WELCH_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS f, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(l_extendedprice) AS sx,
+         SUM(l_extendedprice * l_extendedprice) AS sxx
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+p AS (
+  SELECT a.f AS flag_a, b.f AS flag_b, a.n AS n_a, b.n AS n_b,
+         a.sx / a.n AS ma, b.sx / b.n AS mb,
+         ((a.sxx - a.sx * a.sx / a.n) / (a.n - 1)) / a.n AS sea,
+         ((b.sxx - b.sx * b.sx / b.n) / (b.n - 1)) / b.n AS seb
+  FROM m a JOIN m b ON a.f < b.f
+)
+SELECT flag_a, flag_b, n_a, n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / SQRT(sea + seb), 6) AS t_stat,
+       ROUND((sea + seb) * (sea + seb)
+             / (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 6) AS welch_dof
+FROM p ORDER BY flag_a, flag_b
+"""
+
+
+def _ntile_from_rank(rank: np.ndarray, m: int, n_tiles: int) -> np.ndarray:
+    """SQL NTILE(n) from a 1-based global row rank: the first (m % n)
+    tiles get ceil(m/n) rows, the rest floor(m/n)."""
+    small = m // n_tiles
+    nbig = m % n_tiles
+    big = small + 1
+    cut = nbig * big
+    small_safe = max(small, 1)  # m < n_tiles: every rank is its own tile
+    return np.where(
+        rank <= cut,
+        (rank - 1) // big + 1,
+        nbig + (rank - cut - 1) // small_safe + 1,
+    ).astype(np.int64)
+
+
+def rfm_segmentation_customers(sf_dir: str) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer Recency (last order
+    date), Frequency (order count) and Monetary (exact integer-cent
+    revenue) quintiles, concatenated into a 'r-f-m' segment label, with
+    per-segment customer counts and total monetary.  Distributed shape:
+    one bucketed exchange folds the per-customer aggregate; each
+    quintile is NTILE arithmetic over a range-partitioned global rank
+    (stages/sort.global_rank — boundary sampling + exact per-range
+    offsets, never a single-reducer sort); the <=125-segment finish
+    folds on the driver.  Monetary is exact int64 cents so rank order —
+    and therefore every tile boundary — is bit-identical to the SQL
+    twin; all ties break on c_custkey.  Tiles ascend with the metric
+    (5 = most recent / most frequent / highest spend)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_custkey", "o_orderdate", "o_totalprice"])
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(np.int64),
+                "last_ts": b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64),
+                "freq": np.int64(1),
+                "cents": np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64),
+            }
+        ).groupby("o_custkey", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"), cents=("cents", "sum")
+        )
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby("o_custkey", as_index=False).agg(
+            last_ts=("last_ts", "max"), freq=("freq", "sum"), cents=("cents", "sum")
+        )
+
+    agg = bucketed_groupby(orders, ["o_custkey"], partial, merge, n_buckets=32).materialize()
+    m = agg.count()
+    ranked = global_rank(agg, ["last_ts", "o_custkey"], out="r_rank").materialize()
+    ranked = global_rank(ranked, ["freq", "o_custkey"], out="f_rank").materialize()
+    ranked = global_rank(ranked, ["cents", "o_custkey"], out="m_rank").materialize()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        r = _ntile_from_rank(b["r_rank"].to_numpy(np.int64), m, 5)
+        f = _ntile_from_rank(b["f_rank"].to_numpy(np.int64), m, 5)
+        mt = _ntile_from_rank(b["m_rank"].to_numpy(np.int64), m, 5)
+        seg = pd.Series(r.astype(str)).str.cat([f.astype(str), mt.astype(str)], sep="-")
+        return pd.DataFrame({"segment": seg.to_numpy(), "n_customers": 1, "cents": b["cents"].to_numpy(np.int64)}).groupby(
+            "segment", as_index=False
+        ).sum()
+
+    # <=125 segments: per-block partials fold on the driver
+    parts = ranked.map_batches(finish, batch_format="pandas").to_pandas()
+    out = parts.groupby("segment", as_index=False).sum().sort_values("segment")
+    return pd.DataFrame(
+        {
+            "segment": out["segment"].to_numpy(),
+            "n_customers": out["n_customers"].to_numpy(np.int64),
+            "total_monetary": _r2(out["cents"].to_numpy(np.int64) / 100.0),
+        }
+    ).reset_index(drop=True)
+
+
+_RFM_SQL = """
+WITH agg AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_dt, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+t AS (
+  SELECT cents,
+         NTILE(5) OVER (ORDER BY last_dt, o_custkey) AS r,
+         NTILE(5) OVER (ORDER BY freq, o_custkey) AS f,
+         NTILE(5) OVER (ORDER BY cents, o_custkey) AS m
+  FROM agg
+)
+SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100, 2) AS total_monetary
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def ewma_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """EWMA smoothing + spike flags over the daily order-revenue series
+    — the forecasting-baseline sibling of the CUSUM changepoint scan.
+    Daily sums fold as exact integer cents (per-batch Arrow partials,
+    low-cardinality driver finish); the O(days) recurrence
+    s_i = alpha*x_i + (1-alpha)*s_{i-1} runs on the driver with
+    alpha = 0.125 (exact in binary), so every step is the same float64
+    op sequence as the SQL recursive-CTE twin and the series is
+    bit-identical cross-engine.  A day spikes when |x - s_prev| >
+    0.25 * s_prev."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_orderdate", "o_totalprice"])
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"day": d, "cents": cents}).groupby("day", as_index=False)[
+            "cents"
+        ].sum()
+
+    daily = (
+        sum_by_key(
+            orders.map_batches(day_partial, batch_format="pandas"),
+            ["day"], ["cents"], n_buckets=32, partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["cents"].to_numpy(np.int64).astype(np.float64)
+    n = len(x)
+    s = np.zeros(n, dtype=np.float64)
+    dev = np.zeros(n, dtype=np.float64)
+    spike = np.zeros(n, dtype=bool)
+    prev = x[0] if n else 0.0
+    if n:
+        s[0] = x[0]
+    for i in range(1, n):
+        dev[i] = x[i] - prev
+        spike[i] = abs(dev[i]) > 0.25 * prev
+        s[i] = 0.125 * x[i] + 0.875 * prev
+        prev = s[i]
+    return pd.DataFrame(
+        {
+            "day": daily["day"].to_numpy(np.int64),
+            "revenue": _r2(x / 100.0),
+            "ewma": _r2(s / 100.0),
+            "deviation": _r2(dev / 100.0),
+            "spike": spike,
+        }
+    )
+
+
+_EWMA_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+e AS (
+  SELECT i, CAST(cents AS DOUBLE) AS s, CAST(0 AS DOUBLE) AS dev, FALSE AS spike
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i,
+         0.125 * CAST(idx.cents AS DOUBLE) + 0.875 * e.s,
+         CAST(idx.cents AS DOUBLE) - e.s,
+         ABS(CAST(idx.cents AS DOUBLE) - e.s) > 0.25 * e.s
+  FROM e JOIN idx ON idx.i = e.i + 1
+)
+SELECT CAST(idx.day AS BIGINT) AS day,
+       ROUND(CAST(idx.cents AS DOUBLE) / 100, 2) AS revenue,
+       ROUND(e.s / 100, 2) AS ewma,
+       ROUND(e.dev / 100, 2) AS deviation,
+       e.spike AS spike
+FROM idx JOIN e USING (i) ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "fk_integrity_audit": (fk_integrity_audit, _FK_AUDIT_SQL),
+    "copurchase_lift_parts": (copurchase_lift_parts, _COPURCHASE_SQL),
+    "chi2_status_priority": (chi2_status_priority, _CHI2_SQL),
+    "welch_ttest_price_returnflag": (welch_ttest_price_returnflag, _WELCH_SQL),
+    "rfm_segmentation_customers": (rfm_segmentation_customers, _RFM_SQL),
+    "ewma_daily_revenue": (ewma_daily_revenue, _EWMA_SQL),
     "pareto_skyline_parts": (pareto_skyline_parts, _SKYLINE_SQL),
     "event_hour_mutual_info": (event_hour_mutual_info, _EVENT_HOUR_MI_SQL),
     "cumulative_new_users_events": (cumulative_new_users_events, _CUMULATIVE_USERS_SQL),

@@ -120,6 +120,20 @@ class _BloomMark:
         return batch.append_column("_bloom_hit", pa.array(hit, pa.bool_()))
 
 
+# task-mode per-worker-process filter cache, keyed by ObjectRef hex (same
+# pattern as the task-mode fused audio stage): ray.get hits the node-local
+# plasma store, the dict skips re-deserializing per batch.
+_BLOOM_TASK_CACHE: dict = {}
+
+
+def _mark_task(batch: pa.Table, bloom_ref, key: str) -> pa.Table:
+    cached = _BLOOM_TASK_CACHE.get(bloom_ref.hex())
+    if cached is None:
+        cached = _BLOOM_TASK_CACHE[bloom_ref.hex()] = ray.get(bloom_ref)
+    hit = cached.contains(batch[key].to_numpy(zero_copy_only=False))
+    return batch.append_column("_bloom_hit", pa.array(hit, pa.bool_()))
+
+
 def bloom_anti_join(
     probe: "ray.data.Dataset",
     build: "ray.data.Dataset",
@@ -128,21 +142,36 @@ def bloom_anti_join(
     fp_rate: float = 0.01,
     n_buckets: int = 64,
     concurrency: int | tuple = (1, 4),
+    mode: str = "actor",
 ) -> "ray.data.Dataset":
     """Rows of ``probe`` whose ``probe_on`` key has no match in ``build``.
 
     Bloom-miss rows short-circuit (definite orphans, no shuffle); bloom-hit
     rows are verified exactly via the bucketed anti join.  The two legs
     each re-execute the (column-pruned) probe read — two cheap scans
-    instead of shuffling the full probe side."""
+    instead of shuffling the full probe side.
+
+    ``mode="task"`` marks with plain tasks (per-process cached filter
+    fetch) instead of the actor pool — REQUIRED when several anti-joins
+    run concurrently: the union re-executes the marked lineage on both
+    legs, so N concurrent actor-mode joins try to place ~2N min-1 pools
+    and deadlock a small cluster (the reserved-CPU invariant; found by
+    the 7-edge fk_integrity_audit hanging a 4-CPU session)."""
+    from functools import partial as _partial
+
     from ndap_data_validator_ray.stages.join import bucketed_join
 
     bloom = build_bloom(build, build_on, fp_rate=fp_rate)
     ref = ray.put(bloom)
-    marked = probe.map_batches(
-        _BloomMark, fn_constructor_kwargs={"bloom_ref": ref, "key": probe_on},
-        batch_format="pyarrow", concurrency=concurrency,
-    )
+    if mode == "task":
+        marked = probe.map_batches(
+            _partial(_mark_task, bloom_ref=ref, key=probe_on), batch_format="pyarrow"
+        )
+    else:
+        marked = probe.map_batches(
+            _BloomMark, fn_constructor_kwargs={"bloom_ref": ref, "key": probe_on},
+            batch_format="pyarrow", concurrency=concurrency,
+        )
 
     def take_miss(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.invert(batch["_bloom_hit"])).drop_columns(["_bloom_hit"])

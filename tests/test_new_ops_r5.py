@@ -1611,3 +1611,272 @@ def test_cumulative_new_users_planted(tmp_path):
     assert out["day"].tolist() == days
     assert out["new_users"].tolist() == [2, 1, 1]
     assert out["cum_users"].tolist() == [2, 3, 4]
+
+
+# --- late round-5 additions: fk audit, market basket, stats tests, RFM, EWMA
+
+
+def test_emit_within_group_pairs_vs_brute():
+    """The vectorized repeat/cumsum pair kernel equals the nested-loop
+    brute force on random grouped data (varied group sizes incl. 1)."""
+    from ndap_data_validator_ray.pipelines.queries import _emit_within_group_pairs
+
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        n_groups = int(rng.integers(1, 12))
+        keys, vals = [], []
+        v = 0
+        for g in range(n_groups):
+            size = int(rng.integers(1, 7))
+            members = sorted(rng.choice(1000, size=size, replace=False) + g * 10000)
+            keys += [g] * size
+            vals += members
+        keys = np.asarray(keys, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.int64)
+        a, b = _emit_within_group_pairs(keys, vals)
+        want = []
+        for g in np.unique(keys):
+            mem = vals[keys == g]
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    want.append((mem[i], mem[j]))
+        got = sorted(zip(a.tolist(), b.tolist()))
+        assert got == sorted(want)
+    # empty input
+    a, b = _emit_within_group_pairs(np.int64([]), np.int64([]))
+    assert len(a) == 0 and len(b) == 0
+
+
+def test_ntile_from_rank_matches_duckdb():
+    """_ntile_from_rank replays SQL NTILE exactly for every m in 1..23
+    and n in {3, 4, 5} (covers m < n, m % n == 0, and ragged cases)."""
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import _ntile_from_rank
+
+    con = duckdb.connect()
+    for m in range(1, 24):
+        for n in (3, 4, 5):
+            want = con.sql(
+                f"SELECT NTILE({n}) OVER (ORDER BY r) AS t FROM range(1, {m + 1}) tbl(r) ORDER BY r"
+            ).df()["t"].to_numpy()
+            got = _ntile_from_rank(np.arange(1, m + 1, dtype=np.int64), m, n)
+            np.testing.assert_array_equal(got, want, err_msg=f"m={m} n={n}")
+    con.close()
+
+
+def _write_star_fixture(tmp_path):
+    """Minimal 7-table star fixture with PLANTED referential violations:
+    2 lineitems with a dangling partkey, 1 order with a dangling custkey,
+    1 event user never in customer plus 1 NULL user_id (NOT EXISTS keeps
+    null probe keys), and clean nation edges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def w(name, **cols):
+        pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"), row_group_size=3)
+
+    w("nation", n_nationkey=pa.array([0, 1], pa.int32()))
+    w("customer",
+      c_custkey=pa.array([10, 11, 12], pa.int64()),
+      c_nationkey=pa.array([0, 1, 1], pa.int32()))
+    w("supplier",
+      s_suppkey=pa.array([5, 6], pa.int64()),
+      s_nationkey=pa.array([0, 1], pa.int32()))
+    w("part", p_partkey=pa.array([100, 101, 102], pa.int64()))
+    w("orders",
+      o_orderkey=pa.array([1, 2, 3, 4], pa.int64()),
+      o_custkey=pa.array([10, 11, 99, 12], pa.int64()))  # 99 dangles
+    w("lineitem",
+      l_orderkey=pa.array([1, 1, 2, 3, 7], pa.int64()),        # 7 dangles
+      l_partkey=pa.array([100, 777, 778, 101, 102], pa.int64()),  # 2 dangle
+      l_suppkey=pa.array([5, 6, 5, 6, 5], pa.int64()))
+    w("events",
+      user_id=pa.array([10, 11, 555, None, 12], pa.int64()))  # 555 + NULL dangle
+
+
+def test_fk_integrity_audit_planted(tmp_path):
+    """The all-edges audit reports the exact planted violation counts,
+    including the NULL probe key (SQL NOT EXISTS keeps it)."""
+    from ndap_data_validator_ray.pipelines.queries import fk_integrity_audit
+
+    _write_star_fixture(tmp_path)
+    out = fk_integrity_audit(str(tmp_path))
+    got = dict(zip(out["fk"], out["violations"]))
+    assert got == {
+        "customer.c_nationkey->nation": 0,
+        "events.user_id->customer": 2,     # 555 and NULL
+        "lineitem.l_orderkey->orders": 1,  # order 7
+        "lineitem.l_partkey->part": 2,     # 777, 778
+        "lineitem.l_suppkey->supplier": 0,
+        "orders.o_custkey->customer": 1,   # cust 99
+        "supplier.s_nationkey->nation": 0,
+    }
+    assert list(out["fk"]) == sorted(out["fk"])  # oracle ORDER BY fk parity
+
+
+def test_copurchase_lift_planted(tmp_path):
+    """Planted baskets with hand-computed lift, duplicate lineitem rows
+    (must dedup to DISTINCT order-part pairs), tiny row groups to force
+    multi-block exchanges, and the min-support gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ndap_data_validator_ray.pipelines.queries as q
+
+    # parts 1,2 co-occur in orders 1,2,3 (support 3); parts 1,3 in order 1
+    # only (below support); part 9 alone in order 4.
+    rows = [
+        (1, 1), (1, 2), (1, 3), (1, 1),  # dup (1,1) must not double-count
+        (2, 1), (2, 2),
+        (3, 2), (3, 1),
+        (4, 9),
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"), row_group_size=2)
+    out = q.copurchase_lift_parts(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    # n_orders=4, cnt(1)=3, cnt(2)=3, pair=3 -> lift = 3*4/(3*3)
+    assert (r["part_a"], r["part_b"], r["pair_cnt"], r["cnt_a"], r["cnt_b"]) == (1, 2, 3, 3, 3)
+    assert r["lift"] == round(3 * 4 / 9, 6)
+
+
+def test_chi2_planted_zero_cell(tmp_path):
+    """A (status x priority) grid with a structurally EMPTY cell: the
+    statistic must include the zero-observed term (obs=0 contributes
+    exp), matching the direct full-grid numpy computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import chi2_status_priority
+
+    status = ["A"] * 6 + ["B"] * 4
+    prio = ["p1", "p1", "p1", "p2", "p2", "p2", "p1", "p1", "p1", "p1"]  # B-p2 empty
+    tbl = pa.table(
+        {
+            "o_orderstatus": pa.array(status, pa.string()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"), row_group_size=3)
+    out = chi2_status_priority(str(tmp_path))
+    obs = np.array([[3.0, 3.0], [4.0, 0.0]])
+    n = obs.sum()
+    exp = obs.sum(1)[:, None] * obs.sum(0)[None, :] / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert out.iloc[0]["n"] == 10
+    assert out.iloc[0]["dof"] == 1
+    assert out.iloc[0]["chi2"] == round(float(chi2), 6)
+    assert out.iloc[0]["cramers_v"] == round(float(np.sqrt(chi2 / n)), 6)
+
+
+def test_welch_ttest_planted(tmp_path):
+    """Welch t / dof match the textbook two-sample formulas on planted
+    groups with unequal variance and unequal n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import welch_ttest_price_returnflag
+
+    a = np.array([10.0, 12.0, 11.0, 13.0, 9.0])
+    b = np.array([20.0, 28.0, 24.0, 30.0, 22.0, 26.0, 21.0])
+    tbl = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * len(a) + ["R"] * len(b), pa.string()),
+            "l_extendedprice": pa.array(np.r_[a, b], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"), row_group_size=3)
+    out = welch_ttest_price_returnflag(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    sea, seb = va / len(a), vb / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1))
+    assert (row["flag_a"], row["flag_b"], row["n_a"], row["n_b"]) == ("A", "R", 5, 7)
+    assert abs(row["t_stat"] - t) < 1e-6
+    assert abs(row["welch_dof"] - dof) < 1e-6
+
+
+def test_rfm_segments_planted(tmp_path):
+    """RFM tiles on a planted 10-customer fixture match DuckDB's NTILE
+    twin exactly (recency/frequency/monetary each tie-broken on
+    custkey), and segment counts fold correctly."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ndap_data_validator_ray.pipelines.queries as q
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for cust in range(10):
+        for k in range(int(rng.integers(1, 5))):
+            rows.append(
+                (
+                    len(rows),
+                    cust,
+                    np.datetime64("2024-01-01", "us") + np.timedelta64(int(rng.integers(0, 400)), "D"),
+                    float(np.round(rng.uniform(10, 5000), 2)),
+                )
+            )
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"), row_group_size=3)
+    got = q.rfm_segmentation_customers(str(tmp_path))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/orders.parquet')")
+    want = con.sql(q.REGISTRY["rfm_segmentation_customers"][1]).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want)
+    assert got["n_customers"].sum() == 10
+
+
+def test_ewma_planted_spike(tmp_path):
+    """EWMA replay on a planted level series with one 5x day: the spike
+    flags exactly that day (threshold 25% of the running smooth) and the
+    smoothed series follows the alpha=1/8 recurrence."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import ewma_daily_revenue
+
+    prices = [100.0] * 20 + [500.0] + [100.0] * 9
+    dates = np.arange(30, dtype=np.int64).astype("datetime64[D]").astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "o_orderdate": pa.array(dates),
+            "o_totalprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"), row_group_size=4)
+    out = ewma_daily_revenue(str(tmp_path))
+    assert len(out) == 30
+    x = np.round(np.array(prices) * 100).astype(np.int64).astype(np.float64)
+    s, prev = [x[0]], x[0]
+    spikes = [False]
+    for i in range(1, 30):
+        spikes.append(abs(x[i] - prev) > 0.25 * prev)
+        prev = 0.125 * x[i] + 0.875 * prev
+        s.append(prev)
+    np.testing.assert_allclose(out["ewma"].to_numpy(), np.round(np.array(s) / 100.0, 2))
+    got_spikes = out["spike"].to_numpy()
+    np.testing.assert_array_equal(got_spikes, np.array(spikes))
+    # up-spike day flags; the drop-back flags persist only while the
+    # smooth decays back within 25% of the old level (alpha=1/8 -> a few
+    # days), then clear
+    assert got_spikes[20] and got_spikes[21]
+    assert not got_spikes[:20].any() and not got_spikes[26:].any()
