@@ -8769,7 +8769,196 @@ FROM idx JOIN e USING (i) ORDER BY day
 """
 
 
+def kmv_distinct_parts_by_flag(sf_dir: str) -> pd.DataFrame:
+    """KMV / bottom-k distinct sketch with a FULL cross-engine value
+    oracle — the fourth member of the value-oracled sketch family
+    (``cms_part_counts`` / ``hll_distinct_users_by_type`` /
+    ``bloom_false_positives_customers``): per return flag, keep the k=256
+    smallest distinct md5-twin hashes of l_partkey; the estimator is
+    ``(k-1) / theta`` where theta is the k-th smallest hash normalized to
+    [0,1) (Bar-Yossef et al. 2002).  DuckDB recomputes the SKETCH STATE
+    verbatim (ROW_NUMBER over the same hashes), so the estimate itself is
+    value-pinned — and when a flag holds fewer than k distinct keys the
+    sketch degrades to the EXACT count on both sides (exercised at
+    sf0.001, where each flag has < 256 parts; sf0.01+ takes the estimator
+    branch).  Float determinism is trivial here: the k-th hash is an
+    exact uint64, both engines cast it to double once (single rounding)
+    and evaluate the identical one-division expression — no accumulation
+    order anywhere.  Distributed shape: bottom-k is a mergeable fold over
+    a FIXED k-row space, so per-block partials are <= 3*256 rows and fold
+    on the driver (the sketch-family no-shuffle rule); only the exact
+    COUNT(DISTINCT) comparison column pays a bucketed exchange (bucketed
+    on l_partkey so per-bucket distinct counts are disjoint and sum)."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    K = 256
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna().drop_duplicates()
+        h = md5_lower64_batch(b["l_partkey"].astype(np.int64).astype(str).to_numpy())
+        df = pd.DataFrame({"flag": b["l_returnflag"].to_numpy(), "hv": h}).drop_duplicates()
+        return df.groupby("flag", group_keys=False).apply(
+            lambda g: g.nsmallest(K, "hv"), include_groups=True
+        ).reset_index(drop=True)
+
+    sk = (
+        ds.map_batches(sketch_partial, batch_format="pandas")
+        .to_pandas()  # <= 3*K rows per block: driver fold, no shuffle
+        .drop_duplicates()
+        .groupby("flag", group_keys=False)
+        .apply(lambda g: g.nsmallest(K, "hv"), include_groups=True)
+        .reset_index(drop=True)
+    )
+    rows = []
+    for flag, g in sk.groupby("flag"):
+        nd = len(g)
+        if nd < K:
+            est = float(nd)  # sketch not full -> exact by construction
+        else:
+            hk = int(g["hv"].max())  # k-th smallest overall
+            est = (K - 1.0) * 18446744073709551616.0 / float(hk)
+        rows.append((flag, est))
+    est_df = pd.DataFrame(rows, columns=["l_returnflag", "kmv_est"])
+    est_df["kmv_est"] = _r6(est_df["kmv_est"])
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def exact_merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.drop_duplicates().groupby("l_returnflag").size()
+        return pd.DataFrame(
+            {"l_returnflag": g.index.to_numpy(), "n_exact": g.to_numpy().astype(np.int64)}
+        )
+
+    exact = (
+        bucketed_groupby(ds, ["l_partkey"], exact_partial, exact_merge, n_buckets=16)
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)["n_exact"]
+        .sum()
+    )
+    exact["n_exact"] = exact["n_exact"].astype(np.int64)
+    out = exact.merge(est_df, on="l_returnflag")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_KMV_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_returnflag AS flag, l_partkey
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL
+),
+h AS (
+  SELECT DISTINCT flag, md5_number_lower(CAST(l_partkey AS VARCHAR)) AS hv FROM pairs
+),
+rk AS (
+  SELECT flag, hv, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS r FROM h
+),
+sk AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS nd,
+         MAX(CASE WHEN r = 256 THEN hv END) AS hk
+  FROM rk WHERE r <= 256 GROUP BY flag
+),
+ex AS (
+  SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL GROUP BY 1
+)
+SELECT s.flag AS l_returnflag, ex.n_exact,
+       ROUND(CASE WHEN s.nd < 256 THEN CAST(s.nd AS DOUBLE)
+                  ELSE 255.0 * 18446744073709551616.0 / CAST(s.hk AS DOUBLE) END, 6) AS kmv_est
+FROM sk s JOIN ex ON ex.flag = s.flag
+ORDER BY s.flag
+"""
+
+
+def customer_spend_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-customer linear spend trend (OLS slope of order value over
+    time) — grouped regression at key cardinality too high for a driver
+    fold.  Distributed shape: per-batch Arrow-groupby moment partials
+    (n, Σt, Σy, Σt², Σty — all EXACT int64: t is epoch day, y is integer
+    cents) ride ONE bucketed exchange on o_custkey (`sum_by_key`), and
+    the closed-form slope finalizes vectorized inside the post-exchange
+    map — the driver only collects the finished rows.  Cross-engine
+    float determinism: both engines cast the five exact integer moments
+    to double individually and evaluate the IDENTICAL expression
+    ``(n·Σty − Σt·Σy) / (n·Σt² − Σt²)`` — two products, one subtraction,
+    one division, no accumulation order anywhere (the int64 sums
+    themselves are exact and < 2^53 at any plausible per-customer order
+    count).  Degenerate groups (all orders the same day) are excluded by
+    an exact INTEGER zero-check of the denominator, never a float
+    compare; customers need n >= 5 orders."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def moment_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        t = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        y = np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].to_numpy(np.int64),
+                "n": np.int64(1), "st": t, "sy": y, "stt": t * t, "sty": t * y,
+            }
+        )
+        return df.groupby("o_custkey", as_index=False).sum()
+
+    moments = sum_by_key(
+        orders.map_batches(moment_partial, batch_format="pandas"),
+        ["o_custkey"], ["n", "st", "sy", "stt", "sty"],
+        n_buckets=32, partial_format="pandas",
+    )
+
+    def finalize(p: pd.DataFrame) -> pd.DataFrame:
+        n = p["n"].to_numpy(np.int64)
+        st = p["st"].to_numpy(np.int64)
+        sy = p["sy"].to_numpy(np.int64)
+        stt = p["stt"].to_numpy(np.int64)
+        sty = p["sty"].to_numpy(np.int64)
+        keep = (n >= 5) & (n * stt - st * st != 0)  # exact integer guard
+        nf, stf, syf = n.astype(np.float64), st.astype(np.float64), sy.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (nf * sty.astype(np.float64) - stf * syf) / (
+                nf * stt.astype(np.float64) - stf * stf
+            )
+        return pd.DataFrame(
+            {
+                "o_custkey": p["o_custkey"].to_numpy(np.int64)[keep],
+                "n_orders": n[keep],
+                "slope_cents_per_day": _r6(slope[keep]),
+            }
+        )
+
+    out = moments.map_batches(finalize, batch_format="pandas").to_pandas()
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_SPEND_TREND_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS stt, CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM (
+    SELECT o_custkey,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t,
+           CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS y
+    FROM orders
+    WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  ) GROUP BY 1
+)
+SELECT o_custkey, n AS n_orders,
+       ROUND((CAST(n AS DOUBLE) * CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)),
+             6) AS slope_cents_per_day
+FROM m WHERE n >= 5 AND n * stt - st * st <> 0
+ORDER BY o_custkey
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "kmv_distinct_parts_by_flag": (kmv_distinct_parts_by_flag, _KMV_SQL),
+    "customer_spend_trend": (customer_spend_trend, _SPEND_TREND_SQL),
     "fk_integrity_audit": (fk_integrity_audit, _FK_AUDIT_SQL),
     "copurchase_lift_parts": (copurchase_lift_parts, _COPURCHASE_SQL),
     "chi2_status_priority": (chi2_status_priority, _CHI2_SQL),
