@@ -8956,7 +8956,288 @@ ORDER BY o_custkey
 """
 
 
+def copurchase_kcore_parts(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition of the part co-purchase graph — the density /
+    community filter next to the other graph ops (components, PageRank,
+    triangles): parts co-occurring in an order are linked, and the k-core
+    keeps the maximal subgraph where every part still has >= k co-purchase
+    partners.  Engine: ``stages/kcore.k_core`` — synchronized parallel
+    peeling, one degree exchange + one guarded degree attach per round,
+    nothing graph-sized on the driver; k derives from the initial degree
+    distribution as the EXACT 5th-percentile order statistic (1-based rank
+    ``(n_nodes + 19) // 20`` — pure integer so the SQL twin reproduces it
+    verbatim; computed from a count-of-counts histogram, never a sorted
+    node list).  The DuckDB oracle unrolls 24 peeling rounds statically
+    (idempotent once converged; the engine asserts convergence within the
+    same budget — measured depth 3/5/10 at sf0.001/0.01/0.1).  Edge build:
+    per-order distinct parts self-joined inside ONE bucketed exchange on
+    l_orderkey (<= C(7,2) pairs per order, vectorized merge per bucket)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.kcore import k_core
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    edges = bucketed_groupby(li, ["l_orderkey"], partial, pairs).materialize()
+    core, k, _rounds = k_core(edges)
+    out = core.rename(columns={"node": "l_partkey"})
+    return out.assign(k_threshold=np.full(len(out), k, dtype=np.int64))
+
+
+def _kcore_sql(rounds: int = 24) -> str:
+    """Static unrolled peeling twin (see copurchase_kcore_parts): each
+    round recomputes degrees and drops edges with a sub-k endpoint; extra
+    rounds after convergence are no-ops, so a fixed budget >= the true
+    peeling depth is exact."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and d{i} is
+    # referenced twice per round -> the inlined plan (and the base scan
+    # count) would grow EXPONENTIALLY in the round budget
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n"
+        "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),\n"
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,\n"
+        "         GREATEST(a.l_partkey, b.l_partkey) AS v\n"
+        "       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey\n"
+        "        AND a.l_partkey < b.l_partkey),\n"
+        "d0 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM\n"
+        "  (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),\n"
+        "kq AS MATERIALIZED (SELECT deg AS k FROM\n"
+        "  (SELECT deg, ROW_NUMBER() OVER (ORDER BY deg) AS rn FROM d0)\n"
+        "  WHERE rn = (SELECT (COUNT(*) + 19) // 20 FROM d0))"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e\n"
+            f"  JOIN d{i} a ON a.node = e.u JOIN d{i} b ON b.node = e.v, kq\n"
+            f"  WHERE a.deg >= kq.k AND b.deg >= kq.k)"
+        )
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM\n"
+            f"  (SELECT u AS node FROM e{i + 1} UNION ALL SELECT v FROM e{i + 1}) GROUP BY 1)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT d.node AS l_partkey, d.deg AS core_deg, CAST(kq.k AS BIGINT) AS k_threshold\n"
+        f"FROM d{rounds} d, kq ORDER BY 1"
+    )
+
+
+_KCORE_SQL = _kcore_sql(24)
+
+
+def mannwhitney_price_returnflag(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney U rank-sum test of l_extendedprice between return
+    flags A and R — the nonparametric two-sample op next to Welch / chi2 /
+    KS, and the one that exercises GLOBAL tie-averaged ranking (Welch
+    needs only moments; ranks need a total order over the whole column).
+    Distributed shape: the shared range partitioner (``stages/sort.
+    _RangePlan`` — the global_rank machinery) keeps equal values in ONE
+    partition, a count pass gives exact per-partition prefix offsets, and
+    each reducer folds its value range to a single partial row of EXACT
+    int64 statistics: Σ over group-A rows of (2 × tie-averaged rank)
+    (integer because 2·avgrank = 2·rows_before + ties + 1), Σ(t³ − t) for
+    the tie correction (Python-int per run — immune to int64 overflow on
+    mega-ties), and group counts.  The driver folds n_pids rows with
+    Python ints (the SQL twin uses HUGEINT — same unbounded-exact
+    posture), then z evaluates ONE float expression from exact integers —
+    bit-identical cross-engine (no accumulation order anywhere; prices
+    quantized to integer cents on both sides)."""
+    from ndap_data_validator_ray.stages.sort import _RangePlan
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        b = b[b["l_returnflag"].isin(["A", "R"])]
+        return pd.DataFrame(
+            {
+                "v": np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64),
+                "ga": (b["l_returnflag"].to_numpy() == "A").astype(np.int64),
+            }
+        )
+
+    x = ds.map_batches(prep, batch_format="pandas").materialize()
+    plan = _RangePlan(x, ["v"], None, None, 64)
+    if plan.empty:
+        return pd.DataFrame(
+            {"n_a": pd.Series([], dtype=np.int64), "n_b": pd.Series([], dtype=np.int64),
+             "u_a": pd.Series([], dtype=np.float64), "z": pd.Series([], dtype=np.float64)}
+        )
+    pid_of = plan.make_pid_of()
+    n_pids = plan.n_pids
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(pid_of(batch), minlength=n_pids)
+        return pd.DataFrame({"pid": np.arange(len(c), dtype=np.int64), "n": c.astype(np.int64)})
+
+    counts = plan.fold_partials(count_partial, "n")
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    off_ref = ray.put(offsets)
+
+    def rank_stats(group: pd.DataFrame, pid: int) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        v = group["v"].to_numpy(np.int64)
+        ga = group["ga"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        c = np.diff(np.r_[starts, len(v)]).astype(np.int64)
+        ca = np.add.reduceat(ga, starts).astype(np.int64)
+        tworank = 2 * (offs[pid] + starts.astype(np.int64)) + c + 1
+        ties = sum(int(ci) ** 3 - int(ci) for ci in c)  # Python int: no t^3 overflow
+        return pd.DataFrame(
+            {
+                "s2a": [int((ca * tworank).sum())],
+                "ties": [ties],
+                "na": [int(ga.sum())],
+                "n": [len(v)],
+            }
+        )
+
+    p = plan.shuffle_fold(rank_stats).to_pandas()
+    s2a = sum(int(t) for t in p["s2a"])  # Python-int fold (HUGEINT twin)
+    ties = sum(int(t) for t in p["ties"])
+    na = int(p["na"].sum())
+    nn = int(p["n"].sum())
+    nb = nn - na
+    na_f, nb_f, nn_f = float(na), float(nb), float(nn)
+    u_a = float(s2a) / 2.0 - na_f * (na_f + 1.0) / 2.0
+    mu = na_f * nb_f / 2.0
+    var = na_f * nb_f / 12.0 * ((nn_f + 1.0) - float(ties) / (nn_f * (nn_f - 1.0)))
+    z = (u_a - mu) / np.sqrt(var)
+    return pd.DataFrame(
+        {"n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+         "u_a": [round(u_a, 6)], "z": [round(float(z), 6)]}
+    )
+
+
+_MANNWHITNEY_SQL = """
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS v,
+         CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ga
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R') AND l_extendedprice IS NOT NULL
+),
+vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(ga) AS BIGINT) AS ca
+  FROM x GROUP BY v
+),
+r AS (
+  SELECT c, ca,
+         2 * (SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+           + c + 1 AS tworank
+  FROM vc
+),
+s AS (
+  SELECT CAST(SUM(CAST(ca AS HUGEINT) * CAST(tworank AS HUGEINT)) AS HUGEINT) AS s2a,
+         CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties,
+         CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(c - ca) AS BIGINT) AS nb
+  FROM r
+)
+SELECT na AS n_a, nb AS n_b,
+  ROUND(CAST(s2a AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0,
+        6) AS u_a,
+  ROUND((CAST(s2a AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+         - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+        / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+               ((CAST(na + nb AS DOUBLE) + 1.0)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))),
+        6) AS z
+FROM s
+"""
+
+
+def inter_order_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-customer inter-order gap statistics (median / max days between
+    consecutive orders) — the LAG-then-aggregate shape: a within-group
+    windowed difference feeding a grouped quantile, all inside ONE
+    bucketed exchange on o_custkey (each reducer sorts ITS customers by
+    (date, orderkey) — a total order, so same-day orders give
+    deterministic zero gaps — diffs epoch days, and finalizes exact
+    percentiles locally).  Median uses the linear-interpolation form that
+    matches SQL PERCENTILE_CONT bit-for-bit (the customer_order_p90
+    convention); gaps are exact int64 days, so only the interpolated
+    midpoint can be fractional (.5 steps — round-6 on both sides).
+    Customers need >= 4 orders (>= 3 gaps)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def gaps(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.dropna().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rows = []
+        for ck, g in part.groupby("o_custkey", sort=False):
+            if len(g) < 4:
+                continue
+            d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            gp = np.diff(d)
+            gs = np.sort(gp)
+            # PERCENTILE_CONT(0.5): v_lo + frac * (v_hi - v_lo)
+            pos = 0.5 * (len(gs) - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            med = float(gs[lo]) + (pos - lo) * (float(gs[hi]) - float(gs[lo]))
+            rows.append((int(ck), len(g), med, int(gs[-1])))
+        if not rows:
+            return pd.DataFrame(
+                {"o_custkey": pd.Series([], dtype=np.int64),
+                 "n_orders": pd.Series([], dtype=np.int64),
+                 "median_gap_days": pd.Series([], dtype=np.float64),
+                 "max_gap_days": pd.Series([], dtype=np.int64)}
+            )
+        out = pd.DataFrame(rows, columns=["o_custkey", "n_orders", "median_gap_days", "max_gap_days"])
+        out["median_gap_days"] = _r6(out["median_gap_days"])
+        return out
+
+    out = (
+        bucketed_groupby(orders, ["o_custkey"], lambda b: b.dropna(), gaps)
+        .to_pandas()
+    )
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["max_gap_days"] = out["max_gap_days"].astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_INTER_ORDER_GAP_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+),
+g AS (
+  SELECT o_custkey,
+         CAST(d - LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS BIGINT) AS gap
+  FROM o
+)
+SELECT o_custkey,
+       CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY gap), 6) AS median_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY o_custkey
+HAVING COUNT(*) >= 3
+ORDER BY o_custkey
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
+    "mannwhitney_price_returnflag": (mannwhitney_price_returnflag, _MANNWHITNEY_SQL),
+    "inter_order_gap_stats": (inter_order_gap_stats, _INTER_ORDER_GAP_SQL),
     "kmv_distinct_parts_by_flag": (kmv_distinct_parts_by_flag, _KMV_SQL),
     "customer_spend_trend": (customer_spend_trend, _SPEND_TREND_SQL),
     "fk_integrity_audit": (fk_integrity_audit, _FK_AUDIT_SQL),

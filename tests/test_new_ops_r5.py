@@ -1880,3 +1880,104 @@ def test_ewma_planted_spike(tmp_path):
     # days), then clear
     assert got_spikes[20] and got_spikes[21]
     assert not got_spikes[:20].any() and not got_spikes[26:].any()
+
+
+# --- k-core peeling (stages/kcore.py) ----------------------------------------
+
+def _edges_ds(pairs):
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"]).astype(np.int64)
+    return ray.data.from_pandas(df).repartition(3)
+
+
+def test_kcore_planted_clique_survives_chain_peels():
+    """4-clique + pendant chain at k=3: only the clique survives, every
+    member at core degree 3; the chain (and the attachment point's extra
+    degree) peels away."""
+    from ndap_data_validator_ray.stages.kcore import k_core
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    core, k, rounds = k_core(_edges_ds(clique + chain), k=3, n_buckets=4)
+    assert k == 3 and rounds >= 1
+    assert core["node"].tolist() == [1, 2, 3, 4]
+    assert core["core_deg"].tolist() == [3, 3, 3, 3]
+
+
+def test_kcore_empty_core_and_max_rounds():
+    """A path graph has an empty 2-core... (every peel exposes new leaves)
+    and long paths exceed a tiny round budget -> hard RuntimeError, never
+    a silent partial answer."""
+    from ndap_data_validator_ray.stages.kcore import k_core
+
+    path = [(i, i + 1) for i in range(12)]
+    core, k, rounds = k_core(_edges_ds(path), k=2, n_buckets=4, max_rounds=24)
+    assert core.empty and rounds >= 1
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        k_core(_edges_ds([(i, i + 1) for i in range(30)]), k=2, n_buckets=4, max_rounds=3)
+
+
+def test_kcore_quantile_rule_matches_order_statistic():
+    """k_from_degree_quantile reads the EXACT rn-th smallest degree off the
+    count-of-counts histogram (rn = (n + 19) // 20, 1-based)."""
+    from ndap_data_validator_ray.stages.kcore import k_from_degree_quantile
+
+    # degrees: 3 x 1, 5 x 4, 2 x 9  (n = 10, rn = 1 -> smallest = 1)
+    hist = pd.DataFrame({"deg": [1, 4, 9], "n": [3, 5, 2]})
+    assert k_from_degree_quantile(hist, lambda n: (n + 19) // 20) == 1
+    # rank 4 lands inside the deg=4 run
+    assert k_from_degree_quantile(hist, lambda n: 4) == 4
+    # rank exactly at the run boundary (3) is still deg=1
+    assert k_from_degree_quantile(hist, lambda n: 3) == 1
+    assert k_from_degree_quantile(hist, lambda n: 10) == 9
+
+
+# --- Mann-Whitney U (global tie-averaged ranks) -------------------------------
+
+def test_mannwhitney_matches_pandas_rank_reference():
+    """The range-partitioned count-of-counts rank fold equals the direct
+    pandas method='average' rank computation (independent of the DuckDB
+    oracle's window-function formulation)."""
+    from ndap_data_validator_ray.pipelines.queries import mannwhitney_price_returnflag
+
+    got = mannwhitney_price_returnflag(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"])
+    li = li.dropna()
+    li = li[li["l_returnflag"].isin(["A", "R"])]
+    v = np.round(li["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+    is_a = li["l_returnflag"].to_numpy() == "A"
+    ranks = pd.Series(v).rank(method="average").to_numpy()
+    na, nb = int(is_a.sum()), int((~is_a).sum())
+    nn = na + nb
+    ra = float(ranks[is_a].sum())
+    u_a = ra - na * (na + 1) / 2.0
+    _, t = np.unique(v, return_counts=True)
+    ties = float((t.astype(object) ** 3 - t).sum())
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    z = (u_a - mu) / np.sqrt(var)
+    assert int(got["n_a"].iloc[0]) == na and int(got["n_b"].iloc[0]) == nb
+    assert abs(got["u_a"].iloc[0] - u_a) < 1e-6 * max(1.0, abs(u_a))
+    assert abs(got["z"].iloc[0] - z) < 1e-6
+
+
+# --- inter-order gaps ---------------------------------------------------------
+
+def test_inter_order_gaps_match_pandas():
+    from ndap_data_validator_ray.pipelines.queries import inter_order_gap_stats
+
+    got = inter_order_gap_stats(SF)
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    o = o.dropna().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    rows = []
+    for ck, g in o.groupby("o_custkey"):
+        if len(g) < 4:
+            continue
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        gp = np.diff(d)
+        rows.append((int(ck), len(g), float(np.percentile(gp, 50)), int(gp.max())))
+    want = pd.DataFrame(rows, columns=["o_custkey", "n_orders", "median_gap_days", "max_gap_days"])
+    want = want.sort_values("o_custkey").reset_index(drop=True)
+    assert got["o_custkey"].tolist() == want["o_custkey"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    np.testing.assert_allclose(got["median_gap_days"], np.round(want["median_gap_days"], 6))
+    assert got["max_gap_days"].tolist() == want["max_gap_days"].tolist()
