@@ -9234,8 +9234,215 @@ ORDER BY o_custkey
 """
 
 
+def _exact_cluster_components(sf_dir: str):
+    """Shared near-dup cluster map for the composition queries below: the
+    doc_id % 3 subset's exact word-3-gram Jaccard >= 0.5 pair graph (the
+    ``ngram_jaccard_exact_documents`` pair set verbatim), components via
+    ``stages/cc.py`` with ``nodes=`` the full subset — isolated docs are
+    their own cluster, matching the SQL twin's LEFT JOIN onto the
+    reachability CTE.  Returns (subset Dataset, components Dataset of
+    (node, component)); the cap guard resolves driver-vs-rounds (the
+    distributed rounds themselves are value-pinned by
+    ``near_dup_clusters_exact``)."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.dedup_near import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 3 == 0)), batch_format="pyarrow"
+    ).materialize()
+    pairs = exact_jaccard_pairs(sub, "text", "doc_id", n=3, threshold=0.5, tiles=4)
+    if pairs.empty:
+        pairs = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=np.int64), "id_b": pd.Series([], dtype=np.int64)}
+        )
+    edges = ray.data.from_pandas(pairs[["id_a", "id_b"]].reset_index(drop=True))
+    comp = distributed_connected_components(
+        edges, nodes=sub.select_columns(["doc_id"]), node_col="doc_id"
+    )
+    return sub, comp
+
+
+# the shared oracle prefix: subset -> 3-gram sets -> exact-Jaccard pairs ->
+# recursive reachability -> per-doc cluster rep (isolated docs = self)
+_EXACT_CLUSTER_CTE = """
+WITH RECURSIVE sub AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id % 3 = 0
+), grams AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= 3
+      THEN list_distinct(list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')))
+      WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+      ELSE [''] END AS g
+  FROM sub
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        / GREATEST(1, len(list_distinct(list_concat(a.g, b.g)))) >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT u AS node, v AS r FROM edges
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN edges e ON e.u = reach.r
+), rep AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS cluster_rep FROM reach GROUP BY node
+), allrep AS (
+  SELECT s.doc_id, COALESCE(r.cluster_rep, s.doc_id) AS cluster_rep
+  FROM sub s LEFT JOIN rep r USING (doc_id)
+)"""
+
+
+def leakage_safe_split_documents(sf_dir: str) -> pd.DataFrame:
+    """GROUP-AWARE train/val/test split — the leakage-safe variant of
+    ``train_val_test_split_documents``: near-duplicate documents must
+    never straddle a split (a test doc whose near-dup sits in train is
+    eval contamination), so the md5 split key is the doc's near-dup
+    CLUSTER representative, not the doc id — every cluster lands whole in
+    one split by construction.  Composition: the exact-Jaccard pair graph
+    -> distributed CC (``_exact_cluster_components``; isolated docs are
+    their own singleton cluster) -> ``md5(cluster_rep) % 100`` with the
+    80/10/10 thresholds of the plain split.  Distributed shape: the
+    per-doc split is a pure function of the component label (one streaming
+    pass, <= 3 partial rows per block); the distinct-cluster count per
+    split rides ONE bucketed exchange on the component (per-bucket dedup,
+    <= 3 rows per bucket to the driver) — the cluster set itself never
+    lands on the driver.  Fully value-oracled via the md5_number_lower
+    twin on top of the reachability-CTE cluster map."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    _sub, comp = _exact_cluster_components(sf_dir)
+    comp = comp.materialize()
+
+    def split_of(component: np.ndarray) -> np.ndarray:
+        h = md5_lower64_batch(component.astype(np.int64).astype(str)) % np.uint64(100)
+        return np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+
+    def doc_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame({"split": split_of(b["component"].to_numpy())})
+        g = df.groupby("split").size()
+        return pd.DataFrame({"split": g.index.to_numpy(), "n_docs": g.to_numpy(np.int64)})
+
+    docs = (
+        comp.map_batches(doc_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("split", as_index=False)["n_docs"]
+        .sum()
+    )
+
+    def comp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["component"]].drop_duplicates()
+
+    def comp_merge(g: pd.DataFrame) -> pd.DataFrame:
+        comps = g[["component"]].drop_duplicates()["component"].to_numpy()
+        s = pd.Series(split_of(comps)).value_counts()
+        return pd.DataFrame({"split": s.index.to_numpy(), "n_clusters": s.to_numpy(np.int64)})
+
+    clusters = (
+        bucketed_groupby(comp, ["component"], comp_partial, comp_merge)
+        .to_pandas()
+        .groupby("split", as_index=False)["n_clusters"]
+        .sum()
+    )
+    out = docs.merge(clusters, on="split")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out.sort_values("split").reset_index(drop=True)
+
+
+_LEAKAGE_SPLIT_SQL = _EXACT_CLUSTER_CTE + """
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters
+FROM (
+  SELECT cluster_rep,
+    CASE WHEN md5_number_lower(CAST(cluster_rep AS VARCHAR)) % 100 < 80 THEN 'train'
+         WHEN md5_number_lower(CAST(cluster_rep AS VARCHAR)) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM allrep
+) GROUP BY split ORDER BY split
+"""
+
+
+def cluster_best_survivor_documents(sf_dir: str) -> pd.DataFrame:
+    """Quality-ranked dedup survivors — keep-BEST per near-dup cluster
+    instead of the curation funnel's keep-lowest-id: the survivor is the
+    member with the most content (max n_chars, doc_id as the
+    deterministic tie-break), the policy a production corpus dedup
+    actually wants (min-id can keep a truncated crawl of a page over the
+    full one).  Composition: the shared exact-Jaccard cluster map ->
+    n_chars attached via the guarded broadcast/join
+    (``stages/broadcast.attach_or_join``) -> per-cluster argmax + member
+    count in ONE bucketed exchange on the component (per-batch
+    lexicographic-argmax partials — (n_chars DESC, doc_id ASC) —
+    are mergeable, the TPC-H Q2 pattern; comparisons only, no float
+    arithmetic).  O(clusters) finished rows reach the driver."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    sub, comp = _exact_cluster_components(sf_dir)
+    with_chars = attach_or_join(
+        comp,
+        sub.select_columns(["doc_id", "n_chars"]).map_batches(
+            lambda b: b.rename(columns={"doc_id": "node"}), batch_format="pandas"
+        ),
+        on_fact="node",
+        on_side="node",
+        attach_cols=["n_chars"],
+    )
+
+    def argmax_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n_members=np.int64(1))
+        # lexicographic best: max n_chars, then min doc_id — sort then head
+        return (
+            b.sort_values(["component", "n_chars", "node"], ascending=[True, False, True])
+            .groupby("component", as_index=False)
+            .agg(survivor_id=("node", "first"), survivor_chars=("n_chars", "first"),
+                 n_members=("n_members", "sum"))
+        )
+
+    def argmax_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(
+                ["component", "survivor_chars", "survivor_id"], ascending=[True, False, True]
+            )
+            .groupby("component", as_index=False)
+            .agg(survivor_id=("survivor_id", "first"), survivor_chars=("survivor_chars", "first"),
+                 n_members=("n_members", "sum"))
+        )
+
+    out = (
+        bucketed_groupby(with_chars, ["component"], argmax_partial, argmax_merge)
+        .to_pandas()
+        .rename(columns={"component": "cluster_rep"})
+    )
+    for c in ("cluster_rep", "survivor_id", "survivor_chars", "n_members"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["cluster_rep", "survivor_id", "survivor_chars", "n_members"]]
+        .sort_values("cluster_rep")
+        .reset_index(drop=True)
+    )
+
+
+_CLUSTER_SURVIVOR_SQL = _EXACT_CLUSTER_CTE + """
+SELECT cluster_rep, survivor_id, survivor_chars, n_members FROM (
+  SELECT a.cluster_rep, d.doc_id AS survivor_id,
+         CAST(d.n_chars AS BIGINT) AS survivor_chars,
+         CAST(COUNT(*) OVER (PARTITION BY a.cluster_rep) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY a.cluster_rep
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM allrep a JOIN documents d USING (doc_id)
+) WHERE rn = 1 ORDER BY cluster_rep
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
+    "leakage_safe_split_documents": (leakage_safe_split_documents, _LEAKAGE_SPLIT_SQL),
+    "cluster_best_survivor_documents": (cluster_best_survivor_documents, _CLUSTER_SURVIVOR_SQL),
     "mannwhitney_price_returnflag": (mannwhitney_price_returnflag, _MANNWHITNEY_SQL),
     "inter_order_gap_stats": (inter_order_gap_stats, _INTER_ORDER_GAP_SQL),
     "kmv_distinct_parts_by_flag": (kmv_distinct_parts_by_flag, _KMV_SQL),

@@ -1981,3 +1981,62 @@ def test_inter_order_gaps_match_pandas():
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     np.testing.assert_allclose(got["median_gap_days"], np.round(want["median_gap_days"], 6))
     assert got["max_gap_days"].tolist() == want["max_gap_days"].tolist()
+
+
+# --- cluster-composition queries (leakage-safe split, keep-best survivor) ----
+
+def _write_planted_docs(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # clusters by EXACT duplicate text: {0,3,6}, {9,12}, singleton {15}
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([0, 3, 6, 9, 12, 15], dtype=np.int64),
+            "text": [
+                "a b c d e f", "a b c d e f", "a b c d e f",
+                "x y z w q", "x y z w q",
+                "solo doc words here",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": np.array([10, 99, 99, 5, 5, 7], dtype=np.int64),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), str(tmp_path / "documents.parquet"),
+                   row_group_size=2)
+    return docs
+
+
+def test_cluster_best_survivor_planted(tmp_path):
+    """Survivor = max n_chars, doc_id tie-break; member counts per cluster."""
+    from ndap_data_validator_ray.pipelines.queries import cluster_best_survivor_documents
+
+    _write_planted_docs(tmp_path)
+    out = cluster_best_survivor_documents(str(tmp_path))
+    assert out["cluster_rep"].tolist() == [0, 9, 15]
+    # {0,3,6}: chars (10, 99, 99) -> 99 tie broken by min doc_id = 3
+    assert out["survivor_id"].tolist() == [3, 9, 15]
+    assert out["survivor_chars"].tolist() == [99, 5, 7]
+    assert out["n_members"].tolist() == [3, 2, 1]
+
+
+def test_leakage_safe_split_planted(tmp_path):
+    """Every near-dup cluster lands whole in ONE split (keyed by rep, not
+    doc id), and the counts fold to the md5-threshold assignment."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.pipelines.queries import leakage_safe_split_documents
+
+    _write_planted_docs(tmp_path)
+    out = leakage_safe_split_documents(str(tmp_path))
+    reps = np.array([0, 9, 15], dtype=np.int64)
+    sizes = {0: 3, 9: 2, 15: 1}
+    h = md5_lower64_batch(reps.astype(str)) % np.uint64(100)
+    split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+    want_docs, want_clusters = {}, {}
+    for r, s in zip(reps, split):
+        want_docs[s] = want_docs.get(s, 0) + sizes[int(r)]
+        want_clusters[s] = want_clusters.get(s, 0) + 1
+    got = dict(zip(out["split"], zip(out["n_docs"], out["n_clusters"])))
+    assert got == {s: (want_docs[s], want_clusters[s]) for s in want_docs}
+    assert int(out["n_docs"].sum()) == 6 and int(out["n_clusters"].sum()) == 3
