@@ -9439,8 +9439,227 @@ SELECT cluster_rep, survivor_id, survivor_chars, n_members FROM (
 """
 
 
+def rolling_distinct_users_events(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT (7-day rolling active users per day)
+    — the window op plain windowed sums can't express (distinct doesn't
+    decompose over frames) and the rolling twin of
+    ``cumulative_new_users_events``.  Distributed shape: per-batch
+    (user, day) dedup, then each pair REPLICATES to the <= 7 window days
+    it can serve (day .. day+6 — bounded fan-out, the interval-join
+    replication trick), and ONE bucketed exchange on window_day dedups
+    (user, window_day) and counts distinct users per day — reducers hold
+    one day's user set each, the full user set never assembles anywhere.
+    Output days are restricted to OBSERVED event days (folded on the
+    driver — bounded by the date range, the low-cardinality rule)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def replicate(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.dropna(subset=["user_id", "ts"])
+        pairs = pd.DataFrame(
+            {
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "d": b["ts"].dt.normalize().to_numpy().astype("datetime64[D]").astype(np.int64),
+            }
+        ).drop_duplicates()
+        n = len(pairs)
+        off = np.repeat(np.arange(7, dtype=np.int64), n)
+        return pd.DataFrame(
+            {
+                "user_id": np.tile(pairs["user_id"].to_numpy(), 7),
+                "window_day": np.tile(pairs["d"].to_numpy(), 7) + off,
+            }
+        ).drop_duplicates()
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates().groupby("window_day").size()
+        return pd.DataFrame(
+            {"window_day": c.index.to_numpy(np.int64), "users_7d": c.to_numpy(np.int64)}
+        )
+
+    counts = bucketed_groupby(
+        ds.map_batches(replicate, batch_format="pandas"),
+        ["window_day"],
+        lambda b: b.drop_duplicates(),
+        count_distinct,
+        n_buckets=32,
+    ).to_pandas()
+    counts = counts.groupby("window_day", as_index=False)["users_7d"].sum()
+
+    # observed-days fold: per-block distinct days, driver union (bounded
+    # by the date range)
+    days = (
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "d": np.unique(
+                        b.dropna(subset=["user_id", "ts"])["ts"]
+                        .dt.normalize()
+                        .to_numpy()
+                        .astype("datetime64[D]")
+                        .astype(np.int64)
+                    )
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()["d"]
+        .drop_duplicates()
+    )
+    out = counts[counts["window_day"].isin(set(days.tolist()))].copy()
+    out["day"] = pd.to_datetime(out["window_day"].to_numpy().astype("datetime64[D]")).strftime(
+        "%Y-%m-%d"
+    )
+    out["users_7d"] = out["users_7d"].astype(np.int64)
+    return out[["day", "users_7d"]].sort_values("day").reset_index(drop=True)
+
+
+_ROLLING_DISTINCT_SQL = """
+WITH e AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+days AS (SELECT DISTINCT d FROM e)
+SELECT STRFTIME(days.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d ORDER BY days.d
+"""
+
+
+def km_survival_reorder(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier survival curve of time-to-second-order ("how long
+    until a new customer reorders"), with right censoring — the
+    survival-analysis op next to the retention/attribution family:
+    single-order customers are censored at (max order date − first
+    order), so naive averaging would bias the curve and KM is the correct
+    estimator.  Distributed shape: per-customer (duration, event) rides
+    ONE bucketed exchange on custkey (first/second order dates resolve
+    reducer-locally); the global censoring horizon is a per-block max
+    folded on the driver (one scalar); (t, events, total) count partials
+    fold on the driver — bounded by the date RANGE, not by customers (the
+    low-cardinality rule) — and the product S(t) = Π(1 − d/n) finalizes
+    in ascending-t order.  Cross-engine float determinism: the DuckDB
+    twin replays the SAME left-to-right multiply chain via a recursive
+    CTE (the EWMA pattern) — one multiplication per step on doubles built
+    from exact integers, bit-identical, never EXP(SUM(LN)))."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame({"m": [int(d.max())]}) if len(d) else pd.DataFrame({"m": []})
+
+    mx = orders.map_batches(day_partial, batch_format="pandas").to_pandas()
+    horizon = int(mx["m"].max())
+
+    def first_two(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.dropna().sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        rows = []
+        for ck, g in p.groupby("o_custkey", sort=False):
+            d = g["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+            if len(d) >= 2:
+                rows.append((int(d[1] - d[0]), 1))
+            else:
+                rows.append((horizon - int(d[0]), 0))
+        out = pd.DataFrame(rows, columns=["t", "ev"])
+        return out.groupby(["t", "ev"], as_index=False).size().rename(columns={"size": "n"})
+
+    parts = (
+        bucketed_groupby(orders, ["o_custkey"], lambda b: b.dropna(), first_two)
+        .to_pandas()
+        .groupby(["t", "ev"], as_index=False)["n"]
+        .sum()
+        .sort_values("t")
+    )
+    tot = pd.DataFrame(
+        {
+            "t": parts.groupby("t")["n"].sum().index.to_numpy(np.int64),
+            "n_total": parts.groupby("t")["n"].sum().to_numpy(np.int64),
+            "d_events": parts[parts["ev"] == 1]
+            .set_index("t")["n"]
+            .reindex(parts.groupby("t")["n"].sum().index, fill_value=0)
+            .to_numpy(np.int64),
+        }
+    ).sort_values("t")
+    total = int(tot["n_total"].sum())
+    at_risk = total - (tot["n_total"].cumsum().to_numpy() - tot["n_total"].to_numpy())
+    tot["n_risk"] = at_risk.astype(np.int64)
+    ev = tot[tot["d_events"] > 0].reset_index(drop=True)
+    s = 1.0
+    surv = []
+    for d_i, n_i in zip(ev["d_events"].to_numpy(), ev["n_risk"].to_numpy()):
+        s = s * (1.0 - float(d_i) / float(n_i))  # left-to-right chain = the CTE's
+        surv.append(round(s, 6))
+    return pd.DataFrame(
+        {
+            "duration_days": ev["t"].astype(np.int64),
+            "d_events": ev["d_events"].astype(np.int64),
+            "n_risk": ev["n_risk"].astype(np.int64),
+            "survival": pd.Series(surv, dtype=np.float64),
+        }
+    )
+
+
+_KM_SQL = """
+WITH RECURSIVE o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+),
+mx AS (SELECT MAX(d) AS m FROM o),
+r AS (
+  SELECT o_custkey, d,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS rn
+  FROM o
+),
+f AS (
+  SELECT o_custkey, MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN d END) AS d2, COUNT(*) AS n
+  FROM r WHERE rn <= 2 GROUP BY 1
+),
+dur AS (
+  SELECT CASE WHEN n >= 2 THEN CAST(d2 - d1 AS BIGINT)
+              ELSE CAST((SELECT m FROM mx) - d1 AS BIGINT) END AS t,
+         CASE WHEN n >= 2 THEN 1 ELSE 0 END AS ev
+  FROM f
+),
+agg AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d_events, CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM dur GROUP BY t
+),
+ord AS (
+  SELECT t, d_events,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dur)
+           - (SUM(n_total) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_total) AS n_risk
+  FROM agg
+),
+ev AS (
+  SELECT t, d_events, n_risk, ROW_NUMBER() OVER (ORDER BY t) AS i
+  FROM ord WHERE d_events > 0
+),
+km AS (
+  SELECT i, t, d_events, n_risk,
+         1.0 - CAST(d_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS s
+  FROM ev WHERE i = 1
+  UNION ALL
+  SELECT e.i, e.t, e.d_events, e.n_risk,
+         km.s * (1.0 - CAST(e.d_events AS DOUBLE) / CAST(e.n_risk AS DOUBLE))
+  FROM km JOIN ev e ON e.i = km.i + 1
+)
+SELECT t AS duration_days, d_events, n_risk, ROUND(s, 6) AS survival
+FROM km ORDER BY t
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
+    "rolling_distinct_users_events": (rolling_distinct_users_events, _ROLLING_DISTINCT_SQL),
+    "km_survival_reorder": (km_survival_reorder, _KM_SQL),
     "leakage_safe_split_documents": (leakage_safe_split_documents, _LEAKAGE_SPLIT_SQL),
     "cluster_best_survivor_documents": (cluster_best_survivor_documents, _CLUSTER_SURVIVOR_SQL),
     "mannwhitney_price_returnflag": (mannwhitney_price_returnflag, _MANNWHITNEY_SQL),

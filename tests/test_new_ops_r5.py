@@ -2040,3 +2040,53 @@ def test_leakage_safe_split_planted(tmp_path):
     got = dict(zip(out["split"], zip(out["n_docs"], out["n_clusters"])))
     assert got == {s: (want_docs[s], want_clusters[s]) for s in want_docs}
     assert int(out["n_docs"].sum()) == 6 and int(out["n_clusters"].sum()) == 3
+
+
+# --- sliding distinct + Kaplan-Meier ------------------------------------------
+
+def test_rolling_distinct_users_planted(tmp_path):
+    """Trailing 7-day distinct-user windows across a gap: replication to
+    window days + per-day dedup equals the brute-force window count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import rolling_distinct_users_events
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(86400_000_000, "us")
+    ts = [base, base, base + day, base + 8 * day, base + 8 * day]
+    users = [1, 2, 1, 1, 1]
+    tbl = pa.table({"ts": pa.array(ts), "user_id": pa.array(users, pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), row_group_size=2)
+    out = rolling_distinct_users_events(str(tmp_path))
+    got = dict(zip(out["day"], out["users_7d"]))
+    # day 1: users {1,2}; day 2 window covers day 1 too: {1,2}; day 9
+    # window covers days 3-9 only: {1}
+    assert got == {"2024-01-01": 2, "2024-01-02": 2, "2024-01-09": 1}
+
+
+def test_km_survival_hand_computed(tmp_path):
+    """Two events, two censored: S(2) = 1 - 1/4, S(5) = S(2) * (1 - 1/2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import km_survival_reorder
+
+    d0 = np.datetime64("2024-03-01", "D")
+
+    def d(n):
+        return (d0 + np.timedelta64(n, "D")).astype("datetime64[us]")
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2, 3, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([d(0), d(5), d(0), d(2), d(4), d(3)]),
+            "o_orderkey": pa.array([10, 11, 20, 30, 31, 40], pa.int64()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"), row_group_size=2)
+    out = km_survival_reorder(str(tmp_path))
+    assert out["duration_days"].tolist() == [2, 5]
+    assert out["d_events"].tolist() == [1, 1]
+    assert out["n_risk"].tolist() == [4, 2]
+    np.testing.assert_allclose(out["survival"].to_numpy(), [0.75, 0.375])
