@@ -9656,8 +9656,170 @@ FROM km ORDER BY t
 """
 
 
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of x to the even bit positions (Morton
+    helper) — the classic magic-number interleave, unrolled identically in
+    the SQL twin (exact int64 bit ops on both sides)."""
+    x = x & np.int64(0xFFFF)
+    x = (x | (x << 8)) & np.int64(0x00FF00FF)
+    x = (x | (x << 4)) & np.int64(0x0F0F0F0F)
+    x = (x | (x << 2)) & np.int64(0x33333333)
+    x = (x | (x << 1)) & np.int64(0x55555555)
+    return x
+
+
+def zorder_layout_orders(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton-curve) layout key + global clustering rank over
+    orders on (o_custkey, o_orderdate) — the multi-dimensional data-layout
+    primitive behind Delta/Iceberg OPTIMIZE ZORDER: rows near each other
+    on BOTH keys get nearby ranks, so a range-partitioned rewrite in this
+    order gives files that prune on either column.  Distributed shape:
+    per-column min/max fold to four driver scalars (one projected pass);
+    each row quantizes both keys to a 16-bit grid with EXACT integer
+    arithmetic (``((v - lo) * 65535) // span`` — floor division on
+    non-negatives, reproduced verbatim in SQL) and interleaves bits with
+    the magic-number kernel (``_part1by1`` — no Python loops, six
+    vectorized ops per column); the global rank is the range-partitioned
+    sort (``stages/sort.global_rank``) on (zval, o_orderkey) — no single
+    node sees the full table.  Fully value-oracled: the twin unrolls the
+    same bit-spread steps and ranks with ROW_NUMBER."""
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        if not len(b):
+            return pd.DataFrame({"c_lo": [], "c_hi": [], "d_lo": [], "d_hi": []})
+        c = b["o_custkey"].to_numpy(np.int64)
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pd.DataFrame(
+            {"c_lo": [c.min()], "c_hi": [c.max()], "d_lo": [d.min()], "d_hi": [d.max()]}
+        )
+
+    mm = orders.map_batches(mm_partial, batch_format="pandas").to_pandas()
+    c_lo, c_hi = int(mm["c_lo"].min()), int(mm["c_hi"].max())
+    d_lo, d_hi = int(mm["d_lo"].min()), int(mm["d_hi"].max())
+    c_span, d_span = max(1, c_hi - c_lo), max(1, d_hi - d_lo)
+
+    def zval(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        c = b["o_custkey"].to_numpy(np.int64)
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        qc = ((c - c_lo) * 65535) // c_span
+        qd = ((d - d_lo) * 65535) // d_span
+        z = _part1by1(qc) | (_part1by1(qd) << 1)
+        return pd.DataFrame(
+            {"o_orderkey": b["o_orderkey"].to_numpy(np.int64), "zval": z.astype(np.int64)}
+        )
+
+    ranked = global_rank(
+        orders.map_batches(zval, batch_format="pandas"), ["zval", "o_orderkey"], out="zrank"
+    ).to_pandas()
+    for col in ("o_orderkey", "zval", "zrank"):
+        ranked[col] = ranked[col].astype(np.int64)
+    return ranked.sort_values("o_orderkey").reset_index(drop=True)
+
+
+_ZORDER_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+mm AS (
+  SELECT MIN(o_custkey) AS c_lo, GREATEST(1, MAX(o_custkey) - MIN(o_custkey)) AS c_span,
+         MIN(d) AS d_lo, GREATEST(1, MAX(d) - MIN(d)) AS d_span
+  FROM o
+),
+q AS (
+  SELECT o_orderkey,
+         ((o_custkey - mm.c_lo) * 65535) // mm.c_span AS qc,
+         ((d - mm.d_lo) * 65535) // mm.d_span AS qd
+  FROM o, mm
+),
+s1 AS (SELECT o_orderkey, (qc | (qc << 8)) & 16711935 AS xc, (qd | (qd << 8)) & 16711935 AS xd FROM q),
+s2 AS (SELECT o_orderkey, (xc | (xc << 4)) & 252645135 AS xc, (xd | (xd << 4)) & 252645135 AS xd FROM s1),
+s3 AS (SELECT o_orderkey, (xc | (xc << 2)) & 858993459 AS xc, (xd | (xd << 2)) & 858993459 AS xd FROM s2),
+s4 AS (SELECT o_orderkey, (xc | (xc << 1)) & 1431655765 AS xc, (xd | (xd << 1)) & 1431655765 AS xd FROM s3),
+z AS (SELECT o_orderkey, CAST(xc | (xd << 1) AS BIGINT) AS zval FROM s4)
+SELECT o_orderkey, zval,
+       CAST(ROW_NUMBER() OVER (ORDER BY zval, o_orderkey) AS BIGINT) AS zrank
+FROM z ORDER BY o_orderkey
+"""
+
+
+def anova_price_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F-test of mean l_extendedprice across ALL return
+    flags at once — the k-group generalization of the pairwise Welch
+    test.  One streaming pass folds (n, Σx, Σx²) per flag on the driver
+    (3 groups, the low-cardinality rule); between/within sums of squares
+    and F finalize from nine numbers.  Like Welch, the SQL twin uses the
+    SAME naive moment formulas (SUM(x), SUM(x*x)) so the only
+    cross-engine difference is float summation order, absorbed by the
+    shared round-6 convention."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        x = b["l_extendedprice"].to_numpy(np.float64)
+        g = pd.DataFrame({"f": b["l_returnflag"].to_numpy(), "n": 1, "sx": x, "sxx": x * x})
+        return g.groupby("f", as_index=False).sum()
+
+    m = (
+        ds.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("f", as_index=False)
+        .sum()
+    )
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    k = len(m)
+    nn = float(n.sum())
+    grand = float(sx.sum()) / nn
+    ss_between = float((n * (sx / n - grand) ** 2).sum())
+    ss_within = float((sxx - sx * sx / n).sum())
+    df1, df2 = float(k - 1), nn - float(k)
+    f_stat = (ss_between / df1) / (ss_within / df2)
+    return pd.DataFrame(
+        {
+            "k_groups": [np.int64(k)],
+            "n_rows": [np.int64(int(nn))],
+            "f_stat": [round(f_stat, 6)],
+            "ss_between": [round(ss_between, 2)],
+            "ss_within": [round(ss_within, 2)],
+        }
+    )
+
+
+_ANOVA_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS f, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(l_extendedprice) AS sx, SUM(l_extendedprice * l_extendedprice) AS sxx
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+),
+g AS (SELECT SUM(n) AS nn, SUM(sx) / SUM(n) AS grand, COUNT(*) AS k FROM m),
+ss AS (
+  SELECT (SELECT CAST(k AS BIGINT) FROM g) AS k_groups,
+         (SELECT CAST(nn AS BIGINT) FROM g) AS n_rows,
+         SUM(n * (sx / n - (SELECT grand FROM g)) * (sx / n - (SELECT grand FROM g))) AS ssb,
+         SUM(sxx - sx * sx / n) AS ssw
+  FROM m
+)
+SELECT k_groups, n_rows,
+       ROUND((ssb / (k_groups - 1.0)) / (ssw / (n_rows - CAST(k_groups AS DOUBLE))), 6) AS f_stat,
+       ROUND(ssb, 2) AS ss_between, ROUND(ssw, 2) AS ss_within
+FROM ss
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
+    "zorder_layout_orders": (zorder_layout_orders, _ZORDER_SQL),
+    "anova_price_by_returnflag": (anova_price_by_returnflag, _ANOVA_SQL),
     "rolling_distinct_users_events": (rolling_distinct_users_events, _ROLLING_DISTINCT_SQL),
     "km_survival_reorder": (km_survival_reorder, _KM_SQL),
     "leakage_safe_split_documents": (leakage_safe_split_documents, _LEAKAGE_SPLIT_SQL),

@@ -2090,3 +2090,80 @@ def test_km_survival_hand_computed(tmp_path):
     assert out["d_events"].tolist() == [1, 1]
     assert out["n_risk"].tolist() == [4, 2]
     np.testing.assert_allclose(out["survival"].to_numpy(), [0.75, 0.375])
+
+
+# --- Z-order layout + ANOVA ----------------------------------------------------
+
+def test_morton_interleave_known_bits():
+    from ndap_data_validator_ray.pipelines.queries import _part1by1
+
+    x = np.array([0, 1, 2, 3, 0xFFFF], dtype=np.int64)
+    got = _part1by1(x)
+    # 0b11 -> 0b0101; 0b10 -> 0b0100; full 16 bits -> alternating 0101... (32 bits)
+    assert got.tolist() == [0, 1, 4, 5, 0x55555555]
+    # interleave is a bijection on the 16-bit grid: z recovers both coords
+    qa = np.arange(0, 65536, 257, dtype=np.int64)
+    qb = qa[::-1].copy()
+    z = _part1by1(qa) | (_part1by1(qb) << 1)
+    assert len(np.unique(z)) == len(z)
+
+
+def test_zorder_rank_locality(tmp_path):
+    """Rows identical on both keys rank adjacently; the curve is a
+    bijection (dense ranks 1..n)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import zorder_layout_orders
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ck = rng.integers(1, 50, n)
+    dates = (np.datetime64("2024-01-01", "D") + rng.integers(0, 365, n)).astype("datetime64[us]")
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(ck, pa.int64()),
+            "o_orderdate": pa.array(dates),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "orders.parquet"), row_group_size=64)
+    out = zorder_layout_orders(str(tmp_path))
+    assert sorted(out["zrank"].tolist()) == list(range(1, n + 1))
+    # same (custkey, date) -> same zval -> contiguous rank run
+    df = out.merge(
+        pd.DataFrame({"o_orderkey": np.arange(n, dtype=np.int64), "ck": ck,
+                      "d": dates.astype("datetime64[D]")}),
+        on="o_orderkey",
+    )
+    for _, g in df.groupby(["ck", "d"]):
+        if len(g) > 1:
+            r = np.sort(g["zrank"].to_numpy())
+            assert (np.diff(r) == 1).all()
+            assert g["zval"].nunique() == 1
+
+
+def test_anova_hand_computed(tmp_path):
+    """Scipy-free 3-group check: F from explicit group means/SS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import anova_price_by_returnflag
+
+    groups = {"A": [1.0, 2.0, 3.0], "N": [2.0, 4.0, 6.0, 8.0], "R": [10.0, 12.0]}
+    flags = sum(([k] * len(v) for k, v in groups.items()), [])
+    vals = sum(groups.values(), [])
+    tbl = pa.table(
+        {"l_returnflag": pa.array(flags), "l_extendedprice": pa.array(vals, pa.float64())}
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"), row_group_size=3)
+    out = anova_price_by_returnflag(str(tmp_path))
+    xs = np.array(vals)
+    grand = xs.mean()
+    ssb = sum(len(v) * (np.mean(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(((np.array(v) - np.mean(v)) ** 2).sum() for v in groups.values())
+    f = (ssb / 2.0) / (ssw / (len(xs) - 3.0))
+    assert int(out["k_groups"].iloc[0]) == 3 and int(out["n_rows"].iloc[0]) == 9
+    np.testing.assert_allclose(out["f_stat"].iloc[0], round(f, 6))
+    np.testing.assert_allclose(out["ss_between"].iloc[0], round(ssb, 2))
+    np.testing.assert_allclose(out["ss_within"].iloc[0], round(ssw, 2))
