@@ -198,6 +198,17 @@ _QUERY_NAMES = [
     "bigram_pmi_documents",
     "event_transitions",
     "overlapping_order_windows",
+    # final-session additions (zorder/rank, stats tests, survival, sliding
+    # distinct, cluster compositions; kcore is round-dominated ~10-20 s)
+    "zorder_layout_orders",
+    "mannwhitney_price_returnflag",
+    "anova_price_by_returnflag",
+    "inter_order_gap_stats",
+    "km_survival_reorder",
+    "rolling_distinct_users_events",
+    "leakage_safe_split_documents",
+    "cluster_best_survivor_documents",
+    "copurchase_kcore_parts",
     "cms_part_counts",
     "hll_distinct_users_by_type",
     "bloom_false_positives_customers",
