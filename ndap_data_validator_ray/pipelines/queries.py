@@ -9816,8 +9816,126 @@ FROM ss
 """
 
 
+def degree_assortativity_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-purchase graph —
+    do high-degree parts co-occur with other high-degree parts?  The
+    one-number structural summary next to k-core/triangles/clustering:
+    r = Pearson correlation of endpoint degrees over the DIRECTED
+    symmetric edge list.  Distributed shape: canonical edge dedup (shared
+    with triangles/k-core), ONE degree exchange, guarded degree attach,
+    then per-block EXACT int64 moment partials (M, Σd, Σd², Σd·d' —
+    emitted symmetrically so one pass covers both orientations) fold on
+    the driver with Python ints (the Mann-Whitney posture: Σd·d' is
+    bounded by M·maxdeg², which outgrows int64 on mega-hub graphs; the
+    SQL twin uses HUGEINT).  r is ONE float expression from four exact
+    integers — bit-identical cross-engine."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import (
+        bucketed_groupby,
+        count_by_key,
+        default_n_buckets,
+    )
+    from ndap_data_validator_ray.stages.triangles import _canonical_distinct_edges
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    raw = bucketed_groupby(li, ["l_orderkey"], lambda b: b.dropna().drop_duplicates(), pairs)
+    e = _canonical_distinct_edges(raw, "id_a", "id_b", default_n_buckets()).materialize()
+
+    deg = count_by_key(
+        e.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": np.concatenate([b["u"].to_numpy(np.int64), b["v"].to_numpy(np.int64)])}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        count_col="deg",
+    ).materialize()
+    with_du = attach_or_join(
+        e,
+        deg.map_batches(lambda b: b.rename(columns={"node": "u", "deg": "du"}), batch_format="pandas"),
+        on_fact="u",
+        on_side="u",
+        attach_cols=["du"],
+    )
+    with_dd = attach_or_join(
+        with_du,
+        deg.map_batches(lambda b: b.rename(columns={"node": "v", "deg": "dv"}), batch_format="pandas"),
+        on_fact="v",
+        on_side="v",
+        attach_cols=["dv"],
+    )
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        du = b["du"].to_numpy(np.int64)
+        dv = b["dv"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "m": [2 * len(b)],
+                "s1": [int((du + dv).sum())],
+                "s2": [int((du * du + dv * dv).sum())],
+                "s11": [int((2 * du * dv).sum())],
+            }
+        )
+
+    p = with_dd.map_batches(moments, batch_format="pandas").to_pandas()
+    m = sum(int(x) for x in p["m"])
+    s1 = sum(int(x) for x in p["s1"])
+    s2 = sum(int(x) for x in p["s2"])
+    s11 = sum(int(x) for x in p["s11"])
+    r = (float(m) * float(s11) - float(s1) * float(s1)) / (
+        float(m) * float(s2) - float(s1) * float(s1)
+    )
+    return pd.DataFrame({"m_directed_edges": [np.int64(m)], "assortativity": [round(r, 6)]})
+
+
+_ASSORTATIVITY_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e0 AS (
+  SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u, GREATEST(a.l_partkey, b.l_partkey) AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+d AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1
+),
+j AS (
+  SELECT a.deg AS du, b.deg AS dv
+  FROM e0 JOIN d a ON a.node = e0.u JOIN d b ON b.node = e0.v
+),
+s AS (
+  SELECT CAST(2 * COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(CAST(du AS HUGEINT) + dv) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(du AS HUGEINT) * du + CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS s2,
+         CAST(SUM(2 * CAST(du AS HUGEINT) * dv) AS HUGEINT) AS s11
+  FROM j
+)
+SELECT CAST(m AS BIGINT) AS m_directed_edges,
+       ROUND((CAST(m AS DOUBLE) * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+             / (CAST(m AS DOUBLE) * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)),
+             6) AS assortativity
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
+    "degree_assortativity_copurchase": (degree_assortativity_copurchase, _ASSORTATIVITY_SQL),
     "zorder_layout_orders": (zorder_layout_orders, _ZORDER_SQL),
     "anova_price_by_returnflag": (anova_price_by_returnflag, _ANOVA_SQL),
     "rolling_distinct_users_events": (rolling_distinct_users_events, _ROLLING_DISTINCT_SQL),

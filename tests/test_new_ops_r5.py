@@ -2167,3 +2167,23 @@ def test_anova_hand_computed(tmp_path):
     np.testing.assert_allclose(out["f_stat"].iloc[0], round(f, 6))
     np.testing.assert_allclose(out["ss_between"].iloc[0], round(ssb, 2))
     np.testing.assert_allclose(out["ss_within"].iloc[0], round(ssw, 2))
+
+
+def test_degree_assortativity_star_is_minus_one(tmp_path):
+    """A star co-purchase graph (hub part in every order, one distinct
+    leaf each) is perfectly disassortative: r = -1 exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import degree_assortativity_copurchase
+
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "l_partkey": pa.array([100, 1, 100, 2, 100, 3], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "lineitem.parquet"), row_group_size=2)
+    out = degree_assortativity_copurchase(str(tmp_path))
+    assert int(out["m_directed_edges"].iloc[0]) == 6
+    np.testing.assert_allclose(out["assortativity"].iloc[0], -1.0)
