@@ -208,6 +208,7 @@ _QUERY_NAMES = [
     "rolling_distinct_users_events",
     "leakage_safe_split_documents",
     "cluster_best_survivor_documents",
+    "degree_assortativity_copurchase",
     "copurchase_kcore_parts",
     "cms_part_counts",
     "hll_distinct_users_by_type",
