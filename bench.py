@@ -223,6 +223,13 @@ _QUERY_NAMES = [
     "benford_first_digit_prices",
     "corr_matrix_lineitem",
     "key_skew_gini_orders",
+    # third-wave additions (smoothing, shape moments, hybrid fusion,
+    # spectrum, A/B z-test)
+    "holt_trend_daily_revenue",
+    "skew_kurtosis_quantity_by_flag",
+    "knn_rrf_fusion",
+    "token_freq_spectrum_documents",
+    "ztest_finished_share_priority",
 ]
 
 

@@ -9933,7 +9933,379 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# Final-session additions, third wave (round 5)
+# ---------------------------------------------------------------------------
+
+def holt_trend_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Holt double-exponential smoothing (level + trend) over the daily
+    order-revenue series — the trend-aware sibling of ``ewma_daily_
+    revenue``.  Daily sums fold as exact integer cents (per-batch Arrow
+    partials, low-cardinality driver finish); the coupled O(days)
+    recurrence l_i = a*x_i + (1-a)*(l+b), b_i = g*(l_i - l) + (1-g)*b runs
+    on the driver with a=0.5, g=0.25 (exact in binary), so every step is
+    the same float64 op sequence as the recursive-CTE twin — which
+    RECOMPUTES the new-level expression inside the trend term (SQL can't
+    bind it), identical bits either way.  Init: l_0 = x_0,
+    b_0 = x_1 - x_0 (standard Holt warm start)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_orderdate", "o_totalprice"])
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"day": d, "cents": cents}).groupby("day", as_index=False)[
+            "cents"
+        ].sum()
+
+    daily = (
+        sum_by_key(
+            orders.map_batches(day_partial, batch_format="pandas"),
+            ["day"], ["cents"], n_buckets=32, partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["cents"].to_numpy(np.int64).astype(np.float64)
+    n = len(x)
+    lvl = np.zeros(n, dtype=np.float64)
+    trd = np.zeros(n, dtype=np.float64)
+    if n:
+        lvl[0] = x[0]
+        trd[0] = (x[1] - x[0]) if n > 1 else 0.0
+    for i in range(1, n):
+        lvl[i] = 0.5 * x[i] + 0.5 * (lvl[i - 1] + trd[i - 1])
+        trd[i] = 0.25 * (lvl[i] - lvl[i - 1]) + 0.75 * trd[i - 1]
+    return pd.DataFrame(
+        {
+            "day": daily["day"].to_numpy(np.int64),
+            "revenue": _r2(x / 100.0),
+            "level": _r2(lvl / 100.0),
+            "trend": _r2(trd / 100.0),
+        }
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE d AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+idx AS (SELECT day, cents, ROW_NUMBER() OVER (ORDER BY day) AS i FROM d),
+h AS (
+  SELECT i, CAST(cents AS DOUBLE) AS l,
+         (SELECT CAST(cents AS DOUBLE) FROM idx WHERE i = 2) - CAST(cents AS DOUBLE) AS b
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i,
+         0.5 * CAST(idx.cents AS DOUBLE) + 0.5 * (h.l + h.b),
+         0.25 * ((0.5 * CAST(idx.cents AS DOUBLE) + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b
+  FROM h JOIN idx ON idx.i = h.i + 1
+)
+SELECT CAST(idx.day AS BIGINT) AS day,
+       ROUND(CAST(idx.cents AS DOUBLE) / 100, 2) AS revenue,
+       ROUND(h.l / 100, 2) AS level,
+       ROUND(h.b / 100, 2) AS trend
+FROM idx JOIN h USING (i) ORDER BY day
+"""
+
+
+def skew_kurtosis_quantity_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Grouped 3rd/4th standardized moments (skewness g1 and excess
+    kurtosis g2) of l_quantity by return flag — the distribution-shape
+    profile next to the mean/stddev stats.  The exact-moment posture
+    (Mann-Whitney / assortativity): per-batch int64 power sums
+    (q, q², q³, q⁴ — quantities are integral ≤ 50 so q⁴ ≤ 6.25e6 per
+    row; the driver folds with Python ints, the twin with HUGEINT), then
+    ONE shared float expression per statistic from the five exact
+    integers — bit-identical cross-engine, no shuffle (3 flags x 5
+    columns per block)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["l_returnflag", "l_quantity"])
+        q = np.round(b["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        df = pd.DataFrame(
+            {"flag": b["l_returnflag"].to_numpy(), "q1": q, "q2": q * q, "q3": q**3, "q4": q**4}
+        )
+        g = df.groupby("flag", as_index=False).agg(
+            n=("q1", "size"), s1=("q1", "sum"), s2=("q2", "sum"), s3=("q3", "sum"), s4=("q4", "sum")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for flag, g in parts.groupby("flag"):
+        n = sum(int(v) for v in g["n"])
+        s1 = sum(int(v) for v in g["s1"])
+        s2 = sum(int(v) for v in g["s2"])
+        s3 = sum(int(v) for v in g["s3"])
+        s4 = sum(int(v) for v in g["s4"])
+        fn = float(n)
+        mean = float(s1) / fn
+        s2n = float(s2) / fn
+        s3n = float(s3) / fn
+        s4n = float(s4) / fn
+        e2 = s2n - mean * mean
+        e3 = s3n - 3.0 * mean * s2n + 2.0 * mean * mean * mean
+        e4 = s4n - 4.0 * mean * s3n + 6.0 * (mean * mean) * s2n - 3.0 * (mean * mean) * (mean * mean)
+        import math as _math
+
+        skew = e3 / (e2 * _math.sqrt(e2))
+        kurt = e4 / (e2 * e2) - 3.0
+        rows.append((flag, np.int64(n), round(mean, 9), round(skew, 9), round(kurt, 9)))
+    out = pd.DataFrame(
+        rows, columns=["l_returnflag", "n_rows", "mean_qty", "skewness", "kurtosis_excess"]
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_SKEW_KURT_SQL = """
+WITH q AS (
+  SELECT l_returnflag AS flag, CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS q
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+),
+s AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(q) AS s1, SUM(q*q) AS s2, SUM(q*q*q) AS s3, SUM(q*q*q*q) AS s4
+  FROM q GROUP BY flag
+),
+m AS (
+  SELECT flag, n_rows,
+         CAST(s1 AS DOUBLE)/CAST(n_rows AS DOUBLE) AS mean,
+         CAST(s2 AS DOUBLE)/CAST(n_rows AS DOUBLE) AS s2n,
+         CAST(s3 AS DOUBLE)/CAST(n_rows AS DOUBLE) AS s3n,
+         CAST(s4 AS DOUBLE)/CAST(n_rows AS DOUBLE) AS s4n
+  FROM s
+),
+e AS (
+  SELECT flag, n_rows, mean,
+         s2n - mean*mean AS e2,
+         s3n - 3.0*mean*s2n + 2.0*mean*mean*mean AS e3,
+         s4n - 4.0*mean*s3n + 6.0*(mean*mean)*s2n - 3.0*(mean*mean)*(mean*mean) AS e4
+  FROM m
+)
+SELECT flag AS l_returnflag, n_rows,
+       ROUND(mean, 9) AS mean_qty,
+       ROUND(e3 / (e2 * SQRT(e2)), 9) AS skewness,
+       ROUND(e4 / (e2 * e2) - 3.0, 9) AS kurtosis_excess
+FROM e ORDER BY l_returnflag
+"""
+
+
+def knn_rrf_fusion(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two exact retrieval
+    legs — cosine top-20 and Euclidean top-20 — into a fused top-10:
+    score(d) = Σ_lists 1/(60 + rank_d), missing-from-a-list contributes
+    0.0.  The multi-retriever ensembling shape (hybrid search): each leg
+    is the broadcast-matmul brute-force stage (one corpus pass per
+    metric), fusion touches only 2x20 rank rows per query on the driver.
+    Value-oracled: ranks are ints, each 1/(60+r) is the same single
+    division on both sides, and the two-term sum is order-safe; fused
+    ties break by neighbor_id."""
+    from ndap_data_validator_ray.stages.similarity import brute_force_topk
+
+    K_LIST, K_OUT, C = 20, 10, 60.0
+    qids, qmat = _query_vectors(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cos = brute_force_topk(ds, qids, qmat, k=K_LIST, concurrency=2)
+    l2 = brute_force_topk(ds, qids, qmat, k=K_LIST, concurrency=2, metric="l2")
+    cos = cos[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rc"})
+    l2 = l2[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "rl"})
+    m = cos.merge(l2, on=["query_id", "neighbor_id"], how="outer")
+    rc = m["rc"].to_numpy(np.float64)
+    rl = m["rl"].to_numpy(np.float64)
+    score = np.where(np.isnan(rc), 0.0, 1.0 / (C + rc)) + np.where(
+        np.isnan(rl), 0.0, 1.0 / (C + rl)
+    )
+    m = m.assign(score=score)
+    out = []
+    for qid, g in m.groupby("query_id"):
+        g = g.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(K_OUT)
+        for rank, (_, r) in enumerate(g.iterrows(), 1):
+            out.append((qid, int(r["neighbor_id"]), rank, round(float(r["score"]), 9)))
+    return pd.DataFrame(out, columns=["query_id", "neighbor_id", "fused_rank", "rrf_score"])
+
+
+_RRF_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+cs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) AS rc
+  FROM q CROSS JOIN embeddings e
+),
+l2 AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_distance(q.qe, e.embedding) ASC, e.vec_id) AS rl
+  FROM q CROSS JOIN embeddings e
+),
+fused AS (
+  SELECT COALESCE(c.query_id, l.query_id) AS query_id,
+         COALESCE(c.neighbor_id, l.neighbor_id) AS neighbor_id,
+         COALESCE(1.0 / (60.0 + CAST(c.rc AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60.0 + CAST(l.rl AS DOUBLE)), 0.0) AS score
+  FROM (SELECT * FROM cs WHERE rc <= 20) c
+  FULL OUTER JOIN (SELECT * FROM l2 WHERE rl <= 20) l
+    ON c.query_id = l.query_id AND c.neighbor_id = l.neighbor_id
+),
+r AS (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS fused_rank
+  FROM fused
+)
+SELECT query_id, neighbor_id, CAST(fused_rank AS INT) AS fused_rank, ROUND(score, 9) AS rrf_score
+FROM r WHERE fused_rank <= 10 ORDER BY query_id, fused_rank
+"""
+
+
+def token_freq_spectrum_documents(sf_dir: str) -> pd.DataFrame:
+    """Token frequency-of-frequencies spectrum — the 20 SMALLEST distinct
+    frequencies with their type counts and vocabulary shares, the
+    corpus-health companion of the Zipf slope (on natural corpora the
+    first row is the hapax/OOV-pressure diagnostic; the synthetic fixture
+    vocabulary is tiny and template-heavy, so the smallest frequencies
+    start higher — which is exactly what the spectrum is for).  Token
+    counts ride the zipf/unigram-LM exchange (count_by_key); each count
+    block emits a LOCAL (freq, n_types) histogram — bounded by the
+    block's distinct count values, O(sqrt(block tokens)) — plus a one-row
+    vocab partial, so the full vocabulary never reaches the driver; the
+    driver folds histograms and keeps the 20 smallest frequencies.
+    Tokenization is the engine str.split() convention, mirrored by the
+    regexp_split_to_array + list_filter twin (never string_split)."""
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch["text"]:
+            toks.extend((t or "").split())
+        return pd.DataFrame({"tok": toks})
+
+    counts = count_by_key(
+        docs.map_batches(explode, batch_format="pandas"), ["tok"], n_buckets=16,
+        partial_format="pandas",
+    ).materialize()
+
+    def spectrum(batch: pd.DataFrame) -> pd.DataFrame:
+        # count_by_key can emit empty schema-less blocks; always emit a row
+        # so every output block carries the (freq, n_types) schema
+        c = batch["cnt"].to_numpy(np.int64) if "cnt" in batch.columns else np.array([], np.int64)
+        u, k = np.unique(c, return_counts=True)
+        if not len(u):
+            u, k = np.array([1]), np.array([0])
+        return pd.DataFrame({"freq": u.astype(np.int64), "n_types": k.astype(np.int64)})
+
+    def vocab(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"nv": [len(batch) if "cnt" in batch.columns else 0]})
+
+    spec = counts.map_batches(spectrum, batch_format="pandas").to_pandas()
+    nv = int(counts.map_batches(vocab, batch_format="pandas").to_pandas()["nv"].sum())
+    spec = spec[spec["n_types"] > 0]
+    out = (
+        spec.groupby("freq", as_index=False)["n_types"].sum().sort_values("freq").head(20)
+    )
+    share = np.round(out["n_types"].to_numpy(np.float64) / float(nv), 9)
+    return pd.DataFrame(
+        {
+            "freq": out["freq"].to_numpy(np.int64),
+            "n_types": out["n_types"].to_numpy(np.int64),
+            "type_share": share,
+        }
+    ).reset_index(drop=True)
+
+
+_TOKEN_SPECTRUM_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+tc AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+v AS (SELECT COUNT(*) AS nv FROM tc)
+SELECT CAST(cnt AS BIGINT) AS freq, CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT nv FROM v) AS DOUBLE), 9) AS type_share
+FROM tc GROUP BY cnt ORDER BY freq LIMIT 20
+"""
+
+
+def ztest_finished_share_priority(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test (pooled): is the share of finished ('F')
+    orders different between 1-URGENT and 5-LOW priorities?  The A/B-test
+    primitive next to chi2/Welch/Mann-Whitney.  All four counts are exact
+    int64 per-batch partials folded on the driver (2 groups — the
+    no-shuffle low-cardinality rule); z is ONE shared float expression
+    from the exact integers, bit-identical cross-engine."""
+    import math as _math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_orderpriority", "o_orderstatus"])
+        b = b[b["o_orderpriority"].isin(["1-URGENT", "5-LOW"])]
+        return pd.DataFrame(
+            {
+                "grp": b["o_orderpriority"].to_numpy(),
+                "n": np.ones(len(b), dtype=np.int64),
+                "f": (b["o_orderstatus"].to_numpy() == "F").astype(np.int64),
+            }
+        ).groupby("grp", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    fold = parts.groupby("grp")[["n", "f"]].sum()
+    n1, f1 = int(fold.loc["1-URGENT", "n"]), int(fold.loc["1-URGENT", "f"])
+    n2, f2 = int(fold.loc["5-LOW", "n"]), int(fold.loc["5-LOW", "f"])
+    p1 = float(f1) / float(n1)
+    p2 = float(f2) / float(n2)
+    pp = float(f1 + f2) / float(n1 + n2)
+    z = (p1 - p2) / _math.sqrt(pp * (1.0 - pp) * (1.0 / float(n1) + 1.0 / float(n2)))
+    return pd.DataFrame(
+        {
+            "n_urgent": [np.int64(n1)],
+            "finished_urgent": [np.int64(f1)],
+            "n_low": [np.int64(n2)],
+            "finished_low": [np.int64(f2)],
+            "p_urgent": [round(p1, 9)],
+            "p_low": [round(p2, 9)],
+            "z_score": [round(z, 9)],
+        }
+    )
+
+
+_ZTEST_SQL = """
+WITH c AS (
+  SELECT CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN o_orderpriority='1-URGENT' AND o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN o_orderpriority='5-LOW' AND o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+),
+m AS (
+  SELECT n1, f1, n2, f2,
+         CAST(f1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS p1,
+         CAST(f2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS p2,
+         CAST(f1+f2 AS DOUBLE)/CAST(n1+n2 AS DOUBLE) AS pp
+  FROM c
+)
+SELECT n1 AS n_urgent, f1 AS finished_urgent, n2 AS n_low, f2 AS finished_low,
+       ROUND(p1, 9) AS p_urgent, ROUND(p2, 9) AS p_low,
+       ROUND((p1 - p2) / SQRT(pp*(1.0-pp)*(1.0/CAST(n1 AS DOUBLE)+1.0/CAST(n2 AS DOUBLE))), 9) AS z_score
+FROM m
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "holt_trend_daily_revenue": (holt_trend_daily_revenue, _HOLT_SQL),
+    "skew_kurtosis_quantity_by_flag": (skew_kurtosis_quantity_by_flag, _SKEW_KURT_SQL),
+    "knn_rrf_fusion": (knn_rrf_fusion, _RRF_SQL),
+    "token_freq_spectrum_documents": (token_freq_spectrum_documents, _TOKEN_SPECTRUM_SQL),
+    "ztest_finished_share_priority": (ztest_finished_share_priority, _ZTEST_SQL),
     "copurchase_kcore_parts": (copurchase_kcore_parts, _KCORE_SQL),
     "degree_assortativity_copurchase": (degree_assortativity_copurchase, _ASSORTATIVITY_SQL),
     "zorder_layout_orders": (zorder_layout_orders, _ZORDER_SQL),

@@ -35,10 +35,20 @@ class BruteForceScorer:
     """Actor stage: fetch the broadcast query matrix ONCE in __init__,
     emit per-batch local top-k (query_id, vec_id, sim) partials."""
 
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int, label_col: str | None = None):
+    def __init__(
+        self,
+        queries_ref,
+        id_col: str,
+        vec_col: str,
+        k: int,
+        label_col: str | None = None,
+        metric: str = "cosine",
+    ):
         q = ray.get(queries_ref)  # broadcast: one object-store read per actor
         self.q_ids = q["ids"]
-        self.q_mat = _normalize(q["matrix"])
+        self.metric = metric
+        # l2 ranks by raw Euclidean distance, so the vectors stay unnormalized
+        self.q_mat = _normalize(q["matrix"]) if metric == "cosine" else np.asarray(q["matrix"], dtype=np.float64)
         self.q_labels = q.get("labels")  # per-query exclusion label (hard negatives)
         self.id_col = id_col
         self.vec_col = vec_col
@@ -46,8 +56,18 @@ class BruteForceScorer:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _normalize(_batch_matrix(batch, self.vec_col))
-        sims = m @ self.q_mat.T  # (n_batch, n_queries)
+        raw = _batch_matrix(batch, self.vec_col)
+        if self.metric == "cosine":
+            sims = _normalize(raw) @ self.q_mat.T  # (n_batch, n_queries)
+        else:
+            # negated L2 distance so "larger is better" everywhere downstream
+            # (top-k, tie-break, driver merge all stay metric-agnostic);
+            # one vectorized subtract per query — fine for the few-query
+            # broadcast shape this stage serves
+            sims = np.empty((raw.shape[0], self.q_mat.shape[0]), dtype=np.float64)
+            for qi in range(self.q_mat.shape[0]):
+                diff = raw - self.q_mat[qi]
+                sims[:, qi] = -np.sqrt((diff * diff).sum(axis=1))
         ids = batch[self.id_col].to_numpy()
         labels = batch[self.label_col].to_numpy() if self.label_col is not None else None
         k = min(self.k, len(ids))
@@ -80,20 +100,25 @@ def brute_force_topk(
     concurrency: int | tuple = 4,
     label_col: str | None = None,
     query_labels: np.ndarray | None = None,
+    metric: str = "cosine",
 ) -> pd.DataFrame:
-    """Exact cosine top-k of every query against the whole dataset.
-    Returns (query_id, neighbor_id, sim, rank), rank 1..k, ties broken by
-    neighbor_id for determinism.  With ``label_col``/``query_labels``,
-    rows sharing a query's label are EXCLUDED from that query's top-k —
-    hard-negative mining (most-similar different-label items; the query
-    row itself is excluded by its own label)."""
+    """Exact top-k of every query against the whole dataset — cosine by
+    default, Euclidean with ``metric="l2"`` (scored as negated distance so
+    the top-k/tie-break machinery is shared).  Returns (query_id,
+    neighbor_id, sim, rank), rank 1..k, ties broken by neighbor_id for
+    determinism.  With ``label_col``/``query_labels``, rows sharing a
+    query's label are EXCLUDED from that query's top-k — hard-negative
+    mining (most-similar different-label items; the query row itself is
+    excluded by its own label)."""
     payload = {"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix, dtype=np.float64)}
     if query_labels is not None:
         payload["labels"] = np.asarray(query_labels)
     ref = ray.put(payload)
     partials = ds.map_batches(
         BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k, label_col=label_col),
+        fn_constructor_kwargs=dict(
+            queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k, label_col=label_col, metric=metric
+        ),
         batch_format="pandas",
         concurrency=concurrency,
     ).to_pandas()
