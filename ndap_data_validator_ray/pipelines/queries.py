@@ -10300,7 +10300,309 @@ FROM m
 """
 
 
+def vocab_growth_documents(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth — V(n) ~ K * n^beta over the corpus in
+    doc_id order (natural text sits near beta ~ 0.5-0.7; template spam
+    flattens it, OCR noise pushes it toward 1).  The curve needs a GLOBAL
+    prefix sum of per-doc token counts and per-doc NEW-vocabulary counts;
+    "new" is order-dependent, but min(first doc that contains the token)
+    makes it order-FREE and shuffleable: token -> min(doc_id) rides one
+    bucketed exchange (per-batch min partials, per-bucket min merge), and
+    each bucket folds its tokens to (first_doc, n_new) rows.  Those union
+    with the per-doc (doc_id, n_tokens) rows and ride the shared range
+    partitioner (``stages/sort._RangePlan``): a fixed-size count pass
+    gives exact per-partition offsets for BOTH running sums and the doc
+    rank, then each reducer emits only its rank-checkpoint rows (rank %
+    step == 0, step = ceil(n_docs/200)) — <= 200 exact-int points reach
+    the driver, the full vocabulary and the full curve never do.  The
+    slope is OLS of ln(cum_vocab) on ln(cum_tokens) in DuckDB's
+    ``regr_slope`` population form (the ``zipf_slope_documents``
+    convention: <= 200 well-conditioned points agree to ~1e-12, round 6)."""
+    import math as _math
+
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.sort import _RangePlan
+
+    K = 200
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out_cols = ["n_docs", "total_tokens", "n_vocab", "n_points", "heaps_slope"]
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        nt = np.fromiter(
+            (len((t or "").split()) for t in batch["text"]), dtype=np.int64, count=n
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "ntok": nt,
+                "nnew": np.zeros(n, np.int64),
+                "isdoc": np.ones(n, np.int64),
+            }
+        )
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        e = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype(np.int64),
+                "tok": batch["text"].fillna("").str.split(),
+            }
+        ).explode("tok")
+        e = e.dropna(subset=["tok"])
+        return pd.DataFrame(
+            {"tok": e["tok"].to_numpy(), "doc_id": e["doc_id"].to_numpy(np.int64)}
+        )
+
+    def fd_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("tok", as_index=False)["doc_id"].min()
+
+    def fd_merge(part: pd.DataFrame) -> pd.DataFrame:
+        cnt = part.groupby("tok")["doc_id"].min().value_counts()
+        n = len(cnt)
+        return pd.DataFrame(
+            {
+                "doc_id": cnt.index.to_numpy(np.int64),
+                "ntok": np.zeros(n, np.int64),
+                "nnew": cnt.to_numpy(np.int64),
+                "isdoc": np.zeros(n, np.int64),
+            }
+        )
+
+    nv = bucketed_groupby(
+        docs.map_batches(explode, batch_format="pandas"), ["tok"], fd_partial, fd_merge,
+        n_buckets=16,
+    )
+    u = docs.map_batches(doc_rows, batch_format="pandas").union(nv).materialize()
+
+    plan = _RangePlan(u, ["doc_id"], None, None, 64)
+    if plan.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in out_cols[:4]}).assign(
+            heaps_slope=pd.Series([], dtype=np.float64)
+        )
+    pid_of = plan.make_pid_of()
+    n_pids = plan.n_pids
+
+    def sums_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "pid": pid_of(batch),
+                "snt": batch["ntok"].to_numpy(np.int64),
+                "snv": batch["nnew"].to_numpy(np.int64),
+                "nd": batch["isdoc"].to_numpy(np.int64),
+            }
+        )
+        return df.groupby("pid", as_index=False).sum()
+
+    fold = (
+        u.map_batches(sums_partial, batch_format="pandas")
+        .to_pandas()  # <= n_pids rows per block: fixed-size driver fold
+        .groupby("pid")
+        .sum()
+        .reindex(range(n_pids), fill_value=0)
+    )
+    snt = fold["snt"].to_numpy(np.int64)
+    snv = fold["snv"].to_numpy(np.int64)
+    nd = fold["nd"].to_numpy(np.int64)
+    n_docs, total_tokens, n_vocab = int(nd.sum()), int(snt.sum()), int(snv.sum())
+    step = max(1, _math.ceil(n_docs / K))
+    offs_ref = ray.put(
+        (
+            np.concatenate([[0], np.cumsum(snt)[:-1]]).astype(np.int64),
+            np.concatenate([[0], np.cumsum(snv)[:-1]]).astype(np.int64),
+            np.concatenate([[0], np.cumsum(nd)[:-1]]).astype(np.int64),
+            step,
+        )
+    )
+
+    def ck_fold(group: pd.DataFrame, pid: int) -> pd.DataFrame:
+        ot, ov, od, stp = ray.get(offs_ref)
+        g = group.groupby("doc_id", sort=True).agg(nt=("ntok", "sum"), nv=("nnew", "sum"))
+        cumt = ot[pid] + np.cumsum(g["nt"].to_numpy(np.int64))
+        cumv = ov[pid] + np.cumsum(g["nv"].to_numpy(np.int64))
+        r = od[pid] + 1 + np.arange(len(g), dtype=np.int64)
+        keep = (r % stp == 0) & (cumt > 0) & (cumv > 0)
+        return pd.DataFrame({"r": r[keep], "cumt": cumt[keep], "cumv": cumv[keep]})
+
+    ck = plan.shuffle_fold(ck_fold).to_pandas().sort_values("r")
+    x = np.log(ck["cumt"].to_numpy(np.float64))
+    y = np.log(ck["cumv"].to_numpy(np.float64))
+    mx, my = x.mean(), y.mean()
+    slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(n_docs)],
+            "total_tokens": [np.int64(total_tokens)],
+            "n_vocab": [np.int64(n_vocab)],
+            "n_points": [np.int64(len(ck))],
+            "heaps_slope": _r6([slope]),
+        }
+    )
+
+
+_VOCAB_GROWTH_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+nt AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS ntok FROM d),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+fd AS (SELECT tok, MIN(doc_id) AS fdoc FROM tok GROUP BY tok),
+nv AS (SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS nnew FROM fd GROUP BY fdoc),
+st AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / 200.0) AS BIGINT)) AS step FROM nt),
+series AS (
+  SELECT SUM(nt.ntok) OVER w AS cumt,
+         SUM(COALESCE(nv.nnew, 0)) OVER w AS cumv,
+         ROW_NUMBER() OVER (ORDER BY nt.doc_id) AS r
+  FROM nt LEFT JOIN nv USING (doc_id)
+  WINDOW w AS (ORDER BY nt.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ck AS (SELECT * FROM series, st WHERE r % st.step = 0 AND cumt > 0 AND cumv > 0)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nt) AS n_docs,
+       (SELECT CAST(COALESCE(SUM(ntok), 0) AS BIGINT) FROM nt) AS total_tokens,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fd) AS n_vocab,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ck) AS n_points,
+       (SELECT ROUND(regr_slope(ln(CAST(cumv AS DOUBLE)), ln(CAST(cumt AS DOUBLE))), 6) FROM ck) AS heaps_slope
+"""
+
+
+def spearman_price_quantity(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice —
+    the nonparametric sibling of ``price_qty_corr_by_flag``, and the op
+    that needs TWO global tie-averaged rankings joined back per row
+    (Mann–Whitney needs one ranking folded per group; Spearman needs
+    rho = Pearson over (rank_x, rank_y) pairs).  Distributed shape: two
+    CHAINED range exchanges on the shared partitioner
+    (``stages/sort._RangePlan``) — pass A ranks quantity and emits
+    (price, 2*avgrank_q) rows (2x keeps tie-averaged ranks exact int64:
+    2*avgrank = 2*rows_before + ties + 1), pass B ranks price and folds
+    each partition to ONE row of exact moment partials (n, Σt1, Σt2,
+    Σt1², Σt2², Σt1t2) accumulated as PYTHON ints (products reach
+    (2n)²·rows — past int64 at warehouse scale; the SQL twin uses
+    HUGEINT, the same unbounded-exact posture).  The driver folds n_pids
+    rows and evaluates rho as ONE float expression from exact integers —
+    bit-identical cross-engine (both sides quantize to integer cents, so
+    the tie structure is identical by construction)."""
+    import math as _math
+
+    from ndap_data_validator_ray.stages.sort import _RangePlan
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    empty = pd.DataFrame(
+        {"n_rows": pd.Series([], dtype=np.int64), "spearman_rho": pd.Series([], dtype=np.float64)}
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        return pd.DataFrame(
+            {
+                "vq": np.round(b["l_quantity"].to_numpy(np.float64) * 100.0).astype(np.int64),
+                "vp": np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64),
+            }
+        )
+
+    def tworanks(v: np.ndarray, offset: int) -> np.ndarray:
+        """Per-row 2x tie-averaged rank of a SORTED int64 array whose
+        global prefix offset is ``offset`` (equal values never straddle
+        partitions — the range-partitioner contract)."""
+        starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+        c = np.diff(np.r_[starts, len(v)]).astype(np.int64)
+        tr = 2 * (offset + starts.astype(np.int64)) + c + 1
+        return np.repeat(tr, c)
+
+    x = ds.map_batches(prep, batch_format="pandas").materialize()
+    plan_q = _RangePlan(x, ["vq"], None, None, 64)
+    if plan_q.empty:
+        return empty
+    pid_q, n_q = plan_q.make_pid_of(), plan_q.n_pids
+
+    def count_q(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(pid_q(batch), minlength=n_q)
+        return pd.DataFrame({"pid": np.arange(len(c), dtype=np.int64), "n": c.astype(np.int64)})
+
+    off_q = np.concatenate([[0], np.cumsum(plan_q.fold_partials(count_q, "n"))[:-1]]).astype(
+        np.int64
+    )
+    offq_ref = ray.put(off_q)
+
+    def attach_t1(group: pd.DataFrame, pid: int) -> pd.DataFrame:
+        offs = ray.get(offq_ref)
+        return pd.DataFrame(
+            {
+                "vp": group["vp"].to_numpy(np.int64),
+                "t1": tworanks(group["vq"].to_numpy(np.int64), int(offs[pid])),
+            }
+        )
+
+    y = plan_q.shuffle_fold(attach_t1).materialize()
+    plan_p = _RangePlan(y, ["vp"], None, None, 64)
+    if plan_p.empty:
+        return empty
+    pid_p, n_p = plan_p.make_pid_of(), plan_p.n_pids
+
+    def count_p(batch: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(pid_p(batch), minlength=n_p)
+        return pd.DataFrame({"pid": np.arange(len(c), dtype=np.int64), "n": c.astype(np.int64)})
+
+    off_p = np.concatenate([[0], np.cumsum(plan_p.fold_partials(count_p, "n"))[:-1]]).astype(
+        np.int64
+    )
+    offp_ref = ray.put(off_p)
+
+    def moments(group: pd.DataFrame, pid: int) -> pd.DataFrame:
+        offs = ray.get(offp_ref)
+        t1 = group["t1"].to_numpy(np.int64).tolist()
+        t2 = tworanks(group["vp"].to_numpy(np.int64), int(offs[pid])).tolist()
+        return pd.DataFrame(
+            {
+                "n": [len(t1)],
+                "s1": [sum(t1)],
+                "s2": [sum(t2)],
+                "s11": [sum(a * a for a in t1)],  # Python int: no (2n)^2 overflow
+                "s22": [sum(b * b for b in t2)],
+                "s12": [sum(a * b for a, b in zip(t1, t2))],
+            }
+        )
+
+    p = plan_p.shuffle_fold(moments).to_pandas()
+    n = sum(int(v) for v in p["n"])
+    s1 = sum(int(v) for v in p["s1"])  # Python-int fold (HUGEINT twin)
+    s2 = sum(int(v) for v in p["s2"])
+    s11 = sum(int(v) for v in p["s11"])
+    s22 = sum(int(v) for v in p["s22"])
+    s12 = sum(int(v) for v in p["s12"])
+    rho = float(n * s12 - s1 * s2) / _math.sqrt(
+        float(n * s11 - s1 * s1) * float(n * s22 - s2 * s2)
+    )
+    return pd.DataFrame({"n_rows": [np.int64(n)], "spearman_rho": [round(rho, 6)]})
+
+
+_SPEARMAN_SQL = """
+WITH x AS (
+  SELECT CAST(ROUND(l_quantity * 100.0) AS BIGINT) AS vq,
+         CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS vp
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT CAST(2 * RANK() OVER (ORDER BY vq) + COUNT(*) OVER (PARTITION BY vq) - 1 AS HUGEINT) AS t1,
+         CAST(2 * RANK() OVER (ORDER BY vp) + COUNT(*) OVER (PARTITION BY vp) - 1 AS HUGEINT) AS t2
+  FROM x
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(t1) AS s1, SUM(t2) AS s2,
+         SUM(t1 * t1) AS s11, SUM(t2 * t2) AS s22, SUM(t1 * t2) AS s12
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+             / SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE) * CAST(n * s22 - s2 * s2 AS DOUBLE)),
+             6) AS spearman_rho
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "vocab_growth_documents": (vocab_growth_documents, _VOCAB_GROWTH_SQL),
+    "spearman_price_quantity": (spearman_price_quantity, _SPEARMAN_SQL),
     "holt_trend_daily_revenue": (holt_trend_daily_revenue, _HOLT_SQL),
     "skew_kurtosis_quantity_by_flag": (skew_kurtosis_quantity_by_flag, _SKEW_KURT_SQL),
     "knn_rrf_fusion": (knn_rrf_fusion, _RRF_SQL),
