@@ -230,6 +230,13 @@ _QUERY_NAMES = [
     "knn_rrf_fusion",
     "token_freq_spectrum_documents",
     "ztest_finished_share_priority",
+    # fourth-wave additions (vocab growth, rank correlation, source-pair
+    # sketch similarity, set-overlap sketch, scalar quantization)
+    "vocab_growth_documents",
+    "spearman_price_quantity",
+    "source_minhash_similarity",
+    "kmv_user_overlap_event_types",
+    "embedding_quantization_stats",
 ]
 
 

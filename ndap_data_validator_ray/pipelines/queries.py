@@ -10600,9 +10600,402 @@ FROM s
 """
 
 
+def source_minhash_similarity(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level source-pair similarity matrix — MinHash-estimated
+    token-set Jaccard between every pair of sources, next to the EXACT
+    Jaccard it estimates (the mixture-design diagnostic: which crawl
+    sources are near-duplicates of each other BEFORE paying per-doc
+    near-dup).  Sketch leg: a 32-slot per-source MinHash signature where
+    slot i's hash is the md5 twin of ``"<i>|<token>"`` — min over a
+    source's distinct tokens per slot is a FIXED-space mergeable fold
+    (<= sources x 32 rows per block, driver fold, NO shuffle — the
+    sketch-family rule), and because both engines evaluate the identical
+    md5 mins the ESTIMATE itself is value-pinned, not just bounded
+    (the ``kmv``/``hll``/``cms`` posture).  Exact leg: distinct
+    (source, token) rows ride ONE bucketed exchange on token; each
+    reducer folds its vocabulary slice to a sources x sources
+    co-occurrence outer product (``M.T @ M`` over the membership matrix
+    — pairs never enumerate per token), and the <= sources^2-row partials
+    sum on the driver.  Jaccard finalizes as one exact-int division per
+    pair on both sides."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    NS = 32
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        e = (
+            pd.DataFrame(
+                {"source": batch["source"], "tok": batch["text"].fillna("").str.split()}
+            )
+            .explode("tok")
+            .dropna(subset=["tok"])
+            .drop_duplicates()
+        )
+        return e.reset_index(drop=True)
+
+    toks = docs.map_batches(tok_rows, batch_format="pandas").materialize()
+
+    def sig_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.drop_duplicates()
+        tarr = b["tok"].to_numpy()
+        src = b["source"].to_numpy()
+        frames = []
+        for s in range(NS):
+            h = md5_lower64_batch([f"{s}|{t}" for t in tarr])
+            frames.append(
+                pd.DataFrame({"source": src, "s": np.int64(s), "mh": h})
+                .groupby(["source", "s"], as_index=False)["mh"]
+                .min()
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    sig = (
+        toks.map_batches(sig_partial, batch_format="pandas")
+        .to_pandas()  # <= sources*32 rows per block: fixed-space driver fold
+        .groupby(["source", "s"])["mh"]
+        .min()
+        .unstack("s")
+        .sort_index()
+    )
+
+    def ex_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    def ex_merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        piv = pd.crosstab(part["tok"], part["source"]).clip(upper=1)
+        m = piv.to_numpy(np.int64)
+        inter = m.T @ m
+        cols = list(piv.columns)
+        ia, ib = np.triu_indices(len(cols), k=0)  # diag rows carry set sizes
+        return pd.DataFrame(
+            {
+                "sa": [cols[i] for i in ia],
+                "sb": [cols[j] for j in ib],
+                "cnt": inter[ia, ib].astype(np.int64),
+            }
+        )
+
+    agg = (
+        bucketed_groupby(toks, ["tok"], ex_partial, ex_merge, n_buckets=16)
+        .to_pandas()  # <= sources^2 rows per bucket: driver fold
+        .groupby(["sa", "sb"])["cnt"]
+        .sum()
+    )
+    sizes = {s: int(agg.get((s, s), 0)) for s in sig.index}
+    mat = sig.to_numpy()
+    srcs = list(sig.index)
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            inter = int(agg.get((a, b), agg.get((b, a), 0)))
+            union = sizes[a] + sizes[b] - inter
+            est = float((mat[i] == mat[j]).sum()) / float(NS)
+            rows.append(
+                (a, b, np.int64(inter), np.int64(union),
+                 round(float(inter) / float(union), 6), round(est, 6))
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_inter", "n_union", "exact_jaccard", "est_jaccard"],
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+_SOURCE_MINHASH_SQL = """
+WITH d AS (
+  SELECT source, list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT DISTINCT source, unnest(ws) AS tok FROM d),
+slots AS (SELECT CAST(range AS BIGINT) AS s FROM range(32)),
+sig AS (
+  SELECT source, s, MIN(md5_number_lower(CAST(s AS VARCHAR) || '|' || tok)) AS mh
+  FROM tok, slots GROUP BY source, s
+),
+est AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 32.0 AS est_j
+  FROM sig a JOIN sig b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY source)
+SELECT e.source_a, e.source_b,
+       COALESCE(x.inter, 0) AS n_inter,
+       sa.n + sb.n - COALESCE(x.inter, 0) AS n_union,
+       ROUND(CAST(COALESCE(x.inter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(x.inter, 0) AS DOUBLE), 6) AS exact_jaccard,
+       ROUND(e.est_j, 6) AS est_jaccard
+FROM est e
+LEFT JOIN ex x ON x.source_a = e.source_a AND x.source_b = e.source_b
+JOIN sz sa ON sa.source = e.source_a
+JOIN sz sb ON sb.source = e.source_b
+ORDER BY e.source_a, e.source_b
+"""
+
+
+def kmv_user_overlap_event_types(sf_dir: str) -> pd.DataFrame:
+    """KMV set-OPERATION estimates — |click users ∩ purchase users| and
+    their Jaccard from bottom-k sketches (the audience-overlap question
+    ``kmv_distinct_parts_by_flag`` can't answer: intersections need the
+    union sketch + membership flags, not per-set counts).  Sketch leg:
+    per-batch per-user flag partials (a=clicked, b=purchased) hash
+    through the md5 twin and keep three local bottom-k=128 sets (A rows,
+    B rows, all rows) — <= 3k rows per block, flags OR-merge on the
+    driver (a hash in any TRUE bottom-k survives every local cut it
+    appears in, so the fold is lossless; the sketch-family no-shuffle
+    rule).  Estimators: (k-1)/theta per set (the KMV query's convention,
+    exact-count degradation when nd < k), Jaccard = both-flagged fraction
+    of the union's bottom-m (m = min(k, nd)), intersection = J x union
+    estimate — every branch recomputed verbatim by DuckDB from the same
+    md5 hashes, so all five estimates are value-pinned.  Exact
+    comparison counts ride ONE bucketed exchange on user_id (per-bucket
+    flag OR + three sums)."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    K = 128
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def prep(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.dropna(subset=["user_id"])
+        bt = bt[bt["event_type"].isin(["click", "purchase"])]
+        return (
+            bt.assign(
+                a=(bt["event_type"] == "click").astype(np.int64),
+                b=(bt["event_type"] == "purchase").astype(np.int64),
+                user_id=bt["user_id"].astype(np.int64),
+            )
+            .groupby("user_id", as_index=False)[["a", "b"]]
+            .max()
+        )
+
+    users = ds.map_batches(prep, batch_format="pandas").materialize()
+
+    def sk_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        bt = bt.groupby("user_id", as_index=False)[["a", "b"]].max()
+        hv = md5_lower64_batch(bt["user_id"].astype(np.int64).astype(str).to_numpy())
+        df = pd.DataFrame({"hv": hv, "a": bt["a"].to_numpy(), "b": bt["b"].to_numpy()})
+        keep = pd.concat(
+            [
+                df[df["a"] == 1].nsmallest(K, "hv"),
+                df[df["b"] == 1].nsmallest(K, "hv"),
+                df.nsmallest(K, "hv"),
+            ]
+        )
+        return keep.drop_duplicates(subset=["hv"])
+
+    sk = (
+        users.map_batches(sk_partial, batch_format="pandas")
+        .to_pandas()  # <= 3k rows per block: fixed-space driver fold
+        .groupby("hv", as_index=False)[["a", "b"]]
+        .max()
+        .sort_values("hv")
+    )
+
+    def kmv_est(hvs: np.ndarray) -> float:
+        nd = len(hvs)
+        if nd < K:
+            return float(nd)
+        return (K - 1.0) * 18446744073709551616.0 / float(np.sort(hvs)[K - 1])
+
+    est_a = kmv_est(sk.loc[sk["a"] == 1, "hv"].to_numpy())
+    est_b = kmv_est(sk.loc[sk["b"] == 1, "hv"].to_numpy())
+    est_u = kmv_est(sk["hv"].to_numpy())
+    m = min(K, len(sk))
+    bottom = sk.head(m)
+    c = int(((bottom["a"] == 1) & (bottom["b"] == 1)).sum())
+    est_j = float(c) / float(m) if m else 0.0
+    est_i = est_j * est_u
+
+    def ex_merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("user_id")[["a", "b"]].max()
+        return pd.DataFrame(
+            {
+                "na": [np.int64(g["a"].sum())],
+                "nb": [np.int64(g["b"].sum())],
+                "nboth": [np.int64(((g["a"] == 1) & (g["b"] == 1)).sum())],
+            }
+        )
+
+    ex = bucketed_groupby(users, ["user_id"], lambda b: b, ex_merge, n_buckets=16).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_click_exact": [np.int64(ex["na"].sum())],
+            "n_purchase_exact": [np.int64(ex["nb"].sum())],
+            "n_both_exact": [np.int64(ex["nboth"].sum())],
+            "est_click": _r6([est_a]),
+            "est_purchase": _r6([est_b]),
+            "est_union": _r6([est_u]),
+            "est_inter": _r6([est_i]),
+            "est_jaccard": _r6([est_j]),
+        }
+    )
+
+
+_KMV_OVERLAP_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+  GROUP BY user_id
+),
+f AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv, a, b FROM u),
+ru AS (SELECT hv, a, b, ROW_NUMBER() OVER (ORDER BY hv) AS r FROM f),
+sa AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, MAX(CASE WHEN r2 = 128 THEN hv END) AS hk
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS r2 FROM f WHERE a = 1) WHERE r2 <= 128
+),
+sb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, MAX(CASE WHEN r2 = 128 THEN hv END) AS hk
+  FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS r2 FROM f WHERE b = 1) WHERE r2 <= 128
+),
+su AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nd, MAX(CASE WHEN r = 128 THEN hv END) AS hk,
+         CAST(SUM(a * b) AS BIGINT) AS c
+  FROM ru WHERE r <= 128
+),
+est AS (
+  SELECT
+    (SELECT CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                 ELSE 127.0 * 18446744073709551616.0 / CAST(hk AS DOUBLE) END FROM sa) AS ea,
+    (SELECT CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                 ELSE 127.0 * 18446744073709551616.0 / CAST(hk AS DOUBLE) END FROM sb) AS eb,
+    (SELECT CASE WHEN nd < 128 THEN CAST(nd AS DOUBLE)
+                 ELSE 127.0 * 18446744073709551616.0 / CAST(hk AS DOUBLE) END FROM su) AS eu,
+    (SELECT CASE WHEN nd = 0 THEN 0.0 ELSE CAST(c AS DOUBLE) / CAST(nd AS DOUBLE) END FROM su) AS ej
+)
+SELECT
+  (SELECT CAST(SUM(a) AS BIGINT) FROM u) AS n_click_exact,
+  (SELECT CAST(SUM(b) AS BIGINT) FROM u) AS n_purchase_exact,
+  (SELECT CAST(SUM(a * b) AS BIGINT) FROM u) AS n_both_exact,
+  ROUND(ea, 6) AS est_click, ROUND(eb, 6) AS est_purchase, ROUND(eu, 6) AS est_union,
+  ROUND(ej * eu, 6) AS est_inter, ROUND(ej, 6) AS est_jaccard
+FROM est
+"""
+
+
+def embedding_quantization_stats(sf_dir: str) -> pd.DataFrame:
+    """Scalar quantization audit for the embedding column — the
+    compression step an ANN index takes before PQ: per-dimension affine
+    mapping to 255 codes (0..254), then per-label code distribution and
+    worst-case reconstruction error.  Two-pass distributed shape: pass 1
+    folds per-dimension (min, max) from fixed 64-row block partials
+    (min/max are order-free — NO shuffle, the sketch-family rule); pass 2
+    broadcasts the 64-entry scale table in the closure and folds
+    per-label partials of EXACT integers (code sums / squares /
+    saturation counts) plus an order-free float MAX of |x - dequant(x)|.
+    Cross-engine determinism: both engines evaluate the identical
+    elementwise expression chain (cast-to-double, one-rounding scale
+    division, ``floor(v + 0.5)`` — never banker's rounding, which numpy
+    and SQL disagree on), integer stats are exact, and the only float
+    aggregate is MAX — no accumulation order anywhere (round 9)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def mm_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)
+        d = m.shape[1]
+        return pd.DataFrame(
+            {"dim": np.arange(d, dtype=np.int64), "mn": m.min(axis=0), "mx": m.max(axis=0)}
+        )
+
+    x = ds.map_batches(mm_partial, batch_format="pandas").to_pandas().groupby("dim")
+    mn = x["mn"].min().to_numpy(np.float64)
+    mx = x["mx"].max().to_numpy(np.float64)
+    live = mx > mn
+    scale = np.where(live, (mx - mn) / 254.0, 1.0)
+
+    def q_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)
+        v = (m - mn) / scale
+        q0 = np.clip(np.floor(v + 0.5), 0.0, 254.0)
+        q0 = np.where(live, q0, 127.0)
+        err = np.where(live, np.abs(m - (mn + q0 * scale)), 0.0)
+        qi = q0.astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "label": bt["label"].to_numpy(np.int64).repeat(m.shape[1]),
+                "qi": qi.ravel(),
+                "qi2": (qi * qi).ravel(),
+                "is0": (qi == 0).ravel().astype(np.int64),
+                "is254": (qi == 254).ravel().astype(np.int64),
+                "err": err.ravel(),
+            }
+        )
+        g = df.groupby("label")
+        return pd.DataFrame(
+            {
+                "label": g.size().index.to_numpy(np.int64),
+                "n_vals": g.size().to_numpy(np.int64),
+                "sum_code": g["qi"].sum().to_numpy(np.int64),
+                "sum_code2": g["qi2"].sum().to_numpy(np.int64),
+                "n_min_code": g["is0"].sum().to_numpy(np.int64),
+                "n_max_code": g["is254"].sum().to_numpy(np.int64),
+                "max_abs_err": g["err"].max().to_numpy(np.float64),
+            }
+        )
+
+    p = ds.map_batches(q_partial, batch_format="pandas").to_pandas()  # <= labels rows/block
+    g = p.groupby("label")
+    out = pd.DataFrame(
+        {
+            "label": g.size().index.to_numpy(np.int64),
+            "n_vals": g["n_vals"].sum().to_numpy(np.int64),
+            "sum_code": g["sum_code"].sum().to_numpy(np.int64),
+            "sum_code2": g["sum_code2"].sum().to_numpy(np.int64),
+            "n_min_code": g["n_min_code"].sum().to_numpy(np.int64),
+            "n_max_code": g["n_max_code"].sum().to_numpy(np.int64),
+            "max_abs_err": _r9(g["max_abs_err"].max().to_numpy(np.float64)),
+        }
+    )
+    return out.sort_values("label").reset_index(drop=True)
+
+
+_EMB_QUANT_SQL = """
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label, d.s AS dim,
+         CAST(embedding[CAST(d.s AS INTEGER) + 1] AS DOUBLE) AS x
+  FROM embeddings, (SELECT CAST(range AS BIGINT) AS s FROM range(64)) d
+  WHERE embedding IS NOT NULL
+),
+mm AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim),
+q AS (
+  SELECT label,
+         CASE WHEN mx > mn
+              THEN LEAST(254.0, GREATEST(0.0, FLOOR((x.x - mn) / ((mx - mn) / 254.0) + 0.5)))
+              ELSE 127.0 END AS q0,
+         x.x AS x, mn, mx
+  FROM x JOIN mm USING (dim)
+),
+e AS (
+  SELECT label, CAST(q0 AS BIGINT) AS qi,
+         CASE WHEN mx > mn THEN ABS(x - (mn + q0 * ((mx - mn) / 254.0))) ELSE 0.0 END AS err
+  FROM q
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vals,
+       CAST(SUM(qi) AS BIGINT) AS sum_code, CAST(SUM(qi * qi) AS BIGINT) AS sum_code2,
+       CAST(SUM(CASE WHEN qi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_min_code,
+       CAST(SUM(CASE WHEN qi = 254 THEN 1 ELSE 0 END) AS BIGINT) AS n_max_code,
+       ROUND(MAX(err), 9) AS max_abs_err
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "vocab_growth_documents": (vocab_growth_documents, _VOCAB_GROWTH_SQL),
     "spearman_price_quantity": (spearman_price_quantity, _SPEARMAN_SQL),
+    "source_minhash_similarity": (source_minhash_similarity, _SOURCE_MINHASH_SQL),
+    "kmv_user_overlap_event_types": (kmv_user_overlap_event_types, _KMV_OVERLAP_SQL),
+    "embedding_quantization_stats": (embedding_quantization_stats, _EMB_QUANT_SQL),
     "holt_trend_daily_revenue": (holt_trend_daily_revenue, _HOLT_SQL),
     "skew_kurtosis_quantity_by_flag": (skew_kurtosis_quantity_by_flag, _SKEW_KURT_SQL),
     "knn_rrf_fusion": (knn_rrf_fusion, _RRF_SQL),
