@@ -118,6 +118,37 @@ def clips_audio_near_dup(sf_dir: str) -> pd.DataFrame:
     return audio_near_dup_groups(_clips_dir(_clips_rows_for(sf_dir)))
 
 
+def clips_zonemap_prune(sf_dir: str) -> pd.DataFrame:
+    """Footer-only zonemap scan planning over the multi-file clips table:
+    for the predicate clip_id >= <60th-percentile id> — a column the
+    shards are naturally clustered by (ingest order) — report, per file,
+    how many row groups the scan can skip without reading data pages.
+    Rows-only: row-group layout is physical, not SQL-visible; parity vs
+    DuckDB's parquet_metadata() and a pruned-vs-full read equivalence are
+    pinned by tests (test_zonemap.py)."""
+    from ndap_data_validator_ray.sources.synthetic import clip_files
+    from ndap_data_validator_ray.sources.zonemap import zonemap_scan_stats
+
+    n = _clips_rows_for(sf_dir)
+    threshold = f"clip-{int(n * 0.6):012d}"
+    stats = zonemap_scan_stats(
+        clip_files(_clips_dir(n)), "clip_id", ">=", threshold
+    ).to_pandas()  # O(row groups) rows — footer metadata, never data
+    g = stats.groupby("path")
+    out = pd.DataFrame(
+        {
+            "path": g.size().index.to_numpy(),
+            "n_rowgroups": g.size().to_numpy("int64"),
+            "n_pruned": g["prunable"].sum().to_numpy("int64"),
+            "rows_total": g["n_rows"].sum().to_numpy("int64"),
+            "rows_scanned": g.apply(
+                lambda d: int(d.loc[~d["prunable"], "n_rows"].sum()), include_groups=False
+            ).to_numpy("int64"),
+        }
+    )
+    return out.sort_values("path").reset_index(drop=True)
+
+
 def role_validation_lineitem(sf_dir: str) -> pd.DataFrame:
     """Reference-parity role validation applied to lineitem (rows-only:
     report shape is the reference's, not a SQL result)."""
@@ -168,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["clips_violation_counts"] = clips_violation_counts
     out["clips_audio_dedup"] = clips_audio_dedup
     out["clips_audio_near_dup"] = clips_audio_near_dup
+    out["clips_zonemap_prune"] = clips_zonemap_prune
     out["role_validation_lineitem"] = role_validation_lineitem
     return out
 

@@ -237,6 +237,8 @@ _QUERY_NAMES = [
     "source_minhash_similarity",
     "kmv_user_overlap_event_types",
     "embedding_quantization_stats",
+    "ams_f2_user_events",
+    "session_paths_events",
 ]
 
 

@@ -10990,7 +10990,163 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
+def ams_f2_user_events(sf_dir: str) -> pd.DataFrame:
+    """AMS / Tug-of-War sketch of the second frequency moment F2 =
+    Σ f(user)² over events — the self-join-size estimator that prices a
+    user-key join BEFORE running it (skew planner input), and the fifth
+    member of the value-oracled sketch family.  16 estimators share ONE
+    md5-twin hash per user: estimator i's sign is bit i of the hash, and
+    its partial is just Σ±1 over event rows — a FIXED 16-int mergeable
+    vector per block (driver fold, NO shuffle; the sketch-family rule).
+    Each estimate is zi² (exact integers end to end — squared as Python
+    ints / HUGEINT, so no overflow at any scale), summarized by the LOWER
+    median (8th smallest of 16 — an exact order statistic on both
+    engines; interpolated median would average two ints in float) and the
+    exact-int mean divided once.  The exact F2 comparison column pays the
+    only exchange (bucketed on user_id: per-bucket counts are complete,
+    Σc² sums across buckets)."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    NI = 16
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def sign_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        u = bt["user_id"].dropna().astype(np.int64)
+        h = md5_lower64_batch(u.astype(str).to_numpy())
+        bits = ((h[:, None] >> np.arange(NI, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        z = (2 * bits - 1).sum(axis=0)  # Σ ±1 per estimator
+        return pd.DataFrame({"i": np.arange(NI, dtype=np.int64), "z": z})
+
+    z = (
+        ds.map_batches(sign_partial, batch_format="pandas")
+        .to_pandas()  # 16 rows per block: fixed-space driver fold
+        .groupby("i")["z"]
+        .sum()
+        .reindex(range(NI), fill_value=0)
+        .to_numpy(np.int64)
+    )
+    est = sorted(int(v) * int(v) for v in z)  # Python ints: no z² overflow
+    est_median = est[NI // 2 - 1]  # lower median (exact order statistic)
+    est_mean = float(sum(est)) / float(NI)
+
+    def ex_merge(part: pd.DataFrame) -> pd.DataFrame:
+        c = part.groupby("user_id").size().to_numpy(np.int64)
+        return pd.DataFrame({"f2": [sum(int(v) * int(v) for v in c)]})
+
+    ex = bucketed_groupby(
+        ds.map_batches(lambda b: b.dropna(), batch_format="pandas"),
+        ["user_id"], lambda b: b, ex_merge, n_buckets=16,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "f2_exact": [np.int64(sum(int(v) for v in ex["f2"]))],
+            "f2_est_median": [np.int64(est_median)],
+            "f2_est_mean": _r6([est_mean]),
+        }
+    )
+
+
+_AMS_F2_SQL = """
+WITH e AS (
+  SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+i AS (SELECT CAST(range AS BIGINT) AS i FROM range(16)),
+z AS (
+  SELECT i, CAST(SUM(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)
+                 AS BIGINT) AS zi
+  FROM e, i GROUP BY i
+),
+est AS (
+  SELECT CAST(zi AS HUGEINT) * zi AS e2,
+         ROW_NUMBER() OVER (ORDER BY CAST(zi AS HUGEINT) * zi) AS r
+  FROM z
+),
+ex AS (
+  SELECT CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS f2
+  FROM (SELECT COUNT(*) AS c FROM events WHERE user_id IS NOT NULL GROUP BY user_id)
+)
+SELECT (SELECT CAST(f2 AS BIGINT) FROM ex) AS f2_exact,
+       (SELECT CAST(e2 AS BIGINT) FROM est WHERE r = 8) AS f2_est_median,
+       (SELECT ROUND(CAST(SUM(e2) AS DOUBLE) / 16.0, 6) FROM est) AS f2_est_mean
+"""
+
+
+def session_paths_events(sf_dir: str) -> pd.DataFrame:
+    """Top session-opening paths — the first three event types of every
+    30-minute-gap session, joined ``a>b>c`` and counted corpus-wide (the
+    sequence-mining question behind onboarding/funnel design; the
+    sessionization twin that consumes the ORDER inside the session, not
+    just its bounds).  Distributed shape: ONE bucketed exchange on
+    user_id (sessions are user-local — the documented sessionization
+    partitioning assumption); each reducer rebuilds its users' sessions
+    with the same 30-min rule, takes the first 3 events by the total
+    order (ts, event_id — deterministic under same-timestamp ties, which
+    the plain sessionization query never has to break), and folds ITS
+    path counts locally, so blocks carry <= |event_types|³ + smaller
+    partial rows — the driver folds path counts, never rows.  Top 20 by
+    (count desc, path asc)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def paths(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.dropna().sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = part["ts"].diff() > pd.Timedelta(minutes=30)
+        new_user = part["user_id"].ne(part["user_id"].shift())
+        sid = (gap | new_user).cumsum()
+        head = part.groupby(sid, sort=False).head(3)
+        p = head.groupby(sid.loc[head.index], sort=False)["event_type"].agg(">".join)
+        cnt = p.value_counts()
+        return pd.DataFrame(
+            {"path": cnt.index.to_numpy(), "cnt": cnt.to_numpy(np.int64)}
+        )
+
+    out = (
+        bucketed_groupby(ds, ["user_id"], lambda b: b, paths).to_pandas()
+        .groupby("path", as_index=False)["cnt"]
+        .sum()
+    )
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out = out.sort_values(["cnt", "path"], ascending=[False, True]).head(20)
+    return out.reset_index(drop=True)
+
+
+_SESSION_PATHS_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM ordered
+),
+ranked AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS r
+  FROM numbered
+),
+p AS (
+  SELECT STRING_AGG(event_type, '>' ORDER BY r) AS path
+  FROM ranked WHERE r <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM p GROUP BY path
+ORDER BY cnt DESC, path
+LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "ams_f2_user_events": (ams_f2_user_events, _AMS_F2_SQL),
+    "session_paths_events": (session_paths_events, _SESSION_PATHS_SQL),
     "vocab_growth_documents": (vocab_growth_documents, _VOCAB_GROWTH_SQL),
     "spearman_price_quantity": (spearman_price_quantity, _SPEARMAN_SQL),
     "source_minhash_similarity": (source_minhash_similarity, _SOURCE_MINHASH_SQL),

@@ -195,3 +195,84 @@ def test_embedding_quantization_error_bound(tmp_path):
     step = (md.max(axis=0) - md.min(axis=0)).max() / 254.0
     assert (out["max_abs_err"] <= step / 2.0 + 1e-12).all()
     assert int(out["n_vals"].sum()) == 50 * 64
+
+
+# --- AMS F2 sketch ---------------------------------------------------------------
+
+def test_ams_f2_exact_and_sketch_bounds(tmp_path):
+    """Planted frequencies: exact F2 is the known sum of squares; each
+    AMS estimator is unbiased so the lower median must land within the
+    (loose) 16-estimator concentration band around F2 — and be exactly
+    reproducible (pure function of md5 bits)."""
+    from ndap_data_validator_ray.pipelines.queries import ams_f2_user_events
+
+    rows = []
+    freqs = {1: 10, 2: 5, 3: 1, 4: 1, 5: 3}
+    for u, f in freqs.items():
+        rows.extend([(u,)] * f)
+    df = pd.DataFrame(rows, columns=["user_id"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"),
+                   row_group_size=7)
+    out = ams_f2_user_events(str(tmp_path))
+    f2 = sum(v * v for v in freqs.values())
+    assert int(out["f2_exact"].iloc[0]) == f2
+    again = ams_f2_user_events(str(tmp_path))
+    assert int(again["f2_est_median"].iloc[0]) == int(out["f2_est_median"].iloc[0])
+    # estimator sanity: median of squares of Σ±f must be within [0, (Σf)²]
+    n = sum(freqs.values())
+    assert 0 <= int(out["f2_est_median"].iloc[0]) <= n * n
+
+
+def test_ams_f2_single_user_is_exact(tmp_path):
+    """One user with f events: every estimator is (±f)² = f² exactly, so
+    median and mean BOTH equal the exact F2 — the degenerate case that
+    pins the sign-sum algebra."""
+    from ndap_data_validator_ray.pipelines.queries import ams_f2_user_events
+
+    df = pd.DataFrame({"user_id": [7] * 9})
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"),
+                   row_group_size=4)
+    out = ams_f2_user_events(str(tmp_path))
+    assert int(out["f2_exact"].iloc[0]) == 81
+    assert int(out["f2_est_median"].iloc[0]) == 81
+    assert float(out["f2_est_mean"].iloc[0]) == 81.0
+
+
+# --- Session path mining -----------------------------------------------------------
+
+def test_session_paths_gap_and_truncation(tmp_path):
+    """One user, two sessions split by a >30min gap; the first session
+    has 4 events (path truncates to 3), the second has 2."""
+    from ndap_data_validator_ray.pipelines.queries import session_paths_events
+
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+    rows = [
+        (1, t0, 1, "view"),
+        (1, t0 + pd.Timedelta(minutes=5), 2, "click"),
+        (1, t0 + pd.Timedelta(minutes=10), 3, "view"),
+        (1, t0 + pd.Timedelta(minutes=12), 4, "purchase"),  # 4th -> truncated
+        (1, t0 + pd.Timedelta(minutes=50), 5, "signup"),  # new session
+        (1, t0 + pd.Timedelta(minutes=55), 6, "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"),
+                   row_group_size=2)
+    out = session_paths_events(str(tmp_path)).set_index("path")["cnt"]
+    assert int(out["view>click>view"]) == 1
+    assert int(out["signup>error"]) == 1
+    assert len(out) == 2
+
+
+def test_session_paths_same_ts_tiebreak(tmp_path):
+    """Two events sharing a timestamp order by event_id — deterministic
+    path strings under ties."""
+    from ndap_data_validator_ray.pipelines.queries import session_paths_events
+
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+    rows = [(1, t0, 20, "click"), (1, t0, 10, "view"), (2, t0, 5, "view"), (2, t0, 4, "click")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    pq.write_table(pa.Table.from_pandas(df), str(tmp_path / "events.parquet"),
+                   row_group_size=1)
+    out = session_paths_events(str(tmp_path)).set_index("path")["cnt"]
+    assert int(out["view>click"]) == 1  # user 1: event_id 10 first
+    assert int(out["click>view"]) == 1  # user 2: event_id 4 first
