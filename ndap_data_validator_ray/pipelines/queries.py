@@ -11144,7 +11144,326 @@ LIMIT 20
 """
 
 
+def hits_copurchase_parts(sf_dir: str) -> pd.DataFrame:
+    """HITS hubs/authorities on the bipartite customer-part purchase
+    graph — the link-analysis sibling of ``order_chain_pagerank``, in
+    EXACT integer arithmetic: two full unnormalized iterations from the
+    all-ones hub start (auth1 = per-part customer degree, hub1 = sum of
+    neighbor authorities, auth2 = sum of neighbor hubs).  Skipping the
+    per-round normalization keeps every value an exact int64 (sums of
+    counts — order-independent, so the DuckDB HUGEINT twin matches
+    verbatim where float HITS could not), bounded by deg^3 << 2^63 at
+    any realistic catalog skew.  Shape: edges deduped via one bucketed
+    exchange, each half-iteration is one bucketed join + one bucketed
+    sum — the orders side attaches through the broadcast-vs-shuffle
+    guard.  Output: top 50 parts by final authority."""
+    from ndap_data_validator_ray.stages import broadcast as _bc
+    from ndap_data_validator_ray.stages.groupby import count_by_key, sum_by_key
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"], "l_partkey": t["l_partkey"]}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    fact = _bc.attach_or_join(li, orders, "o_orderkey", "o_orderkey", ["o_custkey"])
+    edges = (
+        count_by_key(fact, ["o_custkey", "l_partkey"], n_buckets=32)
+        .map_batches(
+            lambda t: pa.table({"o_custkey": t["o_custkey"], "l_partkey": t["l_partkey"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    auth1 = count_by_key(edges, ["l_partkey"], n_buckets=32, count_col="auth1").materialize()
+    hub1 = (
+        sum_by_key(bucketed_join(edges, auth1, on=["l_partkey"]), ["o_custkey"], ["auth1"], n_buckets=32)
+        .map_batches(
+            lambda t: pa.table({"o_custkey": t["o_custkey"], "hub1": t["auth1"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    auth2 = sum_by_key(
+        bucketed_join(edges, hub1, on=["o_custkey"]), ["l_partkey"], ["hub1"], n_buckets=32
+    ).map_batches(
+        lambda t: pa.table({"l_partkey": t["l_partkey"], "auth2": t["hub1"]}),
+        batch_format="pyarrow",
+    )
+    top = (
+        auth2.sort(["auth2", "l_partkey"], descending=[True, False]).limit(50).to_pandas()
+    )
+    keys = set(top["l_partkey"].tolist())
+    deg = auth1.map_batches(
+        lambda b: b[b["l_partkey"].isin(keys)], batch_format="pandas"
+    ).to_pandas()
+    out = top.merge(deg, on="l_partkey")
+    for c in ("l_partkey", "auth1", "auth2"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["l_partkey", "auth1", "auth2"]]
+        .sort_values(["auth2", "l_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+_HITS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS auth1 FROM edges GROUP BY p),
+h1 AS (SELECT c, CAST(SUM(auth1) AS BIGINT) AS hub1 FROM edges JOIN a1 USING (p) GROUP BY c),
+a2 AS (SELECT p, CAST(SUM(hub1) AS BIGINT) AS auth2 FROM edges JOIN h1 USING (c) GROUP BY p)
+SELECT p AS l_partkey, a1.auth1 AS auth1, a2.auth2 AS auth2
+FROM a2 JOIN a1 USING (p)
+ORDER BY auth2 DESC, l_partkey LIMIT 50
+"""
+
+
+def theil_sen_daily_revenue(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend of the daily order-revenue series: the
+    median over all O(days^2) pairwise slopes, plus the median-residual
+    intercept — the outlier-proof sibling of the OLS
+    ``customer_spend_trend``.  Daily sums fold as exact integer cents
+    through one bucketed exchange; the pairwise stage is driver-local
+    because the series length is CALENDAR-bounded (days, not rows — the
+    same O(days) argument as the EWMA/CUSUM scans), so it never grows
+    with data volume.  Cross-engine float exactness: each slope is the
+    same two-int division on both sides, and the median is pinned to the
+    explicit two-middle-order-statistics form ``(lo + hi) / 2.0`` (an
+    interpolating MEDIAN() could differ in the last ulp; the SQL twin
+    selects rn IN ((n+1)//2, (n+2)//2) and averages, exactly as here)."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["o_orderdate", "o_totalprice"])
+        d = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.round(b["o_totalprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        return pd.DataFrame({"day": d, "cents": cents}).groupby("day", as_index=False)[
+            "cents"
+        ].sum()
+
+    daily = (
+        sum_by_key(
+            orders.map_batches(day_partial, batch_format="pandas"),
+            ["day"], ["cents"], n_buckets=32, partial_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    d = daily["day"].to_numpy(np.int64)
+    c = daily["cents"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+
+    def _median_pinned(x: np.ndarray) -> float:
+        x = np.sort(x)
+        n = len(x)
+        lo = x[(n - 1) // 2]
+        hi = x[n // 2]
+        return float((lo + hi) / 2.0)
+
+    slopes = (c[j] - c[i]).astype(np.float64) / (d[j] - d[i]).astype(np.float64)
+    slope = _median_pinned(slopes)
+    intercept = _median_pinned(c.astype(np.float64) - slope * d.astype(np.float64))
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(d))],
+            "n_pairs": [np.int64(len(slopes))],
+            "slope_cents_per_day": _r9([slope]),
+            "intercept_cents": _r6([intercept]),
+        }
+    )
+
+
+_THEILSEN_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+slopes AS (
+  SELECT CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS s
+  FROM d a JOIN d b ON b.day > a.day
+),
+sr AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS n FROM slopes),
+slope AS (
+  SELECT (MIN(s) + MAX(s)) / 2.0 AS slope FROM sr WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+),
+resid AS (
+  SELECT CAST(d.cents AS DOUBLE) - slope.slope * CAST(d.day AS DOUBLE) AS r FROM d, slope
+),
+rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n FROM resid),
+icept AS (
+  SELECT (MIN(r) + MAX(r)) / 2.0 AS icept FROM rr WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_pairs,
+       ROUND(slope.slope, 9) AS slope_cents_per_day,
+       ROUND(icept.icept, 6) AS intercept_cents
+FROM slope, icept
+"""
+
+
+def jaro_winkler_adjacent_parts(sf_dir: str) -> pd.DataFrame:
+    """Jaro-Winkler similarity of each part's name against the next
+    part's (key-shifted self-join through the bucketed exchange, then
+    the vectorized pair kernel) — the typo-tolerant record-linkage
+    scalar next to ``fuzzy_part_names``'s Levenshtein.  The kernel
+    (functions/strdist.jaro_winkler_batch) is bit-identical to DuckDB's
+    ``jaro_winkler_similarity`` builtin (fuzz-gated in
+    tests/test_new_ops_r5d.py), which makes this a FULL value oracle for
+    a nontrivial string-similarity kernel; the deterministic pair set
+    (partkey -> partkey+1) keeps the row set threshold-free so float
+    boundaries can never flip membership."""
+    from ndap_data_validator_ray.functions.strdist import jaro_winkler_batch
+    from ndap_data_validator_ray.stages.join import bucketed_join
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    left = part.map_batches(
+        lambda t: pa.table(
+            {"jk": t["p_partkey"], "p_partkey": t["p_partkey"], "p_name": t["p_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = part.map_batches(
+        lambda t: pa.table(
+            {"jk": pc.subtract(t["p_partkey"], pa.scalar(1, pa.int64())), "name_b": t["p_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy(np.int64),
+                "jw": _r9(jaro_winkler_batch(b["p_name"].tolist(), b["name_b"].tolist())),
+            }
+        )
+
+    out = (
+        bucketed_join(left, right, on=["jk"], n_buckets=16)
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+_JW_SQL = """
+SELECT a.p_partkey, ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 9) AS jw
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+ORDER BY a.p_partkey
+"""
+
+
+def trimmed_mean_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """5%-two-sided trimmed mean of l_extendedprice per returnflag — the
+    robust-aggregation sibling of ``mad_outlier_orders``, computed
+    EXACTLY at any scale without sorting rows: one bucketed exchange
+    builds the per-(flag, integer-cents) count histogram (the kcore
+    order-statistic trick — histogram size is bounded by the PRICE
+    DOMAIN, never row count), then the driver folds trim boundaries and
+    the kept sum from cumulative counts in pure Python ints (no int64
+    overflow at 10^12 rows).  trim = n//20 rows off each end; groups
+    with n < 20 trim nothing (plain mean).  Cut values are emitted in
+    integer cents (zero float risk); the mean mirrors the SQL division
+    expression verbatim."""
+    from ndap_data_validator_ray.stages.groupby import sum_by_key
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["l_returnflag", "l_extendedprice"])
+        cents = np.round(b["l_extendedprice"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_returnflag": b["l_returnflag"].to_numpy(), "c": cents})
+            .groupby(["l_returnflag", "c"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "cnt"})
+
+    hist = sum_by_key(
+        li.map_batches(partial, batch_format="pandas"),
+        ["l_returnflag", "c"], ["cnt"], n_buckets=32, partial_format="pandas",
+    ).to_pandas()
+
+    rows = []
+    for f, g in hist.groupby("l_returnflag", sort=True):
+        g = g.sort_values("c")
+        c = [int(x) for x in g["c"].tolist()]
+        cnt = [int(x) for x in g["cnt"].tolist()]
+        n = sum(cnt)
+        t = n // 20
+        total = sum(v * k for v, k in zip(c, cnt))
+        # exact trim folds off the cumulative histogram: full cells below
+        # the boundary, then the boundary cell's partial count
+        def edge_sum(vals, counts, trim):
+            s = 0
+            cum = 0
+            for v, k in zip(vals, counts):
+                if cum + k <= trim:
+                    s += v * k
+                    cum += k
+                    continue
+                s += v * (trim - cum)
+                break
+            return s
+        bottom = edge_sum(c, cnt, t)
+        top = edge_sum(c[::-1], cnt[::-1], t)
+        kept_n = n - 2 * t
+        kept_sum = total - bottom - top
+        # smallest / largest KEPT value off the cumulative ranks
+        cum = 0
+        lo_cut = hi_cut = None
+        for v, k in zip(c, cnt):
+            if lo_cut is None and cum + k >= t + 1:
+                lo_cut = v
+            cum += k
+            if cum >= n - t:
+                hi_cut = v
+                break
+        rows.append(
+            {
+                "l_returnflag": f,
+                "n_kept": np.int64(kept_n),
+                "lo_cut_cents": np.int64(lo_cut),
+                "hi_cut_cents": np.int64(hi_cut),
+                "trimmed_mean": float(np.round(float(kept_sum) / (100.0 * kept_n), 9)),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("l_returnflag").reset_index(drop=True)
+
+
+_TRIMMED_MEAN_SQL = """
+WITH v AS (
+  SELECT l_returnflag, CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS c
+  FROM lineitem WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT l_returnflag, c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM v
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(c) AS BIGINT) AS lo_cut_cents,
+       CAST(MAX(c) AS BIGINT) AS hi_cut_cents,
+       ROUND(CAST(SUM(c) AS DOUBLE) / (100.0 * COUNT(*)), 9) AS trimmed_mean
+FROM r WHERE rn > n // 20 AND rn <= n - n // 20
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "hits_copurchase_parts": (hits_copurchase_parts, _HITS_SQL),
+    "theil_sen_daily_revenue": (theil_sen_daily_revenue, _THEILSEN_SQL),
+    "jaro_winkler_adjacent_parts": (jaro_winkler_adjacent_parts, _JW_SQL),
+    "trimmed_mean_price_by_flag": (trimmed_mean_price_by_flag, _TRIMMED_MEAN_SQL),
     "ams_f2_user_events": (ams_f2_user_events, _AMS_F2_SQL),
     "session_paths_events": (session_paths_events, _SESSION_PATHS_SQL),
     "vocab_growth_documents": (vocab_growth_documents, _VOCAB_GROWTH_SQL),
