@@ -239,6 +239,14 @@ _QUERY_NAMES = [
     "embedding_quantization_stats",
     "ams_f2_user_events",
     "session_paths_events",
+    # fifth-wave additions (integer HITS, robust trend, JW linkage,
+    # exact histogram trimmed mean)
+    "hits_copurchase_parts",
+    "theil_sen_daily_revenue",
+    "jaro_winkler_adjacent_parts",
+    "trimmed_mean_price_by_flag",
+    "hll_rollup_weekly_users",
+    "sprt_urgent_share_orders",
 ]
 
 

@@ -11459,7 +11459,229 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def hll_rollup_weekly_users(sf_dir: str) -> pd.DataFrame:
+    """HLL sketch ROLLUP: per-day p=7 (128-register) md5-twin sketches of
+    distinct event users, merged to Monday-truncated epoch weeks (the
+    repo's ``(days + 3) // 7`` convention) by register-wise MAX — the
+    sketch-reuse pattern a 100 TB metrics store needs (day sketches are
+    built once; every coarser rollup level folds registers, never
+    rescanning rows).  Register max is associative, so the merged week
+    registers equal a direct week build — which is exactly what the SQL
+    twin computes, value-pinning the LOSSLESSNESS of the rollup, not
+    just the estimate.  Same determinism rules as
+    ``hll_distinct_users_by_type``: exact-integer harmonic sum
+    (``2^58 >> rho`` as Python int/HUGEIT — float powers of two would
+    round order-dependently), 6-step binary bit_length, small-range
+    branch at e_raw <= 2.5m with v0 > 0.  Distributed shape: per-block
+    partials are <= days x 128 rows (calendar-bounded), driver-folded —
+    the sketch never shuffles; only the exact COUNT(DISTINCT) comparison
+    pays exchanges."""
+    import math
+
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+    from ndap_data_validator_ray.stages.groupby import count_by_key
+
+    M = 128
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def hll_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["ts", "user_id"])
+        day = b["ts"].to_numpy().astype("datetime64[D]")
+        b = pd.DataFrame({"day": day, "user_id": b["user_id"].to_numpy()}).drop_duplicates()
+        h = md5_lower64_batch(b["user_id"].astype(str).to_numpy())
+        bucket = (h % np.uint64(M)).astype(np.int64)
+        w = h >> np.uint64(7)
+        bl = np.zeros(len(w), dtype=np.int64)  # exact bit_length of the 57-bit w
+        for s in (32, 16, 8, 4, 2, 1):
+            big = w >= (np.uint64(1) << np.uint64(s))
+            bl[big] += s
+            w[big] >>= np.uint64(s)
+        bl += (w > 0).astype(np.int64)
+        df = pd.DataFrame({"day": b["day"].to_numpy(), "bucket": bucket, "rho": 58 - bl})
+        return df.groupby(["day", "bucket"], as_index=False)["rho"].max()
+
+    day_regs = (
+        ds.map_batches(hll_partial, batch_format="pandas")
+        .to_pandas()  # <= days*128 rows per block (calendar-bounded): driver fold
+        .groupby(["day", "bucket"], as_index=False)["rho"]
+        .max()
+    )
+    ed = day_regs["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    day_regs["week"] = (ed + 3) // 7  # Monday-truncated epoch week
+    n_days = day_regs.groupby("week")["day"].nunique()
+    # THE ROLLUP: week registers = register-wise max over the week's days
+    week_regs = day_regs.groupby(["week", "bucket"], as_index=False)["rho"].max()
+    alpha_num = 0.7213 / (1.0 + 1.079 / 128.0) * 16384.0 * 288230376151711744.0
+    rows = []
+    for m, g in week_regs.groupby("week"):
+        s_int = (M - len(g)) * (1 << 58) + sum((1 << 58) >> int(r) for r in g["rho"])
+        v0 = M - len(g)
+        e_raw = alpha_num / float(s_int)
+        est = 128.0 * math.log(128.0 / v0) if (e_raw <= 320.0 and v0 > 0) else e_raw
+        rows.append((int(m), int(n_days.loc[m]), est))
+    est_df = pd.DataFrame(rows, columns=["week", "n_days", "hll_est"])
+    est_df["hll_est"] = _r6(est_df["hll_est"])
+
+    def week_partial(t: "pa.Table") -> "pa.Table":
+        t = t.drop_null()
+        ed = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        return pa.table(
+            {"week": pa.array((ed + 3) // 7, pa.int64()), "user_id": t["user_id"]}
+        )
+
+    pairs = count_by_key(
+        ds.map_batches(week_partial, batch_format="pyarrow"), ["week", "user_id"], n_buckets=32
+    )
+    exact = (
+        count_by_key(
+            pairs.map_batches(
+                lambda t: pa.table({"week": t["week"]}), batch_format="pyarrow"
+            ),
+            ["week"], n_buckets=8, count_col="n_users",
+        )
+        .to_pandas()
+    )
+    out = exact.merge(est_df, on="week")
+    out["week"] = out["week"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["n_days"] = out["n_days"].astype(np.int64)
+    return out[["week", "n_days", "n_users", "hll_est"]].sort_values("week").reset_index(drop=True)
+
+
+_HLL_ROLLUP_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) // 7 AS week, user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+h AS (
+  SELECT week,
+         CAST(md5_number_lower(CAST(user_id AS VARCHAR)) % 128 AS BIGINT) AS bucket,
+         md5_number_lower(CAST(user_id AS VARCHAR)) // 128 AS w
+  FROM pairs
+), r AS (
+  SELECT week, bucket,
+         MAX(58 - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END)) AS rho
+  FROM h GROUP BY 1, 2
+), agg AS (
+  SELECT week, COUNT(*) AS touched,
+         SUM(CAST(288230376151711744 AS HUGEINT) >> rho) AS s_touched
+  FROM r GROUP BY 1
+), fin AS (
+  SELECT week,
+         CAST(128 - touched AS BIGINT) AS v0,
+         (0.7213::DOUBLE / (1.0 + 1.079::DOUBLE / 128.0) * 16384.0 * 288230376151711744.0)
+           / CAST(CAST(128 - touched AS HUGEINT) * 288230376151711744::HUGEINT + s_touched AS DOUBLE) AS e_raw
+  FROM agg
+)
+SELECT CAST(f.week AS BIGINT) AS week, nd.n_days, d.n_users,
+       ROUND(CASE WHEN f.e_raw <= 320.0 AND f.v0 > 0
+                  THEN 128.0 * ln(128.0 / f.v0) ELSE f.e_raw END, 6) AS hll_est
+FROM fin f
+JOIN (SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) // 7 AS week,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1) d USING (week)
+JOIN (SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 3) // 7 AS week,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY 1) nd USING (week)
+ORDER BY week
+"""
+
+
+def sprt_urgent_share_orders(sf_dir: str) -> pd.DataFrame:
+    """Wald SPRT (sequential probability ratio test) over the ordered
+    order stream — the streaming-decision family: is the URGENT share
+    above or below 20%?  The log-likelihood walk is INTEGER-scaled
+    (+4 per urgent, -1 otherwise — zero drift exactly at p = 0.2, so
+    the walk is a martingale under H0's boundary and the crossing is a
+    genuine sequential decision, not a foregone conclusion), stopping at
+    |score| >= 200.  Distributed shape: the walk is the range-partitioned
+    exact-int64 running sum (`stages/sort.global_running_sum` — nothing
+    driver-side), the first crossing is a distributed sort-limit over
+    crossing rows only, and the stopping rank is one counting scan.
+    Emits (decision, n_seen, boundary, score) — all exact ints/strings,
+    no float anywhere."""
+    from ndap_data_validator_ray.stages.sort import global_running_sum
+
+    T = 200
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def inc(t: "pa.Table") -> "pa.Table":
+        urgent = pc.equal(t["o_orderpriority"], "1-URGENT")
+        x = pc.if_else(urgent, pa.scalar(4, pa.int64()), pa.scalar(-1, pa.int64()))
+        return pa.table({"o_orderkey": t["o_orderkey"], "x": x})
+
+    ds = orders.map_batches(inc, batch_format="pyarrow")
+    run = global_running_sum(ds, ["o_orderkey"], "x", out="s").materialize()
+    crossed = run.map_batches(
+        lambda b: b[np.abs(b["s"].to_numpy(np.int64)) >= T][["o_orderkey", "s"]],
+        batch_format="pandas",
+    )
+    first = crossed.sort("o_orderkey").limit(1).to_pandas()
+    if len(first):
+        key = int(first["o_orderkey"].iloc[0])
+        score = int(first["s"].iloc[0])
+        decision = "accept_h1" if score > 0 else "accept_h0"
+        n_seen = int(
+            run.map_batches(
+                lambda b: pd.DataFrame(
+                    {"n": [int((b["o_orderkey"].to_numpy(np.int64) <= key).sum())]}
+                ),
+                batch_format="pandas",
+            )
+            .to_pandas()["n"]
+            .sum()
+        )
+    else:
+        decision = "no_decision"
+        n_seen = run.count()
+        tail = run.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "k": [b["o_orderkey"].to_numpy(np.int64).max()],
+                    "s": [b.loc[b["o_orderkey"].idxmax(), "s"]],
+                }
+            )
+            if len(b)
+            else pd.DataFrame({"k": pd.Series([], dtype=np.int64), "s": pd.Series([], dtype=np.int64)}),
+            batch_format="pandas",
+        ).to_pandas()
+        score = int(tail.loc[tail["k"].idxmax(), "s"]) if len(tail) else 0
+    return pd.DataFrame(
+        {
+            "decision": [decision],
+            "n_seen": [np.int64(n_seen)],
+            "boundary": [np.int64(T)],
+            "score": [np.int64(score)],
+        }
+    )
+
+
+_SPRT_SQL = """
+WITH w AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 4 ELSE -1 END AS x
+  FROM orders
+),
+r AS (
+  SELECT o_orderkey,
+         SUM(x) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS s,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM w
+),
+c AS (SELECT s, rn FROM r WHERE ABS(s) >= 200 ORDER BY rn LIMIT 1)
+SELECT CASE WHEN (SELECT COUNT(*) FROM c) = 0 THEN 'no_decision'
+            WHEN (SELECT s FROM c) > 0 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(COALESCE((SELECT rn FROM c), (SELECT COUNT(*) FROM r)) AS BIGINT) AS n_seen,
+       CAST(200 AS BIGINT) AS boundary,
+       CAST(COALESCE((SELECT s FROM c),
+                     (SELECT s FROM r ORDER BY rn DESC LIMIT 1)) AS BIGINT) AS score
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "hll_rollup_weekly_users": (hll_rollup_weekly_users, _HLL_ROLLUP_SQL),
+    "sprt_urgent_share_orders": (sprt_urgent_share_orders, _SPRT_SQL),
     "hits_copurchase_parts": (hits_copurchase_parts, _HITS_SQL),
     "theil_sen_daily_revenue": (theil_sen_daily_revenue, _THEILSEN_SQL),
     "jaro_winkler_adjacent_parts": (jaro_winkler_adjacent_parts, _JW_SQL),

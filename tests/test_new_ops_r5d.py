@@ -181,3 +181,87 @@ def test_trimmed_mean_boundary_cell_split(tmp_path):
     # kept: 18 x 100c + 18 x 200c -> mean 1.50
     assert float(a["trimmed_mean"]) == 1.5
     assert int(a["lo_cut_cents"]) == 100 and int(a["hi_cut_cents"]) == 200
+
+
+# --- HLL weekly rollup --------------------------------------------------------
+
+def test_hll_rollup_week_boundary_and_exact_counts(tmp_path):
+    """Epoch day 3 (Sun) and day 4 (Mon) land in different Monday-truncated
+    weeks; a user active on two days of one week counts once; a user
+    active in both weeks counts in each."""
+    from ndap_data_validator_ray.pipelines.queries import hll_rollup_weekly_users
+
+    ts = pd.to_datetime(
+        [
+            "1970-01-03 10:00",  # Sat, epoch day 2, week 0
+            "1970-01-04 11:00",  # Sun, epoch day 3, week 0
+            "1970-01-04 12:00",  # Sun again, same user -> still 1 distinct
+            "1970-01-05 09:00",  # Mon, epoch day 4, week 1
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+        row_group_size=2,
+    )
+    out = hll_rollup_weekly_users(str(tmp_path))
+    assert out["week"].tolist() == [0, 1]
+    assert out["n_days"].tolist() == [2, 1]
+    assert out["n_users"].tolist() == [1, 1]
+    # one distinct user -> one touched register -> small-range branch
+    import math
+    expect = round(128.0 * math.log(128.0 / 127.0), 6)
+    assert float(out["hll_est"].iloc[0]) == expect
+    assert float(out["hll_est"].iloc[1]) == expect
+
+
+# --- integer SPRT ----------------------------------------------------------------
+
+def _write_orders_priority(tmp_path, priorities):
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(1, len(priorities) + 1), pa.int64()),
+                "o_orderpriority": pa.array(priorities),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+        row_group_size=13,
+    )
+
+
+def test_sprt_crosses_upper_boundary(tmp_path):
+    """All-urgent stream: s = 4k crosses +200 exactly at k = 50."""
+    from ndap_data_validator_ray.pipelines.queries import sprt_urgent_share_orders
+
+    _write_orders_priority(tmp_path, ["1-URGENT"] * 60)
+    out = sprt_urgent_share_orders(str(tmp_path))
+    assert out["decision"].iloc[0] == "accept_h1"
+    assert int(out["n_seen"].iloc[0]) == 50
+    assert int(out["score"].iloc[0]) == 200
+
+
+def test_sprt_crosses_lower_boundary(tmp_path):
+    """No-urgent stream: s = -k crosses -200 exactly at k = 200."""
+    from ndap_data_validator_ray.pipelines.queries import sprt_urgent_share_orders
+
+    _write_orders_priority(tmp_path, ["3-MEDIUM"] * 250)
+    out = sprt_urgent_share_orders(str(tmp_path))
+    assert out["decision"].iloc[0] == "accept_h0"
+    assert int(out["n_seen"].iloc[0]) == 200
+    assert int(out["score"].iloc[0]) == -200
+
+
+def test_sprt_no_decision(tmp_path):
+    from ndap_data_validator_ray.pipelines.queries import sprt_urgent_share_orders
+
+    _write_orders_priority(tmp_path, ["3-MEDIUM"] * 10)
+    out = sprt_urgent_share_orders(str(tmp_path))
+    assert out["decision"].iloc[0] == "no_decision"
+    assert int(out["n_seen"].iloc[0]) == 10
+    assert int(out["score"].iloc[0]) == -10
