@@ -11679,7 +11679,404 @@ SELECT CASE WHEN (SELECT COUNT(*) FROM c) = 0 THEN 'no_decision'
 """
 
 
+def seed_part_distance_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS hop distances (stages/bfs.py — fixed-round
+    Bellman-Ford relaxation, one bucketed exchange per round, the cc.py
+    fused-gather exchange layout) over the part co-purchase graph: every
+    part is labeled with its distance to the nearest SEED part
+    (p_partkey % 97 == 0) within 3 hops, else -1 — the seed-proximity
+    primitive behind crawl curation (keep documents within k hops of
+    trusted seeds).  Fixed rounds make the result deterministic, so the
+    DuckDB twin unrolls 3 relaxation rounds as min-join CTEs (every CTE
+    MATERIALIZED — the kcore-oracle lesson: d{i} is referenced twice per
+    round and plain CTEs inline the chain exponentially).  Edge build:
+    the kcore query's one-exchange per-order self-join.  Sources derive
+    from the edge endpoints (not the part table), so both engines label
+    the identical node set."""
+    from ndap_data_validator_ray.stages.bfs import distributed_bfs_hops
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    edges = bucketed_groupby(li, ["l_orderkey"], partial, pairs).materialize()
+
+    def seed_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(
+            np.concatenate([b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)])
+        )
+        return pd.DataFrame({"node": u[u % 97 == 0]})
+
+    sources = edges.map_batches(seed_nodes, batch_format="pandas")
+    out = distributed_bfs_hops(edges, sources, rounds=3).to_pandas()
+    out = out.rename(columns={"node": "l_partkey"})
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["hops"] = out["hops"].astype(np.int64)
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+def _bfs_seed_sql(rounds: int = 3) -> str:
+    sent = 1 << 40
+    parts = [
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n"
+        "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),\n"
+        "p AS MATERIALIZED (SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,\n"
+        "       GREATEST(a.l_partkey, b.l_partkey) AS v\n"
+        "     FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),\n"
+        "e AS MATERIALIZED (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),\n"
+        f"d0 AS MATERIALIZED (SELECT u AS node,\n"
+        f"  CAST(CASE WHEN u % 97 = 0 THEN 0 ELSE {sent} END AS BIGINT) AS dist\n"
+        "  FROM (SELECT DISTINCT u FROM e))"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i + 1} AS MATERIALIZED (SELECT d.node, LEAST(d.dist, COALESCE(pr.pd, d.dist)) AS dist\n"
+            f"  FROM d{i} d LEFT JOIN (SELECT e.v AS node, MIN(du.dist + 1) AS pd\n"
+            f"    FROM e JOIN d{i} du ON du.node = e.u WHERE du.dist < {sent}\n"
+            f"    GROUP BY e.v) pr ON pr.node = d.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS l_partkey, CAST(CASE WHEN dist >= {sent} THEN -1 ELSE dist END AS BIGINT) AS hops\n"
+        f"FROM d{rounds} ORDER BY 1"
+    )
+
+
+_BFS_SEED_SQL = _bfs_seed_sql(3)
+
+
+def embedding_covariance_grid(sf_dir: str) -> pd.DataFrame:
+    """Exact covariance grid over the first 16 embedding dimensions — the
+    distributed Gram-matrix fold behind PCA / whitening / feature
+    decorrelation at corpus scale.  Per block: quantize to integers with
+    the repo's cross-engine rounding (``floor(x * 1e4 + 0.5)`` — never
+    banker's rounding) and emit the EXACT int64 moment partial
+    ``(n, col sums, upper-triangular X^T X)`` as 136 rows — order-free,
+    mergeable, O(d^2) per block regardless of row count, so the driver
+    fold sees 136 x blocks rows at any scale (the profile_lineitem
+    pattern at Gram width).  int64 headroom: |q| <= ~1e5, q_i*q_j <= 1e10,
+    ~1e9 rows before a cell sum nears 2^63 — beyond that the fold's dtype
+    widens to Python ints, nothing else changes.  Covariance finalizes as
+    ONE shared float expression from exact integers (bit-identical in
+    DuckDB, which recomputes the same quantized sums via list indexing)."""
+    dims = 16
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    iu, ju = np.triu_indices(dims)
+
+    def partial(bt: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)[:, :dims]
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        gram = q.T @ q
+        s = q.sum(axis=0)
+        return pd.DataFrame(
+            {
+                "dim_i": iu.astype(np.int64),
+                "dim_j": ju.astype(np.int64),
+                "n": np.full(len(iu), q.shape[0], dtype=np.int64),
+                "sum_qi": s[iu],
+                "sum_qj": s[ju],
+                "sum_qij": gram[iu, ju],
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    f = p.groupby(["dim_i", "dim_j"], as_index=False).sum()
+    n = f["n"].to_numpy(np.float64)
+    sx = f["sum_qi"].to_numpy(np.float64)
+    sy = f["sum_qj"].to_numpy(np.float64)
+    sxy = f["sum_qij"].to_numpy(np.float64)
+    f["cov"] = _r9((sxy - sx * sy / n) / n / 100000000.0)
+    for c in ["dim_i", "dim_j", "n", "sum_qi", "sum_qj", "sum_qij"]:
+        f[c] = f[c].astype(np.int64)
+    return f.sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+
+
+_EMB_COV_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range(1, 17) t(i))
+SELECT a.dim AS dim_i, b.dim AS dim_j, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(a.qv) AS BIGINT) AS sum_qi, CAST(SUM(b.qv) AS BIGINT) AS sum_qj,
+  CAST(SUM(a.qv * b.qv) AS BIGINT) AS sum_qij,
+  ROUND((CAST(SUM(a.qv * b.qv) AS DOUBLE)
+         - CAST(SUM(a.qv) AS DOUBLE) * CAST(SUM(b.qv) AS DOUBLE) / COUNT(*))
+        / COUNT(*) / 100000000.0, 9) AS cov
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def blocked_linkage_parts(sf_dir: str) -> pd.DataFrame:
+    """Blocked record linkage over part names — the entity-resolution
+    shape (blocking key -> in-block all-pairs -> string-similarity gate)
+    that jaro_winkler_adjacent_parts' sorted-neighborhood pass
+    approximates: block on (p_brand, first name token), compare every
+    in-block pair with the Jaro-Winkler kernel (functions/strdist —
+    bit-identical to DuckDB's builtin, fuzz-gated), keep pairs >= 0.88.
+    ONE bucketed exchange on the composite block key; in-block pairs are
+    a vectorized self-merge (quadratic only WITHIN a block — that's the
+    point of blocking; block sizes are bounded by brand x adjective
+    cardinality, never corpus size)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        return b.assign(blk=b["p_name"].str.split(" ").str[0])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from ndap_data_validator_ray.functions.strdist import jaro_winkler_batch
+
+        m = g.merge(g, on=["p_brand", "blk"])
+        m = m[m["p_partkey_x"] < m["p_partkey_y"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=np.int64),
+                    "id_b": pd.Series([], dtype=np.int64),
+                    "jw": pd.Series([], dtype=np.float64),
+                }
+            )
+        jw = jaro_winkler_batch(m["p_name_x"].tolist(), m["p_name_y"].tolist())
+        keep = jw >= 0.88
+        return pd.DataFrame(
+            {
+                "id_a": m["p_partkey_x"].to_numpy(np.int64)[keep],
+                "id_b": m["p_partkey_y"].to_numpy(np.int64)[keep],
+                "jw": _r9(jw[keep]),
+            }
+        )
+
+    out = bucketed_groupby(ds, ["p_brand", "blk"], partial, pairs).to_pandas()
+    out["id_a"] = out["id_a"].astype(np.int64)
+    out["id_b"] = out["id_b"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_BLOCKED_LINKAGE_SQL = """
+WITH b AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS blk
+  FROM part
+  WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL AND p_brand IS NOT NULL
+)
+SELECT a.p_partkey AS id_a, c.p_partkey AS id_b,
+       ROUND(jaro_winkler_similarity(a.p_name, c.p_name), 9) AS jw
+FROM b a JOIN b c
+  ON a.p_brand = c.p_brand AND a.blk = c.blk AND a.p_partkey < c.p_partkey
+WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.88
+ORDER BY 1, 2
+"""
+
+
+def markov_conditional_entropy_events(sf_dir: str) -> pd.DataFrame:
+    """Per-state conditional entropy of the event-type Markov chain —
+    the predictability read on event_transitions' matrix: for each
+    current type, H(next | cur) in bits over the empirical next-type
+    distribution.  Same distributed shape as event_transitions (ONE
+    bucketed exchange on user_id, vectorized shift kernel, low-cardinality
+    driver fold of the type x type counts); the entropy finalizes from
+    exact integer counts with <= n_types float terms per row (round 9 —
+    the event_type_entropy convention)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = p["user_id"].to_numpy()
+        et = p["event_type"].to_numpy()
+        if len(p) < 2:
+            return pd.DataFrame(
+                {
+                    "from_type": pd.Series([], dtype=object),
+                    "to_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        same = uid[1:] == uid[:-1]
+        return (
+            pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    parts = bucketed_groupby(ds, ["user_id"], lambda b: b, transitions, n_buckets=32).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype=object),
+                "n_out": pd.Series([], dtype=np.int64),
+                "n_next_types": pd.Series([], dtype=np.int64),
+                "h_cond_bits": pd.Series([], dtype=np.float64),
+            }
+        )
+    c = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    rows = []
+    for ft, g in c.groupby("from_type"):
+        nvec = g["n"].to_numpy(np.float64)
+        tot = nvec.sum()
+        pvec = nvec / tot
+        rows.append((ft, int(tot), len(g), float(-np.sum(pvec * np.log2(pvec)))))
+    out = pd.DataFrame(rows, columns=["from_type", "n_out", "n_next_types", "h_cond_bits"])
+    out["n_out"] = out["n_out"].astype(np.int64)
+    out["n_next_types"] = out["n_next_types"].astype(np.int64)
+    out["h_cond_bits"] = _r9(out["h_cond_bits"])
+    return out.sort_values("from_type").reset_index(drop=True)
+
+
+_MARKOV_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type AS ft,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+  FROM events
+), tr AS (SELECT ft, tt FROM seq WHERE tt IS NOT NULL),
+c AS (SELECT ft, tt, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+c2 AS (SELECT ft, tt, n, SUM(n) OVER (PARTITION BY ft) AS tot FROM c)
+SELECT ft AS from_type, CAST(MAX(tot) AS BIGINT) AS n_out,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 9) AS h_cond_bits
+FROM c2 GROUP BY ft ORDER BY from_type
+"""
+
+
+def seasonal_naive_wmape_revenue(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast audit on daily revenue: predict day d with
+    day d-7 (calendar lag — missing days drop out, never positional LAG)
+    and score with WMAPE = sum|actual - pred| / sum(actual).  Chosen over
+    plain MAPE because both sums are EXACT integer cents (per-row
+    ``floor(price * 100 + 0.5)``, the cross-engine quantization), so the
+    only float op is one final division — bit-identical in DuckDB, no
+    accumulation-order exposure at all (unlike the per-day float ratios
+    MAPE would sum).  Distributed shape: per-block (day, cents) partials
+    fold on the driver (<= ~2.4k days at any SF — the low-cardinality
+    rule) and the lag-join runs on that bounded series."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        day = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame({"day": day, "rev": cents}).groupby("day", as_index=False)["rev"].sum()
+        return g
+
+    p = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    d = p.groupby("day", as_index=False)["rev"].sum()
+    prev = d.rename(columns={"day": "pday", "rev": "pred"})
+    prev["day"] = prev["pday"] + 7
+    j = d.merge(prev[["day", "pred"]], on="day", how="inner")
+    sae = int(np.abs(j["rev"].to_numpy(np.int64) - j["pred"].to_numpy(np.int64)).sum())
+    sa = int(j["rev"].to_numpy(np.int64).sum())
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(j))],
+            "sum_abs_err_cents": [np.int64(sae)],
+            "sum_actual_cents": [np.int64(sa)],
+            "wmape": [np.float64(np.round(float(sae) / float(sa), 9)) if sa else np.float64(0.0)],
+        }
+    )
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+j AS (
+  SELECT a.day, a.rev AS actual, b.rev AS pred
+  FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(actual - pred)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(actual) AS BIGINT) AS sum_actual_cents,
+       ROUND(CAST(SUM(ABS(actual - pred)) AS DOUBLE) / CAST(SUM(actual) AS DOUBLE), 9) AS wmape
+FROM j
+"""
+
+
+def fano_factor_daily_events(sf_dir: str) -> pd.DataFrame:
+    """Burstiness (Fano factor = population variance / mean of daily
+    counts) per event type — the overdispersion read next to the
+    key-skew Gini: Poisson arrivals give ~1, bursty types exceed it.
+    Distributed shape: per-block (type, day) count partials fold on the
+    driver (type x day is bounded — the low-cardinality rule); moments
+    are EXACT integers and the Fano finalizes as ONE shared float
+    expression (the exact-moment convention — no accumulation order)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        day = b["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        g = (
+            pd.DataFrame({"event_type": b["event_type"].to_numpy(), "day": day})
+            .groupby(["event_type", "day"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    d = p.groupby(["event_type", "day"], as_index=False)["n"].sum()
+    rows = []
+    for et, g in d.groupby("event_type"):
+        c = g["n"].to_numpy(np.int64)
+        nd = len(c)
+        sc = int(c.sum())
+        sc2 = int((c * c).sum())
+        mean = float(sc) / nd
+        var = (float(sc2) - float(sc) * float(sc) / nd) / nd
+        rows.append((et, nd, sc, sc2, var / mean))
+    out = pd.DataFrame(
+        rows, columns=["event_type", "n_days", "sum_count", "sum_count2", "fano"]
+    )
+    for c in ["n_days", "sum_count", "sum_count2"]:
+        out[c] = out[c].astype(np.int64)
+    out["fano"] = _r9(out["fano"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_FANO_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS sum_count,
+       CAST(SUM(n * n) AS BIGINT) AS sum_count2,
+       ROUND(((CAST(SUM(n * n) AS DOUBLE) - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE) / COUNT(*)) / COUNT(*))
+             / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 9) AS fano
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
+    "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "embedding_covariance_grid": (embedding_covariance_grid, _EMB_COV_SQL),
+    "blocked_linkage_parts": (blocked_linkage_parts, _BLOCKED_LINKAGE_SQL),
+    "markov_conditional_entropy_events": (markov_conditional_entropy_events, _MARKOV_ENTROPY_SQL),
+    "seasonal_naive_wmape_revenue": (seasonal_naive_wmape_revenue, _SEASONAL_NAIVE_SQL),
+    "fano_factor_daily_events": (fano_factor_daily_events, _FANO_SQL),
     "hll_rollup_weekly_users": (hll_rollup_weekly_users, _HLL_ROLLUP_SQL),
     "sprt_urgent_share_orders": (sprt_urgent_share_orders, _SPRT_SQL),
     "hits_copurchase_parts": (hits_copurchase_parts, _HITS_SQL),

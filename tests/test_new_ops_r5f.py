@@ -1,0 +1,149 @@
+"""Round-5 sixth-wave gates: distributed multi-source BFS hop distances,
+the exact-integer embedding covariance grid, blocked Jaro-Winkler record
+linkage, Markov conditional entropy, seasonal-naive WMAPE, and the Fano
+burstiness factor.  Value parity vs DuckDB is covered by the oracle gate
+(scripts/check_oracle.py); these pin algorithmic invariants on planted
+inputs."""
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- distributed BFS ----------------------------------------------------------
+
+def _bfs(edges, sources, rounds):
+    from ndap_data_validator_ray.stages.bfs import distributed_bfs_hops
+
+    e = ray.data.from_pandas(
+        pd.DataFrame({"id_a": np.array([p[0] for p in edges], dtype=np.int64),
+                      "id_b": np.array([p[1] for p in edges], dtype=np.int64)})
+    )
+    s = ray.data.from_pandas(pd.DataFrame({"node": np.array(sources, dtype=np.int64)}))
+    out = distributed_bfs_hops(e, s, rounds=rounds).to_pandas()
+    return dict(zip(out["node"].astype(int), out["hops"].astype(int)))
+
+
+def test_bfs_chain_distances_and_horizon():
+    # chain 1-2-3-4-5-6, source 1: hops = position, beyond `rounds` -> -1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    got = _bfs(edges, [1], rounds=3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: -1, 6: -1}
+
+
+def test_bfs_multi_source_nearest_wins():
+    # sources at both ends of a 7-chain: distance to NEAREST source
+    edges = [(i, i + 1) for i in range(1, 7)]
+    got = _bfs(edges, [1, 7], rounds=3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 2, 6: 1, 7: 0}
+
+
+def test_bfs_disconnected_component_unreached():
+    edges = [(1, 2), (10, 11)]
+    got = _bfs(edges, [1], rounds=3)
+    assert got == {1: 0, 2: 1, 10: -1, 11: -1}
+
+
+def test_bfs_source_outside_graph_labels_itself():
+    # a source with no edges still appears with hops=0 (seed rows merge
+    # into the node set; membership is never tested)
+    got = _bfs([(1, 2)], [99], rounds=2)
+    assert got == {1: -1, 2: -1, 99: 0}
+
+
+def test_bfs_duplicate_edges_and_sources_are_idempotent():
+    got = _bfs([(1, 2), (1, 2), (2, 1)], [1, 1], rounds=2)
+    assert got == {1: 0, 2: 1}
+
+
+# --- embedding covariance grid --------------------------------------------------
+
+def test_embedding_covariance_matches_direct_numpy():
+    """The distributed block-partial fold must equal a single-shot numpy
+    computation over the same quantized matrix (exact integers -> exact
+    equality on the integer columns; covariance re-derived identically)."""
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import embedding_covariance_grid
+
+    out = embedding_covariance_grid(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64)[:, :16]
+    q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+    gram = q.T @ q
+    s = q.sum(axis=0)
+    iu, ju = np.triu_indices(16)
+    assert len(out) == len(iu)
+    assert np.array_equal(out["sum_qij"].to_numpy(), gram[iu, ju])
+    assert np.array_equal(out["sum_qi"].to_numpy(), s[iu])
+    assert (out["n"] == q.shape[0]).all()
+    n = float(q.shape[0])
+    cov = (gram[iu, ju] - s[iu].astype(np.float64) * s[ju].astype(np.float64) / n) / n / 1e8
+    assert np.allclose(out["cov"].to_numpy(), np.round(cov, 9), atol=1e-12)
+    # diagonal cells are variances: non-negative
+    diag = out[out["dim_i"] == out["dim_j"]]
+    assert (diag["cov"].to_numpy() >= 0).all()
+
+
+# --- blocked record linkage -----------------------------------------------------
+
+def test_blocked_linkage_invariants():
+    from ndap_data_validator_ray.pipelines.queries import blocked_linkage_parts
+
+    out = blocked_linkage_parts(SF)
+    assert len(out) > 0
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["jw"] >= 0.88).all() and (out["jw"] <= 1.0).all()
+    # no duplicate pairs (each pair compared in exactly one block)
+    assert not out.duplicated(subset=["id_a", "id_b"]).any()
+
+
+# --- Markov conditional entropy --------------------------------------------------
+
+def test_markov_entropy_bounds_and_consistency():
+    from ndap_data_validator_ray.pipelines.queries import (
+        event_transitions,
+        markov_conditional_entropy_events,
+    )
+
+    h = markov_conditional_entropy_events(SF)
+    tr = event_transitions(SF)
+    assert len(h) > 0
+    for _, row in h.iterrows():
+        # 0 <= H <= log2(#next types); totals agree with the transition matrix
+        assert 0.0 <= row["h_cond_bits"] <= np.log2(row["n_next_types"]) + 1e-9
+        g = tr[tr["from_type"] == row["from_type"]]
+        assert int(g["n"].sum()) == int(row["n_out"])
+        assert len(g) == int(row["n_next_types"])
+
+
+# --- seasonal-naive WMAPE ---------------------------------------------------------
+
+def test_seasonal_naive_wmape_internal_consistency():
+    from ndap_data_validator_ray.pipelines.queries import seasonal_naive_wmape_revenue
+
+    out = seasonal_naive_wmape_revenue(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n_days"] > 0 and r["sum_actual_cents"] > 0
+    assert r["wmape"] == np.round(float(r["sum_abs_err_cents"]) / float(r["sum_actual_cents"]), 9)
+
+
+# --- Fano factor -------------------------------------------------------------------
+
+def test_fano_factor_recomputes_from_exact_moments():
+    from ndap_data_validator_ray.pipelines.queries import fano_factor_daily_events
+
+    out = fano_factor_daily_events(SF)
+    assert len(out) > 0
+    n = out["n_days"].to_numpy(np.float64)
+    sc = out["sum_count"].to_numpy(np.float64)
+    sc2 = out["sum_count2"].to_numpy(np.float64)
+    var = (sc2 - sc * sc / n) / n
+    mean = sc / n
+    assert np.allclose(out["fano"].to_numpy(), np.round(var / mean, 9), atol=1e-12)
+    assert (out["fano"] >= 0).all()
