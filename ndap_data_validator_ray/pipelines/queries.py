@@ -11820,20 +11820,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
-def blocked_linkage_parts(sf_dir: str) -> pd.DataFrame:
-    """Blocked record linkage over part names — the entity-resolution
-    shape (blocking key -> in-block all-pairs -> string-similarity gate)
-    that jaro_winkler_adjacent_parts' sorted-neighborhood pass
-    approximates: block on (p_brand, first name token), compare every
-    in-block pair with the Jaro-Winkler kernel (functions/strdist —
-    bit-identical to DuckDB's builtin, fuzz-gated), keep pairs >= 0.88.
-    ONE bucketed exchange on the composite block key; in-block pairs are
-    a vectorized self-merge (quadratic only WITHIN a block — that's the
-    point of blocking; block sizes are bounded by brand x adjective
-    cardinality, never corpus size)."""
+def _blocked_part_pairs(ds: "ray.data.Dataset", threshold: float = 0.88) -> "ray.data.Dataset":
+    """Shared blocked-linkage pair stage: (p_brand, first name token)
+    blocking key, in-block all-pairs Jaro-Winkler gate.  ONE bucketed
+    exchange; quadratic work only WITHIN a block."""
     from ndap_data_validator_ray.stages.groupby import bucketed_groupby
-
-    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.dropna()
@@ -11853,7 +11844,7 @@ def blocked_linkage_parts(sf_dir: str) -> pd.DataFrame:
                 }
             )
         jw = jaro_winkler_batch(m["p_name_x"].tolist(), m["p_name_y"].tolist())
-        keep = jw >= 0.88
+        keep = jw >= threshold
         return pd.DataFrame(
             {
                 "id_a": m["p_partkey_x"].to_numpy(np.int64)[keep],
@@ -11862,7 +11853,22 @@ def blocked_linkage_parts(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = bucketed_groupby(ds, ["p_brand", "blk"], partial, pairs).to_pandas()
+    return bucketed_groupby(ds, ["p_brand", "blk"], partial, pairs)
+
+
+def blocked_linkage_parts(sf_dir: str) -> pd.DataFrame:
+    """Blocked record linkage over part names — the entity-resolution
+    shape (blocking key -> in-block all-pairs -> string-similarity gate)
+    that jaro_winkler_adjacent_parts' sorted-neighborhood pass
+    approximates: block on (p_brand, first name token), compare every
+    in-block pair with the Jaro-Winkler kernel (functions/strdist —
+    bit-identical to DuckDB's builtin, fuzz-gated), keep pairs >= 0.88.
+    ONE bucketed exchange on the composite block key; in-block pairs are
+    a vectorized self-merge (quadratic only WITHIN a block — that's the
+    point of blocking; block sizes are bounded by brand x adjective
+    cardinality, never corpus size)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    out = _blocked_part_pairs(ds, threshold=0.88).to_pandas()
     out["id_a"] = out["id_a"].astype(np.int64)
     out["id_b"] = out["id_b"].astype(np.int64)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -12070,8 +12076,389 @@ FROM d GROUP BY event_type ORDER BY event_type
 """
 
 
+def linkage_entity_clusters_parts(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution: blocked Jaro-Winkler linkage pairs
+    (shared `_blocked_part_pairs` stage, every 3rd part) -> connected
+    components (stages/cc.py) -> min-id cluster representative, with
+    singletons labeled self via ``nodes=`` — the block/match/cluster
+    composition a dedup-by-name pipeline runs at catalog scale.  CC takes
+    its guarded path (driver union-find under the cap, distributed rounds
+    above — the distributed rounds are value-pinned by
+    order_chain_components / near_dup_clusters_exact).  DuckDB recomputes
+    the clusters with a recursive reachability CTE over the identical
+    pair set."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    sub = part.map_batches(
+        lambda t: t.filter(pa.array(t["p_partkey"].to_numpy() % 3 == 0)), batch_format="pyarrow"
+    )
+    pairs = _blocked_part_pairs(sub, threshold=0.88).materialize()
+    nodes = sub.map_batches(lambda t: pa.table({"node": t["p_partkey"]}), batch_format="pyarrow")
+    comp = distributed_connected_components(pairs, nodes=nodes).to_pandas()
+    comp = comp.rename(columns={"node": "p_partkey", "component": "cluster_rep"})
+    comp["p_partkey"] = comp["p_partkey"].astype(np.int64)
+    comp["cluster_rep"] = comp["cluster_rep"].astype(np.int64)
+    return comp.sort_values("p_partkey").reset_index(drop=True)
+
+
+_LINKAGE_CLUSTERS_SQL = """
+WITH RECURSIVE b AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS blk
+  FROM part
+  WHERE p_partkey % 3 = 0 AND p_partkey IS NOT NULL
+    AND p_name IS NOT NULL AND p_brand IS NOT NULL
+), pr AS MATERIALIZED (
+  SELECT a.p_partkey AS id_a, c.p_partkey AS id_b
+  FROM b a JOIN b c
+    ON a.p_brand = c.p_brand AND a.blk = c.blk AND a.p_partkey < c.p_partkey
+  WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.88
+), ed AS (
+  SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr
+), reach AS (
+  SELECT u AS node, v AS r FROM ed
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS rep FROM reach GROUP BY node
+)
+SELECT b.p_partkey, COALESCE(c.rep, b.p_partkey) AS cluster_rep
+FROM b LEFT JOIN comp c ON c.node = b.p_partkey
+ORDER BY 1
+"""
+
+
+def fd_audit_tables(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency audit — the schema-discovery / data-quality
+    profiling op (does LHS determine RHS?) over three candidate FDs:
+    lineitem l_partkey -> l_suppkey, orders o_custkey -> o_orderpriority,
+    events user_id -> event_type.  Per FD: per-batch distinct (lhs, rhs)
+    pairs -> ONE bucketed exchange on lhs (each lhs lands whole in one
+    reducer, so per-reducer nunique partials sum exactly — the
+    distinct_counts_lineitem contract) -> per-bucket (n_lhs, n_violating,
+    max fan-out) partials -> driver fold of <= n_buckets rows.  The LHS
+    key space never assembles anywhere."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    specs = [
+        ("events_user_to_type", "events", "user_id", "event_type"),
+        ("lineitem_part_to_supp", "lineitem", "l_partkey", "l_suppkey"),
+        ("orders_cust_to_priority", "orders", "o_custkey", "o_orderpriority"),
+    ]
+    rows = []
+    for fd, table, lhs, rhs in specs:
+        ds = _read(sf_dir, table, columns=[lhs, rhs])
+
+        def partial(b: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            return b.dropna().drop_duplicates()
+
+        def merge(g: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            k = g.drop_duplicates().groupby(lhs)[rhs].nunique()
+            return pd.DataFrame(
+                {
+                    "n_lhs": [np.int64(len(k))],
+                    "n_violating_lhs": [np.int64(int((k > 1).sum()))],
+                    "max_rhs_per_lhs": [np.int64(int(k.max())) if len(k) else np.int64(0)],
+                }
+            )
+
+        p = bucketed_groupby(ds, [lhs], partial, merge).to_pandas()
+        rows.append(
+            (
+                fd,
+                int(p["n_lhs"].sum()),
+                int(p["n_violating_lhs"].sum()),
+                int(p["max_rhs_per_lhs"].max()) if len(p) else 0,
+            )
+        )
+    out = pd.DataFrame(rows, columns=["fd", "n_lhs", "n_violating_lhs", "max_rhs_per_lhs"])
+    for c in ["n_lhs", "n_violating_lhs", "max_rhs_per_lhs"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fd").reset_index(drop=True)
+
+
+_FD_AUDIT_SQL = """
+WITH f1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+  FROM (SELECT user_id, COUNT(DISTINCT event_type) AS k FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL GROUP BY 1)
+), f2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+  FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS k FROM lineitem
+        WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL GROUP BY 1)
+), f3 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+         CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+         CAST(MAX(k) AS BIGINT) AS max_rhs_per_lhs
+  FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS k FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL GROUP BY 1)
+)
+SELECT 'events_user_to_type' AS fd, * FROM f1
+UNION ALL SELECT 'lineitem_part_to_supp', * FROM f2
+UNION ALL SELECT 'orders_cust_to_priority', * FROM f3
+ORDER BY fd
+"""
+
+
+def temporal_consistency_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table temporal-order audit (the referential family's time
+    axis): line items shipped BEFORE their order was placed.  The orders
+    (key, date) side goes through the guarded broadcast-vs-shuffle attach
+    (`stages/broadcast.attach_or_join` — the Q10 pattern: ray.put once
+    under the cap, bucketed join above); violation stats fold from
+    per-batch EXACT integer partials (counts + day-margin sum/max on
+    epoch-day arithmetic), one row per block to the driver."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.dropna().rename(columns={"o_orderkey": "l_orderkey"}), batch_format="pandas"
+    )
+    joined = attach_or_join(
+        li.map_batches(lambda b: b.dropna(), batch_format="pandas"),
+        orders,
+        on_fact="l_orderkey",
+        on_side="l_orderkey",
+        attach_cols=["o_orderdate"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ship = b["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        ordd = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        early = ordd - ship
+        viol = early > 0
+        return pd.DataFrame(
+            {
+                "n_joined": [np.int64(len(b))],
+                "n_violations": [np.int64(int(viol.sum()))],
+                "sum_days_early": [np.int64(int(early[viol].sum()))],
+                "max_days_early": [np.int64(int(early[viol].max())) if viol.any() else np.int64(0)],
+            }
+        )
+
+    p = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n_joined"].sum())
+    nv = int(p["n_violations"].sum())
+    return pd.DataFrame(
+        {
+            "n_joined": [np.int64(n)],
+            "n_violations": [np.int64(nv)],
+            "sum_days_early": [np.int64(int(p["sum_days_early"].sum()))],
+            "max_days_early": [np.int64(int(p["max_days_early"].max())) if len(p) else np.int64(0)],
+            "violation_rate": [np.float64(np.round(float(nv) / float(n), 9)) if n else np.float64(0.0)],
+        }
+    )
+
+
+_TEMPORAL_AUDIT_SQL = """
+WITH j AS (
+  SELECT datediff('day', l.l_shipdate, o.o_orderdate) AS early
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_joined,
+       CAST(SUM(CASE WHEN early > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(COALESCE(SUM(CASE WHEN early > 0 THEN early END), 0) AS BIGINT) AS sum_days_early,
+       CAST(COALESCE(MAX(CASE WHEN early > 0 THEN early END), 0) AS BIGINT) AS max_days_early,
+       ROUND(CAST(SUM(CASE WHEN early > 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS violation_rate
+FROM j
+"""
+
+
+def label_propagation_parts(sf_dir: str) -> pd.DataFrame:
+    """Semi-supervised label propagation over the part co-purchase graph
+    — the seed-expansion labeler behind weak supervision at corpus scale:
+    every 5th part keeps its brand as a clamped seed label; for two
+    synchronized rounds, each unlabeled node adopts the majority label of
+    its labeled neighbors, weighted by co-purchase multiplicity, ties
+    broken by (count DESC, label ASC) — fully deterministic, so the
+    DuckDB twin unrolls both rounds (gather-count CTE + ROW_NUMBER argmax
+    + clamped union, all MATERIALIZED).  Distributed shape: per round TWO
+    bucketed exchanges — a gather keyed on the edge tail (edge rows +
+    label rows share the cc.py homogeneous int64 layout) emitting one
+    proposal per labeled-tail edge, then a vote keyed on the head where
+    label rows clamp and proposal rows count+argmax; labels settle
+    (materialize) between rounds.  Seed brands attach via the guarded
+    broadcast (`attach_or_join`)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import (
+        bucketed_groupby,
+        default_n_buckets,
+        stable_bucket,
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def lpartial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def lpairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        )
+
+    edges = bucketed_groupby(li, ["l_orderkey"], lpartial, lpairs)
+    sym = edges.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "u": np.concatenate([b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)]),
+                "v": np.concatenate([b["id_b"].to_numpy(np.int64), b["id_a"].to_numpy(np.int64)]),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    nb = int(min(default_n_buckets(), max(8, sym.count() // 100_000 + 8)))
+
+    seed_nodes = sym.map_batches(
+        lambda b: pd.DataFrame({"node": np.unique(b["u"].to_numpy(np.int64))}),
+        batch_format="pandas",
+    ).map_batches(
+        lambda b: b[b["node"] % 5 == 0], batch_format="pandas"
+    )
+    brands = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy(np.int64),
+                "lbl": b["p_brand"].str.split("#").str[1].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    labels = (
+        attach_or_join(seed_nodes, brands, on_fact="node", on_side="p_partkey", attach_cols=["lbl"])
+        .map_batches(
+            # volume-only dedup: a node can appear in several sym blocks;
+            # CORRECTNESS does not rely on this — every reducer that
+            # consumes label rows dedups per node inside its bucket (a
+            # node's rows always share one bucket)
+            lambda b: b[["node", "lbl"]].drop_duplicates("node"),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["u"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "val": b["v"].to_numpy(np.int64),
+                "lbl": np.full(len(k), -1, dtype=np.int64),
+                "side": np.zeros(len(k), dtype=np.int64),
+                "_lp_bucket": stable_bucket(pd.Series(k), nb),
+            }
+        )
+
+    def tag_labels(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["node"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "k": k,
+                "val": np.full(len(k), -1, dtype=np.int64),
+                "lbl": b["lbl"].to_numpy(np.int64),
+                "side": np.ones(len(k), dtype=np.int64),
+                "_lp_bucket": stable_bucket(pd.Series(k), nb),
+            }
+        )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        lut = g.loc[g["side"] == 1].drop_duplicates("k").set_index("k")["lbl"]
+        ef = g[g["side"] == 0]
+        lb = ef["k"].map(lut)
+        keep = lb.notna().to_numpy()
+        return pd.DataFrame(
+            {
+                "node": ef["val"].to_numpy()[keep],
+                "lbl": lb[keep].astype(np.int64).to_numpy(),
+                "side": np.zeros(int(keep.sum()), dtype=np.int64),
+            }
+        )
+
+    def tag_votes(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(_lp_bucket=stable_bucket(b["node"], nb))
+
+    def vote(g: pd.DataFrame) -> pd.DataFrame:
+        cur = g.loc[g["side"] == 1, ["node", "lbl"]].drop_duplicates("node")
+        props = g[g["side"] == 0]
+        props = props[~props["node"].isin(cur["node"])]
+        if len(props):
+            c = props.groupby(["node", "lbl"], as_index=False).size()
+            c = c.sort_values(["node", "size", "lbl"], ascending=[True, False, True])
+            win = c.drop_duplicates("node")[["node", "lbl"]]
+            return pd.concat([cur, win], ignore_index=True)
+        return cur.reset_index(drop=True)
+
+    for _round in range(2):
+        tagged = sym.map_batches(tag_edges, batch_format="pandas").union(
+            labels.map_batches(tag_labels, batch_format="pandas")
+        )
+        proposals = tagged.groupby("_lp_bucket").map_groups(gather, batch_format="pandas")
+        votes = proposals.union(
+            labels.map_batches(
+                lambda b: b.assign(side=np.ones(len(b), dtype=np.int64)), batch_format="pandas"
+            )
+        ).map_batches(tag_votes, batch_format="pandas")
+        labels = (
+            votes.groupby("_lp_bucket")
+            .map_groups(vote, batch_format="pandas")
+            .repartition(min(nb, 32))
+            .materialize()
+        )
+
+    out = labels.to_pandas().rename(columns={"node": "l_partkey", "lbl": "brand_id"})
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["brand_id"] = out["brand_id"].astype(np.int64)
+    out["seeded"] = (out["l_partkey"] % 5 == 0).astype(np.int64)
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+_LABEL_PROP_SQL = """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+p2 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+e AS MATERIALIZED (SELECT u, v FROM p2 UNION ALL SELECT v, u FROM p2),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+l0 AS MATERIALIZED (
+  SELECT n.node, CAST(split_part(p.p_brand, '#', 2) AS BIGINT) AS lbl
+  FROM nodes n JOIN part p ON p.p_partkey = n.node
+  WHERE n.node % 5 = 0),
+g1 AS MATERIALIZED (SELECT e.v AS node, l.lbl, COUNT(*) AS c
+  FROM e JOIN l0 l ON l.node = e.u GROUP BY 1, 2),
+a1 AS MATERIALIZED (SELECT node, lbl FROM (
+  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+  FROM g1) WHERE rn = 1),
+l1 AS MATERIALIZED (SELECT * FROM l0 UNION ALL
+  SELECT a.node, a.lbl FROM a1 a WHERE NOT EXISTS (SELECT 1 FROM l0 WHERE l0.node = a.node)),
+g2 AS MATERIALIZED (SELECT e.v AS node, l.lbl, COUNT(*) AS c
+  FROM e JOIN l1 l ON l.node = e.u GROUP BY 1, 2),
+a2 AS MATERIALIZED (SELECT node, lbl FROM (
+  SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+  FROM g2) WHERE rn = 1),
+l2 AS MATERIALIZED (SELECT * FROM l1 UNION ALL
+  SELECT a.node, a.lbl FROM a2 a WHERE NOT EXISTS (SELECT 1 FROM l1 WHERE l1.node = a.node))
+SELECT node AS l_partkey, lbl AS brand_id,
+       CAST(CASE WHEN node % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS seeded
+FROM l2 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "linkage_entity_clusters_parts": (linkage_entity_clusters_parts, _LINKAGE_CLUSTERS_SQL),
+    "fd_audit_tables": (fd_audit_tables, _FD_AUDIT_SQL),
+    "temporal_consistency_audit": (temporal_consistency_audit, _TEMPORAL_AUDIT_SQL),
+    "label_propagation_parts": (label_propagation_parts, _LABEL_PROP_SQL),
     "embedding_covariance_grid": (embedding_covariance_grid, _EMB_COV_SQL),
     "blocked_linkage_parts": (blocked_linkage_parts, _BLOCKED_LINKAGE_SQL),
     "markov_conditional_entropy_events": (markov_conditional_entropy_events, _MARKOV_ENTROPY_SQL),

@@ -147,3 +147,146 @@ def test_fano_factor_recomputes_from_exact_moments():
     mean = sc / n
     assert np.allclose(out["fano"].to_numpy(), np.round(var / mean, 9), atol=1e-12)
     assert (out["fano"] >= 0).all()
+
+
+# --- label propagation -----------------------------------------------------------
+
+def _write_lp_fixture(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # orders: 1:{5,7}, 2:{10,7}, 3:{10,7} (duplicate -> weight 2),
+    # 4:{7,11}, 5:{5,13}, 6:{20,13}
+    ok = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6]
+    pk = [5, 7, 10, 7, 10, 7, 7, 11, 5, 13, 20, 13]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()), "l_partkey": pa.array(pk, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    parts = [5, 7, 10, 11, 13, 20]
+    brands = ["Brand#3", "Brand#9", "Brand#7", "Brand#9", "Brand#9", "Brand#1"]
+    pq.write_table(
+        pa.table({"p_partkey": pa.array(parts, pa.int64()), "p_name": pa.array(["x y"] * 6), "p_brand": pa.array(brands)}),
+        str(tmp_path / "part.parquet"),
+    )
+
+
+def test_label_propagation_planted(tmp_path):
+    """Weighted majority (7 adopts brand 7: weight-2 neighbor beats
+    weight-1), deterministic tie-break (13 ties 1 vs 3 -> min label 1),
+    two-hop spread (11 is labeled only in round 2 via 7), seeds clamped."""
+    from ndap_data_validator_ray.pipelines.queries import label_propagation_parts
+
+    _write_lp_fixture(tmp_path)
+    out = label_propagation_parts(str(tmp_path))
+    got = {int(r.l_partkey): (int(r.brand_id), int(r.seeded)) for r in out.itertuples()}
+    assert got == {
+        5: (3, 1),
+        7: (7, 0),
+        10: (7, 1),
+        11: (7, 0),
+        13: (1, 0),
+        20: (1, 1),
+    }
+
+
+# --- FD audit ----------------------------------------------------------------------
+
+def test_fd_audit_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import fd_audit_tables
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "event_type": pa.array(["a", "a", "b", "a", None]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([10, 10, 11], pa.int64()),
+                "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1], pa.int64()),
+                "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"]),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = fd_audit_tables(str(tmp_path)).set_index("fd")
+    # user 1 has 2 types (violating), user 2 has 1 (the null row drops)
+    assert tuple(out.loc["events_user_to_type"]) == (2, 1, 2)
+    assert tuple(out.loc["lineitem_part_to_supp"]) == (2, 1, 2)
+    assert tuple(out.loc["orders_cust_to_priority"]) == (1, 0, 1)
+
+
+# --- temporal consistency ------------------------------------------------------------
+
+def test_temporal_consistency_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import temporal_consistency_audit
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 99], pa.int64()),
+                "l_shipdate": pa.array(
+                    [np.datetime64("2020-01-01", "us"), np.datetime64("2020-02-10", "us"), np.datetime64("2020-01-01", "us")],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [np.datetime64("2020-01-04", "us"), np.datetime64("2020-02-01", "us")], pa.timestamp("us")
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = temporal_consistency_audit(str(tmp_path)).iloc[0]
+    # order 1 shipped 3 days early (violation), order 2 shipped after
+    # (fine), orderkey 99 is an orphan (inner attach drops it)
+    assert int(out["n_joined"]) == 2
+    assert int(out["n_violations"]) == 1
+    assert int(out["sum_days_early"]) == 3
+    assert int(out["max_days_early"]) == 3
+    assert out["violation_rate"] == 0.5
+
+
+# --- linkage entity clusters ----------------------------------------------------------
+
+def test_linkage_clusters_consistent_with_pairs():
+    from ndap_data_validator_ray.pipelines.queries import (
+        blocked_linkage_parts,
+        linkage_entity_clusters_parts,
+    )
+
+    clusters = linkage_entity_clusters_parts(SF)
+    rep = dict(zip(clusters["p_partkey"].astype(int), clusters["cluster_rep"].astype(int)))
+    pairs = blocked_linkage_parts(SF)
+    pairs = pairs[(pairs["id_a"] % 3 == 0) & (pairs["id_b"] % 3 == 0)]
+    # every matched pair within the subset must share a cluster; reps are members
+    for r in pairs.itertuples():
+        assert rep[int(r.id_a)] == rep[int(r.id_b)]
+    assert set(clusters["cluster_rep"]).issubset(set(clusters["p_partkey"]))
+    assert (clusters["cluster_rep"] <= clusters["p_partkey"]).all()
