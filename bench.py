@@ -247,6 +247,18 @@ _QUERY_NAMES = [
     "trimmed_mean_price_by_flag",
     "hll_rollup_weekly_users",
     "sprt_urgent_share_orders",
+    # sixth-wave additions (seed BFS, covariance grid, blocked linkage /
+    # ER clusters, label propagation, FD + temporal audits)
+    "seed_part_distance_copurchase",
+    "embedding_covariance_grid",
+    "blocked_linkage_parts",
+    "linkage_entity_clusters_parts",
+    "label_propagation_parts",
+    "fd_audit_tables",
+    "temporal_consistency_audit",
+    "seasonal_naive_wmape_revenue",
+    "fano_factor_daily_events",
+    "markov_conditional_entropy_events",
 ]
 
 

@@ -12453,8 +12453,138 @@ FROM l2 ORDER BY 1
 """
 
 
+def gram_power_iteration_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Dominant-direction estimate of the (uncentered) second-moment /
+    Gram matrix of the first 16 embedding dimensions via TWO unnormalized
+    integer power-iteration steps — the integer-HITS trick applied to
+    PCA: quantized int64 Gram cells fold from the same exact block
+    partials as embedding_covariance_grid, then v1 = A·1 and v2 = A·v1
+    evaluate in EXACT Python-int arithmetic on the driver (A is 16 x 16 —
+    driver-side by design; the distributed work is the Gram fold).  v2
+    entries reach ~1e26 so they ship as the ratio rel_v2 = v2 / max|v2|
+    (one HUGEINT->DOUBLE cast + one division, bit-identical cross-engine)
+    plus the exact BIGINT v1.  DuckDB reproduces both matvecs with
+    HUGEINT join+sum CTEs over the identical quantized cells.  Two steps
+    are what HUGEINT headroom allows (v3 would pass 1.7e38); a numpy test
+    pins that each step monotonically improves top-eigenvector alignment
+    (the fixture's Gram is near-isotropic, so 2-step convergence is not
+    claimed — the op is DEFINED as the 2-step estimate)."""
+    dims = 16
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(bt: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)[:, :dims]
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        gram = q.T @ q
+        ii, jj = np.meshgrid(np.arange(dims), np.arange(dims), indexing="ij")
+        return pd.DataFrame(
+            {"i": ii.ravel().astype(np.int64), "j": jj.ravel().astype(np.int64), "s": gram.ravel()}
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    f = p.groupby(["i", "j"], as_index=False)["s"].sum()
+    a = [[0] * dims for _ in range(dims)]
+    for r in f.itertuples():
+        a[int(r.i)][int(r.j)] = int(r.s)
+    v1 = [sum(a[i][j] for j in range(dims)) for i in range(dims)]
+    v2 = [sum(a[i][j] * v1[j] for j in range(dims)) for i in range(dims)]
+    vmax = max(abs(x) for x in v2)
+    return pd.DataFrame(
+        {
+            "dim": np.arange(dims, dtype=np.int64),
+            "v1": np.array(v1, dtype=np.int64),
+            "rel_v2": _r9([float(x) / float(vmax) for x in v2]),
+        }
+    )
+
+
+_GRAM_POWER_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, i - 1 AS dim,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range(1, 17) t(i)),
+g AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, SUM(CAST(a.qv AS HUGEINT) * b.qv) AS s
+  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+v1 AS MATERIALIZED (SELECT i, SUM(s) AS v FROM g GROUP BY i),
+v2 AS MATERIALIZED (
+  SELECT g.i, SUM(g.s * v1.v) AS v FROM g JOIN v1 ON v1.i = g.j GROUP BY g.i),
+vm AS (SELECT MAX(ABS(v)) AS m FROM v2)
+SELECT v2.i AS dim, CAST(v1.v AS BIGINT) AS v1,
+       ROUND(CAST(v2.v AS DOUBLE) / CAST(vm.m AS DOUBLE), 9) AS rel_v2
+FROM v2 JOIN v1 ON v1.i = v2.i, vm ORDER BY dim
+"""
+
+
+def weighted_median_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Exact quantity-weighted lower median of l_extendedprice per return
+    flag — the weighted order statistic behind sampling-weight
+    calibration, computed with the trimmed-mean histogram trick: ONE
+    bucketed exchange builds the (flag, integer-cents) weight histogram
+    (bounded by the price DOMAIN, never row count); the driver folds the
+    histogram, cumulative-sums exact integer weights in cents order, and
+    picks the smallest cents with 2·cumw >= totw — pure integers, no
+    interpolation, reproduced verbatim by the SQL window twin."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        return pd.DataFrame(
+            {
+                "flag": b["l_returnflag"].to_numpy(),
+                "cents": np.floor(b["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+                    np.int64
+                ),
+                "w": np.floor(b["l_quantity"].to_numpy(np.float64) + 0.5).astype(np.int64),
+            }
+        ).groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["flag", "cents"], as_index=False)["w"].sum()
+
+    h = bucketed_groupby(ds, ["flag", "cents"], partial, merge).to_pandas()
+    rows = []
+    for flag, g in h.groupby("flag"):
+        g = g.sort_values("cents")
+        w = g["w"].to_numpy(np.int64)
+        tot = int(w.sum())
+        cum = np.cumsum(w)
+        med = int(g["cents"].to_numpy(np.int64)[np.searchsorted(2 * cum, tot)])
+        rows.append((flag, med, tot))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "weighted_median_cents", "total_weight"])
+    out["weighted_median_cents"] = out["weighted_median_cents"].astype(np.int64)
+    out["total_weight"] = out["total_weight"].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+_WEIGHTED_MEDIAN_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS w
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM h
+)
+SELECT flag AS l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS weighted_median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM c GROUP BY flag ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "gram_power_iteration_embeddings": (gram_power_iteration_embeddings, _GRAM_POWER_SQL),
+    "weighted_median_price_by_flag": (weighted_median_price_by_flag, _WEIGHTED_MEDIAN_SQL),
     "linkage_entity_clusters_parts": (linkage_entity_clusters_parts, _LINKAGE_CLUSTERS_SQL),
     "fd_audit_tables": (fd_audit_tables, _FD_AUDIT_SQL),
     "temporal_consistency_audit": (temporal_consistency_audit, _TEMPORAL_AUDIT_SQL),

@@ -290,3 +290,65 @@ def test_linkage_clusters_consistent_with_pairs():
         assert rep[int(r.id_a)] == rep[int(r.id_b)]
     assert set(clusters["cluster_rep"]).issubset(set(clusters["p_partkey"]))
     assert (clusters["cluster_rep"] <= clusters["p_partkey"]).all()
+
+
+# --- Gram power iteration -------------------------------------------------------------
+
+def test_gram_power_iteration_points_at_dominant_eigvec():
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import gram_power_iteration_embeddings
+
+    out = gram_power_iteration_embeddings(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    m = np.stack(emb["embedding"].to_pandas().to_numpy()).astype(np.float64)[:, :16]
+    q = np.floor(m * 10000.0 + 0.5)
+    gram = q.T @ q
+    # exact v1 equality (integer matvec vs numpy float is exact here:
+    # values stay far below 2^53)
+    assert np.array_equal(out["v1"].to_numpy(np.float64), gram @ np.ones(16))
+    # each power step monotonically improves alignment with the true top
+    # eigenvector (the fixture's Gram is near-isotropic — absolute
+    # convergence in 2 steps is NOT claimed, only the iteration property)
+    w, v = np.linalg.eigh(gram)
+    top = v[:, -1]
+
+    def cos(x):
+        return abs(x @ top) / (np.linalg.norm(x) * np.linalg.norm(top))
+
+    v0 = np.ones(16)
+    v1 = gram @ v0
+    r2 = out["rel_v2"].to_numpy(np.float64)
+    assert cos(v1) >= cos(v0) - 1e-12
+    assert cos(r2) >= cos(v1) - 1e-12
+    # rel_v2 matches the numpy 2-step iterate direction
+    v2 = gram @ v1
+    assert np.allclose(r2, v2 / np.max(np.abs(v2)), atol=1e-9)
+    assert np.max(np.abs(r2)) == 1.0  # normalized by max|v2|
+
+
+# --- weighted median --------------------------------------------------------------------
+
+def test_weighted_median_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import weighted_median_price_by_flag
+
+    # flag A: prices 1.00 (w 1), 2.00 (w 1), 3.00 (w 10) -> weighted
+    # median 3.00; flag B: 1.00 (w 1), 2.00 (w 1) -> lower median 1.00
+    pq.write_table(
+        pa.table(
+            {
+                "l_returnflag": pa.array(["A", "A", "A", "B", "B"]),
+                "l_extendedprice": pa.array([1.0, 2.0, 3.0, 1.0, 2.0], pa.float64()),
+                "l_quantity": pa.array([1.0, 1.0, 10.0, 1.0, 1.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = weighted_median_price_by_flag(str(tmp_path)).set_index("l_returnflag")
+    assert int(out.loc["A", "weighted_median_cents"]) == 300
+    assert int(out.loc["A", "total_weight"]) == 12
+    assert int(out.loc["B", "weighted_median_cents"]) == 100
+    assert int(out.loc["B", "total_weight"]) == 2
