@@ -259,6 +259,10 @@ _QUERY_NAMES = [
     "seasonal_naive_wmape_revenue",
     "fano_factor_daily_events",
     "markov_conditional_entropy_events",
+    "gram_power_iteration_embeddings",
+    "weighted_median_price_by_flag",
+    "bootstrap_ci_revenue",
+    "frequent_triples_parts",
 ]
 
 

@@ -12581,8 +12581,166 @@ FROM c GROUP BY flag ORDER BY 1
 """
 
 
+def bootstrap_ci_revenue(sf_dir: str) -> pd.DataFrame:
+    """Multiplier-bootstrap confidence interval for mean order revenue —
+    distributed uncertainty quantification with a FULL value oracle: 32
+    replicates reweight every order with the deterministic integer
+    multiplier ``md5(orderkey:b) % 3`` (mean-1 integer weights — the
+    md5-twin trick, so DuckDB reproduces every draw verbatim; a classic
+    exponential/Poisson multiplier would need per-row ``ln`` floats whose
+    libm ulps can flip a floor cross-engine).  Per block: 32 EXACT int64
+    partial rows (b, Σw, Σw·cents) — mergeable, order-free, O(32) per
+    block; the driver folds 32 rows, each replicate mean is one shared
+    float expression in dollars (round 6 — a cent-scale mean at round 9
+    would exceed double precision), and the CI is the 2nd/31st order
+    statistic of the replicate means under the total order (mean, b).
+    Multiplier weights have variance 2/3, documented — the interval is
+    the replicate-distribution percentile, not a variance-rescaled one."""
+    n_rep = 32
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        b = b.dropna()
+        keys = b["o_orderkey"].to_numpy(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        # one md5 per (row, replicate): C-backed hashlib over prebuilt
+        # byte keys (the md5-twin convention, md5_lower64 semantics)
+        rows = {"b": np.arange(n_rep, dtype=np.int64), "sw": np.zeros(n_rep, dtype=np.int64),
+                "swx": np.zeros(n_rep, dtype=np.int64), "n": np.full(n_rep, len(keys), dtype=np.int64)}
+        for rep in range(n_rep):
+            w = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(f"{k}:{rep}".encode()).digest()[8:16], "little") % 3
+                    for k in keys
+                ),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            rows["sw"][rep] = int(w.sum())
+            rows["swx"][rep] = int((w * cents).sum())
+        return pd.DataFrame(rows)
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    f = p.groupby("b", as_index=False).sum()
+    means = np.round(
+        f["swx"].to_numpy(np.float64) / f["sw"].to_numpy(np.float64) / 100.0, 6
+    )
+    order = np.lexsort((f["b"].to_numpy(), means))
+    lo, hi = float(means[order[1]]), float(means[order[n_rep - 2]])
+    n_orders = int(p.loc[p["b"] == 0, "n"].sum())
+    return pd.DataFrame(
+        {
+            "n_orders": [np.int64(n_orders)],
+            "n_replicates": [np.int64(n_rep)],
+            "ci_lo_dollars": [np.float64(lo)],
+            "ci_hi_dollars": [np.float64(hi)],
+        }
+    )
+
+
+_BOOTSTRAP_CI_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+),
+d AS (
+  SELECT r.b, md5_number_lower(CONCAT(o.o_orderkey, ':', r.b)) % 3 AS w, o.cents
+  FROM o, (SELECT range AS b FROM range(0, 32)) r
+),
+m AS (
+  SELECT b, ROUND(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0, 6) AS mean
+  FROM d GROUP BY b
+),
+r AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean, b) AS rn FROM m)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_orders,
+       CAST(32 AS BIGINT) AS n_replicates,
+       (SELECT mean FROM r WHERE rn = 2) AS ci_lo_dollars,
+       (SELECT mean FROM r WHERE rn = 31) AS ci_hi_dollars
+"""
+
+
+def frequent_triples_parts(sf_dir: str) -> pd.DataFrame:
+    """Market-basket mining at k=3: the 20 most frequent part TRIPLES
+    co-occurring in an order (the lift query's pair analysis one level
+    up).  Distributed shape: per-order distinct parts land whole in ONE
+    bucketed exchange on l_orderkey; each reducer emits sorted in-order
+    triples vectorized (C(n,3) bounded by per-order line count, never
+    corpus size); a second bucketed exchange on the triple counts; each
+    count bucket keeps a LOCAL top-20 under the total order (n DESC, p1,
+    p2, p3) and the driver folds <= 20 x n_buckets rows — ties at the
+    cut are impossible to mis-order because the tie-break is total."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates().sort_values(["l_orderkey", "l_partkey"])
+        out_a, out_b, out_c = [], [], []
+        for _, grp in g.groupby("l_orderkey", sort=False):
+            pk = grp["l_partkey"].to_numpy(np.int64)
+            n = len(pk)
+            if n < 3:
+                continue
+            ia, ib, ic = np.array(
+                [(i, j, k) for i in range(n) for j in range(i + 1, n) for k in range(j + 1, n)]
+            ).T
+            out_a.append(pk[ia])
+            out_b.append(pk[ib])
+            out_c.append(pk[ic])
+        if not out_a:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ["p1", "p2", "p3"]}
+            )
+        return pd.DataFrame(
+            {
+                "p1": np.concatenate(out_a),
+                "p2": np.concatenate(out_b),
+                "p3": np.concatenate(out_c),
+            }
+        )
+
+    trip = bucketed_groupby(li, ["l_orderkey"], dedup, triples)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["p1", "p2", "p3"], as_index=False).size().rename(columns={"size": "n"})
+
+    def count_top(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["p1", "p2", "p3"], as_index=False)["n"].sum()
+        c = c.sort_values(["n", "p1", "p2", "p3"], ascending=[False, True, True, True])
+        return c.head(20)
+
+    parts = bucketed_groupby(trip, ["p1", "p2", "p3"], count_partial, count_top).to_pandas()
+    out = parts.sort_values(["n", "p1", "p2", "p3"], ascending=[False, True, True, True]).head(20)
+    for c in ["p1", "p2", "p3", "n"]:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_FREQ_TRIPLES_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN li c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3
+ORDER BY n DESC, p1, p2, p3
+LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "bootstrap_ci_revenue": (bootstrap_ci_revenue, _BOOTSTRAP_CI_SQL),
+    "frequent_triples_parts": (frequent_triples_parts, _FREQ_TRIPLES_SQL),
     "gram_power_iteration_embeddings": (gram_power_iteration_embeddings, _GRAM_POWER_SQL),
     "weighted_median_price_by_flag": (weighted_median_price_by_flag, _WEIGHTED_MEDIAN_SQL),
     "linkage_entity_clusters_parts": (linkage_entity_clusters_parts, _LINKAGE_CLUSTERS_SQL),

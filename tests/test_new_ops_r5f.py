@@ -352,3 +352,49 @@ def test_weighted_median_planted(tmp_path):
     assert int(out.loc["A", "total_weight"]) == 12
     assert int(out.loc["B", "weighted_median_cents"]) == 100
     assert int(out.loc["B", "total_weight"]) == 2
+
+
+# --- bootstrap CI -----------------------------------------------------------------------
+
+def test_bootstrap_ci_brackets_sample_mean_and_is_deterministic():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import bootstrap_ci_revenue
+
+    out = bootstrap_ci_revenue(SF).iloc[0]
+    con = duckdb.connect()
+    true_mean = con.execute(
+        f"SELECT AVG(o_totalprice) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert out["ci_lo_dollars"] <= out["ci_hi_dollars"]
+    # a 93.75% multiplier-bootstrap interval at n=600 comfortably
+    # brackets the sample mean on this fixture
+    assert out["ci_lo_dollars"] <= true_mean <= out["ci_hi_dollars"]
+    out2 = bootstrap_ci_revenue(SF).iloc[0]
+    assert tuple(out) == tuple(out2)  # md5 weights: fully deterministic
+
+
+# --- frequent triples --------------------------------------------------------------------
+
+def test_frequent_triples_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import frequent_triples_parts
+
+    # orders: 1:{1,2,3,4}, 2:{1,2,3}, 3:{2,3} (no triple), 4:{1,2,3}
+    ok = [1, 1, 1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
+    pk = [1, 2, 3, 4, 1, 2, 3, 2, 3, 3, 2, 1]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()), "l_partkey": pa.array(pk, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = frequent_triples_parts(str(tmp_path))
+    got = [(int(r.p1), int(r.p2), int(r.p3), int(r.n)) for r in out.itertuples()]
+    # (1,2,3) appears in orders 1,2,4; order 1 contributes C(4,3)=4 triples
+    assert got == [
+        (1, 2, 3, 3),
+        (1, 2, 4, 1),
+        (1, 3, 4, 1),
+        (2, 3, 4, 1),
+    ]
