@@ -263,6 +263,9 @@ _QUERY_NAMES = [
     "weighted_median_price_by_flag",
     "bootstrap_ci_revenue",
     "frequent_triples_parts",
+    "k_anonymity_audit_customers",
+    "scd2_user_type_intervals",
+    "join_key_overlap_profile",
 ]
 
 

@@ -12737,8 +12737,255 @@ LIMIT 20
 """
 
 
+def k_anonymity_audit_customers(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (c_nationkey,
+    c_mktsegment) at k=10 — the privacy-release gate a training-data
+    pipeline runs before publishing user-derived tables: rows whose QI
+    combination matches fewer than k records are re-identifiable.
+    Distributed shape: ONE bucketed exchange on the QI combo (each combo
+    lands whole in one reducer — the FD-audit contract), per-bucket
+    (n_groups, n_rows, at-risk counts, min size) partials, driver fold of
+    <= n_buckets rows.  The QI group list never assembles anywhere."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    k = 10
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.dropna()
+            .groupby(["c_nationkey", "c_mktsegment"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["c_nationkey", "c_mktsegment"], as_index=False)["n"].sum()
+        sizes = c["n"].to_numpy(np.int64)
+        risk = sizes < k
+        return pd.DataFrame(
+            {
+                "n_groups": [np.int64(len(c))],
+                "n_rows": [np.int64(int(sizes.sum()))],
+                "n_groups_at_risk": [np.int64(int(risk.sum()))],
+                "n_rows_at_risk": [np.int64(int(sizes[risk].sum()))],
+                "min_group_size": [np.int64(int(sizes.min())) if len(sizes) else np.int64(0)],
+            }
+        )
+
+    p = bucketed_groupby(ds, ["c_nationkey", "c_mktsegment"], partial, merge).to_pandas()
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "n_groups": [np.int64(int(p["n_groups"].sum()))],
+            "n_rows": [np.int64(int(p["n_rows"].sum()))],
+            "n_groups_at_risk": [np.int64(int(p["n_groups_at_risk"].sum()))],
+            "n_rows_at_risk": [np.int64(int(p["n_rows_at_risk"].sum()))],
+            "min_group_size": [np.int64(int(p["min_group_size"].min())) if len(p) else np.int64(0)],
+        }
+    )
+
+
+_K_ANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_at_risk,
+       CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_group_size
+FROM g
+"""
+
+
+def scd2_user_type_intervals(sf_dir: str) -> pd.DataFrame:
+    """Slowly-changing-dimension (SCD2) interval build from the event
+    stream: collapse each user's consecutive runs of the same event_type
+    into (valid_from, valid_to) rows — the history-table materialization
+    an ETL layer derives from CDC streams.  ONE bucketed exchange on
+    user_id; each reducer sorts its users under the total order (ts,
+    event_id), marks run starts vectorized, and emits one row per run
+    with valid_to = the next run's start ('' for the open run).
+    Timestamps are emitted as formatted strings (the registry's
+    timestamp-value convention)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def runs(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.dropna().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(p):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "event_type": pd.Series([], dtype=object),
+                    "valid_from": pd.Series([], dtype=object),
+                    "valid_to": pd.Series([], dtype=object),
+                    "n_events_in_run": pd.Series([], dtype=np.int64),
+                }
+            )
+        uid = p["user_id"].to_numpy(np.int64)
+        et = p["event_type"].to_numpy()
+        new_user = np.ones(len(p), dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        is_start = new_user.copy()
+        is_start[1:] |= et[1:] != et[:-1]
+        run_id = np.cumsum(is_start)
+        d = p.assign(_run=run_id)
+        r = d.groupby("_run", as_index=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            vfrom=("ts", "first"),
+            n_events_in_run=("ts", "size"),
+        )
+        vto = r.groupby("user_id")["vfrom"].shift(-1)
+        return pd.DataFrame(
+            {
+                "user_id": r["user_id"].to_numpy(np.int64),
+                "event_type": r["event_type"].to_numpy(),
+                "valid_from": r["vfrom"].dt.strftime("%Y-%m-%d %H:%M:%S").to_numpy(),
+                "valid_to": vto.dt.strftime("%Y-%m-%d %H:%M:%S").fillna("").to_numpy(),
+                "n_events_in_run": r["n_events_in_run"].to_numpy(np.int64),
+            }
+        )
+
+    out = bucketed_groupby(ds, ["user_id"], lambda b: b.dropna(), runs).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    out["n_events_in_run"] = out["n_events_in_run"].astype(np.int64)
+    return out.sort_values(["user_id", "valid_from", "event_type"]).reset_index(drop=True)
+
+
+_SCD2_SQL = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+m AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN pt IS NULL OR pt <> event_type THEN 1 ELSE 0 END AS is_start
+  FROM s
+),
+g AS (
+  SELECT user_id, event_type, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run
+  FROM m
+),
+r AS (
+  SELECT user_id, run, MIN(event_type) AS event_type, MIN(ts) AS vfrom,
+         CAST(COUNT(*) AS BIGINT) AS n_events_in_run
+  FROM g GROUP BY user_id, run
+)
+SELECT user_id, event_type,
+       strftime(vfrom, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(LEAD(vfrom) OVER (PARTITION BY user_id ORDER BY run),
+                         '%Y-%m-%d %H:%M:%S'), '') AS valid_to,
+       n_events_in_run
+FROM r ORDER BY user_id, valid_from, event_type
+"""
+
+
+def join_key_overlap_profile(sf_dir: str) -> pd.DataFrame:
+    """Join-key overlap profile — the pre-join audit a query planner (or
+    a data-contract check) wants before shipping a shuffle: for each
+    candidate key pair, the distinct counts on both sides, the exact
+    intersection size, and the containment ratios.  Distributed shape
+    (the KMV exact-leg pattern): per-batch distinct keys per side tagged
+    with a side BIT, ONE bucketed exchange on the key value, per-bucket
+    partials fold OR'd bits per key into three counts — no distinct-key
+    set ever assembles on the driver."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    specs = [
+        ("events_user_vs_customer", "events", "user_id", "customer", "c_custkey"),
+        ("orders_cust_vs_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    rows = []
+    for name, lt, lk, rt, rk in specs:
+        left = _read(sf_dir, lt, columns=[lk]).map_batches(
+            lambda b, lk=lk: pd.DataFrame(
+                {"key": np.unique(b[lk].dropna().to_numpy(np.int64)), "bit": np.int64(1)}
+            ),
+            batch_format="pandas",
+        )
+        right = _read(sf_dir, rt, columns=[rk]).map_batches(
+            lambda b, rk=rk: pd.DataFrame(
+                {"key": np.unique(b[rk].dropna().to_numpy(np.int64)), "bit": np.int64(2)}
+            ),
+            batch_format="pandas",
+        )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("key")["bit"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+            v = m.to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "n_left": [np.int64(int(((v & 1) > 0).sum()))],
+                    "n_right": [np.int64(int(((v & 2) > 0).sum()))],
+                    "n_both": [np.int64(int((v == 3).sum()))],
+                }
+            )
+
+        p = bucketed_groupby(left.union(right), ["key"], lambda b: b, merge).to_pandas()
+        nl, nr, nb = int(p["n_left"].sum()), int(p["n_right"].sum()), int(p["n_both"].sum())
+        rows.append(
+            (
+                name,
+                nl,
+                nr,
+                nb,
+                float(np.round(float(nb) / float(nl), 9)) if nl else 0.0,
+                float(np.round(float(nb) / float(nr), 9)) if nr else 0.0,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["pair", "n_left", "n_right", "n_both", "containment_left", "containment_right"],
+    )
+    for c in ["n_left", "n_right", "n_both"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pair").reset_index(drop=True)
+
+
+_JOIN_OVERLAP_SQL = """
+WITH e AS (SELECT DISTINCT user_id AS k FROM events WHERE user_id IS NOT NULL),
+c AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey IS NOT NULL),
+o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey IS NOT NULL),
+p1 AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_right,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM e JOIN c ON c.k = e.k) AS n_both
+),
+p2 AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_left,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_right,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM o JOIN c ON c.k = o.k) AS n_both
+)
+SELECT 'events_user_vs_customer' AS pair, n_left, n_right, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / n_left, 9) AS containment_left,
+       ROUND(CAST(n_both AS DOUBLE) / n_right, 9) AS containment_right
+FROM p1
+UNION ALL
+SELECT 'orders_cust_vs_customer', n_left, n_right, n_both,
+       ROUND(CAST(n_both AS DOUBLE) / n_left, 9),
+       ROUND(CAST(n_both AS DOUBLE) / n_right, 9)
+FROM p2
+ORDER BY pair
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "k_anonymity_audit_customers": (k_anonymity_audit_customers, _K_ANON_SQL),
+    "scd2_user_type_intervals": (scd2_user_type_intervals, _SCD2_SQL),
+    "join_key_overlap_profile": (join_key_overlap_profile, _JOIN_OVERLAP_SQL),
     "bootstrap_ci_revenue": (bootstrap_ci_revenue, _BOOTSTRAP_CI_SQL),
     "frequent_triples_parts": (frequent_triples_parts, _FREQ_TRIPLES_SQL),
     "gram_power_iteration_embeddings": (gram_power_iteration_embeddings, _GRAM_POWER_SQL),

@@ -398,3 +398,77 @@ def test_frequent_triples_planted(tmp_path):
         (1, 3, 4, 1),
         (2, 3, 4, 1),
     ]
+
+
+# --- k-anonymity ----------------------------------------------------------------------
+
+def test_k_anonymity_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import k_anonymity_audit_customers
+
+    # QI groups: (1,'A') x 12 rows (safe), (1,'B') x 3 (at risk), (2,'A') x 1 (at risk)
+    nk = [1] * 12 + [1, 1, 1] + [2]
+    seg = ["A"] * 12 + ["B"] * 3 + ["A"]
+    pq.write_table(
+        pa.table({"c_nationkey": pa.array(nk, pa.int32()), "c_mktsegment": pa.array(seg)}),
+        str(tmp_path / "customer.parquet"),
+    )
+    out = k_anonymity_audit_customers(str(tmp_path)).iloc[0]
+    assert int(out["n_groups"]) == 3
+    assert int(out["n_rows"]) == 16
+    assert int(out["n_groups_at_risk"]) == 2
+    assert int(out["n_rows_at_risk"]) == 4
+    assert int(out["min_group_size"]) == 1
+
+
+# --- SCD2 intervals ---------------------------------------------------------------------
+
+def test_scd2_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import scd2_user_type_intervals
+
+    ts = [np.datetime64(f"2020-01-0{d}T00:00:00", "us") for d in [1, 2, 3, 4, 5]]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "event_type": pa.array(["a", "a", "b", "a", "c"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = scd2_user_type_intervals(str(tmp_path))
+    got = [
+        (int(r.user_id), r.event_type, r.valid_from, r.valid_to, int(r.n_events_in_run))
+        for r in out.itertuples()
+    ]
+    assert got == [
+        (1, "a", "2020-01-01 00:00:00", "2020-01-03 00:00:00", 2),
+        (1, "b", "2020-01-03 00:00:00", "2020-01-04 00:00:00", 1),
+        (1, "a", "2020-01-04 00:00:00", "", 1),
+        (2, "c", "2020-01-05 00:00:00", "", 1),
+    ]
+
+
+# --- join-key overlap --------------------------------------------------------------------
+
+def test_join_key_overlap_consistency():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import join_key_overlap_profile
+
+    out = join_key_overlap_profile(SF).set_index("pair")
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    r = out.loc["events_user_vs_customer"]
+    assert int(r["n_left"]) == n_users
+    assert int(r["n_both"]) <= min(int(r["n_left"]), int(r["n_right"]))
+    assert 0.0 <= r["containment_left"] <= 1.0
