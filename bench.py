@@ -266,6 +266,8 @@ _QUERY_NAMES = [
     "k_anonymity_audit_customers",
     "scd2_user_type_intervals",
     "join_key_overlap_profile",
+    "centroid_purity_embeddings",
+    "range_partition_plan_orders",
 ]
 
 

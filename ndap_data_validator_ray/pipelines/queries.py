@@ -12981,8 +12981,180 @@ ORDER BY pair
 """
 
 
+def centroid_purity_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Exact centroid-purity audit of the labeled embedding space — the
+    clustering-quality read (is each vector strictly nearest its own
+    label's centroid?) made EXACT with integer cross-multiplication:
+    centroids are the rational Σq/n, so squared distance to label l has
+    the integer numerator A_l = Σ_d (q_d·n_l − S_l[d])² over denominator
+    n_l², and "own strictly nearest" is the pure-integer test
+    A_own·n_c² < A_c·n_own² for every other label c (ties → not pure —
+    no float anywhere, no tolerance).  Distributed shape: per-label
+    (n, Σq per dim) fold from block partials (the covariance-grid
+    pattern, 10×16 ints); the 10-centroid table broadcasts in the
+    closure and each block scores its rows vectorized (difference terms
+    in int64 — safe to n_l ~ 1.8e14 rows — squared/summed in Python-int
+    object math, the repo's HUGEINT-twin posture).  First 16 dims (keeps
+    the SQL twin's unnest bounded)."""
+    dims = 16
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def mom_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)[:, :dims]
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        lab = bt["label"].to_numpy(np.int64)
+        out = []
+        for l in np.unique(lab):
+            sel = lab == l
+            out.append(
+                pd.DataFrame(
+                    {
+                        "label": np.full(dims, l, dtype=np.int64),
+                        "dim": np.arange(dims, dtype=np.int64),
+                        "s": q[sel].sum(axis=0),
+                        "n": np.full(dims, int(sel.sum()), dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    mom = ds.map_batches(mom_partial, batch_format="pandas").to_pandas()
+    f = mom.groupby(["label", "dim"], as_index=False).sum()
+    labels = np.sort(f["label"].unique())
+    cent_s = {int(l): f[f["label"] == l].sort_values("dim")["s"].to_numpy(np.int64) for l in labels}
+    cent_n = {int(l): int(f[f["label"] == l]["n"].iloc[0]) for l in labels}
+    ref = ray.put((labels.astype(np.int64), cent_s, cent_n))
+
+    def purity_partial(bt: pd.DataFrame) -> pd.DataFrame:
+        labs, cs, cn = ray.get(ref)
+        m = np.stack(bt["embedding"].to_numpy()).astype(np.float64)[:, :dims]
+        q = np.floor(m * 10000.0 + 0.5).astype(np.int64)
+        own = bt["label"].to_numpy(np.int64)
+        # A[l] per row: exact Python-int numerators (object math after the
+        # int64-safe difference step)
+        nums = {}
+        for l in labs:
+            d = q * cn[int(l)] - cs[int(l)][None, :]
+            nums[int(l)] = (d.astype(object) ** 2).sum(axis=1)
+        pure = np.ones(len(q), dtype=np.int64)
+        for i in range(len(q)):
+            lo = int(own[i])
+            a_own = nums[lo][i]
+            n_own2 = cn[lo] * cn[lo]
+            for l in labs:
+                lc = int(l)
+                if lc == lo:
+                    continue
+                if not (a_own * cn[lc] * cn[lc] < nums[lc][i] * n_own2):
+                    pure[i] = 0
+                    break
+        g = pd.DataFrame({"label": own, "pure": pure}).groupby("label", as_index=False).agg(
+            n_vecs=("pure", "size"), n_pure=("pure", "sum")
+        )
+        return g
+
+    p = ds.map_batches(purity_partial, batch_format="pandas").to_pandas()
+    out = p.groupby("label", as_index=False).sum()
+    out["label"] = out["label"].astype(np.int64)
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    out["n_pure"] = out["n_pure"].astype(np.int64)
+    out["purity"] = _r9(out["n_pure"].to_numpy(np.float64) / out["n_vecs"].to_numpy(np.float64))
+    return out.sort_values("label").reset_index(drop=True)
+
+
+_CENTROID_PURITY_SQL = """
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, i - 1 AS dim,
+    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qv
+  FROM embeddings, range(1, 17) t(i)),
+cn AS MATERIALIZED (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+cs AS MATERIALIZED (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY 1, 2),
+a AS MATERIALIZED (
+  SELECT q.vec_id, q.label AS own, cs.label AS cand,
+         SUM((CAST(q.qv AS HUGEINT) * cn.n - cs.s) * (CAST(q.qv AS HUGEINT) * cn.n - cs.s)) AS num,
+         MAX(cn.n) AS n_c
+  FROM q JOIN cs ON cs.dim = q.dim JOIN cn ON cn.label = cs.label
+  GROUP BY 1, 2, 3),
+p AS (
+  SELECT o.vec_id, o.own,
+         CASE WHEN BOOL_AND(c.cand = o.own OR o.num * c.n_c * c.n_c < c.num * o.n_c * o.n_c)
+              THEN 1 ELSE 0 END AS pure
+  FROM (SELECT * FROM a WHERE cand = own) o
+  JOIN a c ON c.vec_id = o.vec_id
+  GROUP BY o.vec_id, o.own, o.num, o.n_c)
+SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(pure) AS BIGINT) AS n_pure,
+       ROUND(CAST(SUM(pure) AS DOUBLE) / COUNT(*), 9) AS purity
+FROM p GROUP BY own ORDER BY label
+"""
+
+
+def range_partition_plan_orders(sf_dir: str) -> pd.DataFrame:
+    """Balanced range-partition plan for o_totalprice — the boundary
+    table a skew-aware repartition/sort writes before shuffling (the
+    `stages/sort._RangePlan` idea surfaced as an auditable artifact):
+    15 split points for 16 partitions as EXACT order statistics at
+    1-based ranks (i·n)//16, computed from the (integer-cents, count)
+    histogram — the exchange is bounded by the price DOMAIN, never row
+    count, and the driver folds the histogram and cumulative-sums exact
+    integers (the weighted-median machinery at multiple ranks)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"cents": cents}).groupby("cents", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cents", as_index=False)["n"].sum()
+
+    h = bucketed_groupby(ds, ["cents"], partial, merge).to_pandas().sort_values("cents")
+    cents = h["cents"].to_numpy(np.int64)
+    cum = np.cumsum(h["n"].to_numpy(np.int64))
+    tot = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for i in range(1, 16):
+        rank = (i * tot) // 16
+        idx = int(np.searchsorted(cum, rank))
+        rows.append((i, int(cents[idx]), int(cum[idx])))
+    out = pd.DataFrame(rows, columns=["bound_idx", "boundary_cents", "rows_at_or_below"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_RANGE_PLAN_SQL = """
+WITH h AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT cents, SUM(n) OVER (ORDER BY cents) AS cw,
+         SUM(n) OVER () AS tot
+  FROM h
+),
+r AS (SELECT range AS i FROM range(1, 16)),
+b AS (
+  SELECT r.i AS bound_idx, MIN(c.cents) AS boundary_cents
+  FROM r JOIN c ON c.cw >= (r.i * c.tot) // 16
+  GROUP BY r.i
+)
+SELECT b.bound_idx, CAST(b.boundary_cents AS BIGINT) AS boundary_cents,
+       CAST(c.cw AS BIGINT) AS rows_at_or_below
+FROM b JOIN c ON c.cents = b.boundary_cents
+ORDER BY bound_idx
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "centroid_purity_embeddings": (centroid_purity_embeddings, _CENTROID_PURITY_SQL),
+    "range_partition_plan_orders": (range_partition_plan_orders, _RANGE_PLAN_SQL),
     "k_anonymity_audit_customers": (k_anonymity_audit_customers, _K_ANON_SQL),
     "scd2_user_type_intervals": (scd2_user_type_intervals, _SCD2_SQL),
     "join_key_overlap_profile": (join_key_overlap_profile, _JOIN_OVERLAP_SQL),

@@ -472,3 +472,82 @@ def test_join_key_overlap_consistency():
     assert int(r["n_left"]) == n_users
     assert int(r["n_both"]) <= min(int(r["n_left"]), int(r["n_right"]))
     assert 0.0 <= r["containment_left"] <= 1.0
+
+
+# --- centroid purity -------------------------------------------------------------------
+
+def test_centroid_purity_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import centroid_purity_embeddings
+
+    # two tight clusters + one defector: vec 5 is labeled 0 but sits on
+    # cluster 1's centroid -> impure; everything else pure
+    vecs, labels = [], []
+    for i in range(4):
+        vecs.append([1.0 + 0.001 * i] + [0.0] * 15)
+        labels.append(0)
+    for i in range(4):
+        vecs.append([5.0 + 0.001 * i] + [0.0] * 15)
+        labels.append(1)
+    vecs.append([5.0] + [0.0] * 15)
+    labels.append(0)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "label": pa.array(labels, pa.int32()),
+                "embedding": pa.array([[float(x) for x in v] + [0.0] * 48 for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = centroid_purity_embeddings(str(tmp_path)).set_index("label")
+    assert int(out.loc[0, "n_vecs"]) == 5
+    assert int(out.loc[0, "n_pure"]) == 4
+    assert int(out.loc[1, "n_vecs"]) == 4
+    assert int(out.loc[1, "n_pure"]) == 4
+
+
+def test_centroid_purity_tie_is_impure(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import centroid_purity_embeddings
+
+    # two singleton labels at the same point: each vector is EQUIDISTANT
+    # (dist 0) to both centroids -> tie -> not pure, exactly
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "label": pa.array([0, 1], pa.int32()),
+                "embedding": pa.array([[1.0] * 64, [1.0] * 64], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = centroid_purity_embeddings(str(tmp_path))
+    assert (out["n_pure"] == 0).all()
+
+
+# --- range partition plan ------------------------------------------------------------------
+
+def test_range_partition_plan_balanced():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import range_partition_plan_orders
+
+    out = range_partition_plan_orders(SF)
+    assert len(out) == 15
+    assert out["boundary_cents"].is_monotonic_increasing
+    con = duckdb.connect()
+    tot = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet') WHERE o_totalprice IS NOT NULL"
+    ).fetchone()[0]
+    # each boundary's cumulative count reaches its target rank and
+    # overshoots by at most the duplicate mass at that cents value
+    for r in out.itertuples():
+        assert int(r.rows_at_or_below) >= (int(r.bound_idx) * tot) // 16
