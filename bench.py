@@ -268,6 +268,8 @@ _QUERY_NAMES = [
     "join_key_overlap_profile",
     "centroid_purity_embeddings",
     "range_partition_plan_orders",
+    "greedy_coverage_selection_documents",
+    "seasonal_anomaly_days_revenue",
 ]
 
 

@@ -13151,8 +13151,191 @@ ORDER BY bound_idx
 """
 
 
+def greedy_coverage_selection_documents(sf_dir: str) -> pd.DataFrame:
+    """Greedy facility-location data selection (maximize token coverage
+    with k=5 documents) — the coverage-driven curation pick behind
+    "select the smallest set that spans the vocabulary", value-oracled
+    despite being ITERATIVE: each round is deterministic (argmax marginal
+    gain, ties to the smaller doc_id), so DuckDB unrolls five rounds of
+    gain-count + argmax + covered-union CTEs verbatim.  Distributed
+    shape per round: the covered-token set (bounded by the vocab of the
+    <= k docs selected so far) broadcasts via ``ray.put``; each block
+    tokenizes ITS docs (a doc's tokens never span blocks), computes local
+    gains, and emits only its block WINNER row (doc_id, gain, uncovered
+    token list) — argmax is max-stable, so the driver folds one row per
+    block, never per doc.  k passes over the corpus, zero shuffles."""
+    k = 5
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).materialize()
+    selected: list[int] = []
+    covered: set = set()
+    rows = []
+    for rnd in range(1, k + 1):
+        ref = ray.put((covered, set(selected)))
+
+        def best(b: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            cov, sel = ray.get(ref)
+            win = None
+            for did, txt in zip(b["doc_id"].to_numpy(np.int64), b["text"].fillna("")):
+                if int(did) in sel:
+                    continue
+                toks = set(txt.split()) - cov
+                g = len(toks)
+                if win is None or (g, -int(did)) > (win[1], -win[0]):
+                    win = (int(did), g, toks)
+            if win is None:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype=np.int64),
+                     "gain": pd.Series([], dtype=np.int64),
+                     "toks": pd.Series([], dtype=object)}
+                )
+            return pd.DataFrame(
+                {"doc_id": [np.int64(win[0])], "gain": [np.int64(win[1])],
+                 "toks": [" ".join(sorted(win[2]))]}
+            )
+
+        p = ds.map_batches(best, batch_format="pandas").to_pandas()
+        if p.empty:
+            break
+        p = p.sort_values(["gain", "doc_id"], ascending=[False, True])
+        w = p.iloc[0]
+        new_toks = set(str(w["toks"]).split()) if str(w["toks"]) else set()
+        covered |= new_toks
+        selected.append(int(w["doc_id"]))
+        rows.append((rnd, int(w["doc_id"]), int(w["gain"]), len(covered)))
+    out = pd.DataFrame(rows, columns=["sel_round", "doc_id", "gain", "covered_total"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _greedy_coverage_sql(k: int = 5) -> str:
+    parts = [
+        "WITH toks AS MATERIALIZED (\n"
+        "  SELECT doc_id, UNNEST(list_distinct(list_filter(\n"
+        "    regexp_split_to_array(COALESCE(text, ''), '\\s+'), x -> x <> ''))) AS tok\n"
+        "  FROM documents),\n"
+        "d AS MATERIALIZED (SELECT doc_id FROM documents)"
+    ]
+    sel_union = []
+    for r in range(1, k + 1):
+        prev_cov = f"AND t.tok NOT IN (SELECT tok FROM c{r - 1})" if r > 1 else ""
+        not_sel = (
+            f"WHERE d.doc_id NOT IN ({', '.join(f'(SELECT doc_id FROM s{i})' for i in range(1, r))})"
+            if r > 1
+            else ""
+        )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT d.doc_id, CAST(COUNT(t.tok) AS BIGINT) AS gain\n"
+            f"  FROM d LEFT JOIN toks t ON t.doc_id = d.doc_id {prev_cov}\n"
+            f"  {not_sel} GROUP BY 1)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1)"
+        )
+        if r == 1:
+            parts.append(
+                "c1 AS MATERIALIZED (SELECT DISTINCT tok FROM toks WHERE doc_id = (SELECT doc_id FROM s1))"
+            )
+        else:
+            parts.append(
+                f"c{r} AS MATERIALIZED (SELECT tok FROM c{r - 1} UNION\n"
+                f"  SELECT tok FROM toks WHERE doc_id = (SELECT doc_id FROM s{r}))"
+            )
+        sel_union.append(
+            f"SELECT CAST({r} AS BIGINT) AS sel_round, doc_id, gain,\n"
+            f"  (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_total FROM s{r}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel_union) + "\nORDER BY sel_round"
+
+
+_GREEDY_COVERAGE_SQL = _greedy_coverage_sql(5)
+
+
+def seasonal_anomaly_days_revenue(sf_dir: str) -> pd.DataFrame:
+    """Top-10 seasonally-adjusted revenue anomalies — STL-lite residual
+    ranking with EXACT arithmetic end to end: daily integer-cent sums
+    fold on the driver (calendar-bounded), the day-of-week baseline is
+    the rational S_d/n_d, and residual magnitudes compare across
+    different denominators via the common-scale trick: scaled_i =
+    (c_i·n_d − S_d) · (P/n_d) with P = Π n_dow (an exact integer since
+    P/n_d divides evenly) — so the top-10 ranking (|scaled| DESC, day)
+    is a pure-integer total order, no float ever enters the sort.  The
+    reported residual_dollars is one shared float expression.  Day of
+    week is epoch-day mod 7 on BOTH sides (never a locale-dependent
+    DOW function)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        day = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"day": day, "rev": cents}).groupby("day", as_index=False)["rev"].sum()
+
+    p = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    d = p.groupby("day", as_index=False)["rev"].sum()
+    d["dow"] = d["day"].to_numpy(np.int64) % 7
+    g = d.groupby("dow").agg(s=("rev", "sum"), n=("rev", "size"))
+    s_map = {int(i): int(v) for i, v in g["s"].items()}
+    n_map = {int(i): int(v) for i, v in g["n"].items()}
+    prod = 1
+    for v in n_map.values():
+        prod *= v
+    recs = []
+    for r in d.itertuples():
+        day, rev, dow = int(r.day), int(r.rev), int(r.dow)
+        nd, sd = n_map[dow], s_map[dow]
+        scaled = (rev * nd - sd) * (prod // nd)
+        recs.append((day, dow, rev, nd, sd, scaled))
+    recs.sort(key=lambda t: (-abs(t[5]), t[0]))
+    top = recs[:10]
+    return pd.DataFrame(
+        {
+            "day": [np.datetime_as_string(np.int64(t[0]).astype("datetime64[D]"), unit="D") for t in top],
+            "dow": [np.int64(t[1]) for t in top],
+            "revenue_cents": [np.int64(t[2]) for t in top],
+            "dow_n": [np.int64(t[3]) for t in top],
+            "dow_sum_cents": [np.int64(t[4]) for t in top],
+            "residual_dollars": [
+                np.float64(np.round(float(t[2] * t[3] - t[4]) / t[3] / 100.0, 6)) for t in top
+            ],
+        }
+    )
+
+
+_SEASONAL_ANOMALY_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+e AS (SELECT day, rev, datediff('day', DATE '1970-01-01', day) % 7 AS dow FROM d),
+g AS (SELECT dow, CAST(SUM(rev) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+p AS (
+  SELECT CAST(MAX(CASE WHEN dow = 0 THEN n END) AS HUGEINT)
+       * MAX(CASE WHEN dow = 1 THEN n END) * MAX(CASE WHEN dow = 2 THEN n END)
+       * MAX(CASE WHEN dow = 3 THEN n END) * MAX(CASE WHEN dow = 4 THEN n END)
+       * MAX(CASE WHEN dow = 5 THEN n END) * MAX(CASE WHEN dow = 6 THEN n END) AS prod
+  FROM g
+),
+r AS (
+  SELECT e.day, e.dow, e.rev, g.n, g.s,
+         (CAST(e.rev AS HUGEINT) * g.n - g.s) * (p.prod // g.n) AS scaled
+  FROM e JOIN g ON g.dow = e.dow, p
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(dow AS BIGINT) AS dow,
+       rev AS revenue_cents, n AS dow_n, s AS dow_sum_cents,
+       ROUND(CAST(rev * n - s AS DOUBLE) / n / 100.0, 6) AS residual_dollars
+FROM r
+ORDER BY ABS(scaled) DESC, day
+LIMIT 10
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "greedy_coverage_selection_documents": (greedy_coverage_selection_documents, _GREEDY_COVERAGE_SQL),
+    "seasonal_anomaly_days_revenue": (seasonal_anomaly_days_revenue, _SEASONAL_ANOMALY_SQL),
     "centroid_purity_embeddings": (centroid_purity_embeddings, _CENTROID_PURITY_SQL),
     "range_partition_plan_orders": (range_partition_plan_orders, _RANGE_PLAN_SQL),
     "k_anonymity_audit_customers": (k_anonymity_audit_customers, _K_ANON_SQL),

@@ -551,3 +551,62 @@ def test_range_partition_plan_balanced():
     # overshoots by at most the duplicate mass at that cents value
     for r in out.itertuples():
         assert int(r.rows_at_or_below) >= (int(r.bound_idx) * tot) // 16
+
+
+# --- greedy coverage selection ----------------------------------------------------------
+
+def test_greedy_coverage_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import greedy_coverage_selection_documents
+
+    # doc 1 covers {a b c d}, doc 2 {a b}, doc 3 {e f g}, doc 4 {c e}
+    # greedy: 1 (gain 4) -> 3 (gain 3) -> 2/4 gain 0 -> min doc_id 2 -> 4
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a b c d", "a  b", "e f\ng", "c e"]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = greedy_coverage_selection_documents(str(tmp_path))
+    got = [(int(r.sel_round), int(r.doc_id), int(r.gain), int(r.covered_total)) for r in out.itertuples()]
+    assert got[:2] == [(1, 1, 4, 4), (2, 3, 3, 7)]
+    assert got[2] == (3, 2, 0, 7)
+    assert got[3] == (4, 4, 0, 7)
+    assert len(got) == 4  # only 4 docs: round 5 has no candidate
+
+
+def test_greedy_coverage_monotone_on_fixture():
+    from ndap_data_validator_ray.pipelines.queries import greedy_coverage_selection_documents
+
+    out = greedy_coverage_selection_documents(SF)
+    assert len(out) == 5
+    g = out["gain"].to_numpy()
+    assert (g[:-1] >= g[1:]).all()  # submodularity: marginal gains non-increasing
+    assert out["covered_total"].is_monotonic_increasing
+    assert out["doc_id"].nunique() == 5
+
+
+# --- seasonal anomaly ranking -----------------------------------------------------------
+
+def test_seasonal_anomaly_exact_ranking():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import seasonal_anomaly_days_revenue
+
+    out = seasonal_anomaly_days_revenue(SF)
+    assert len(out) == 10
+    # the reported residual recomputes from the exact integer columns
+    rec = (
+        (out["revenue_cents"].to_numpy(np.float64) * out["dow_n"].to_numpy(np.float64)
+         - out["dow_sum_cents"].to_numpy(np.float64))
+        / out["dow_n"].to_numpy(np.float64) / 100.0
+    )
+    assert np.allclose(out["residual_dollars"].to_numpy(), np.round(rec, 6), atol=1e-9)
+    # epoch-day mod 7 convention
+    days = out["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+    assert np.array_equal(days % 7, out["dow"].to_numpy(np.int64))
