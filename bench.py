@@ -270,6 +270,8 @@ _QUERY_NAMES = [
     "range_partition_plan_orders",
     "greedy_coverage_selection_documents",
     "seasonal_anomaly_days_revenue",
+    "ks_exact_nchars_sources",
+    "priority_mix_drift_monthly",
 ]
 
 

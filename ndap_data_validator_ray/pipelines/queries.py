@@ -13332,8 +13332,136 @@ LIMIT 10
 """
 
 
+def ks_exact_nchars_sources(sf_dir: str) -> pd.DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between src0's and
+    src1's document-length distributions — the cross-source distribution
+    drift gate, with the KS statistic as a pure-integer total order:
+    D = max_x |F_a(x) − F_b(x)| compares via the cross-multiplied
+    |cumA·n_b − cumB·n_a| (never a float CDF), argmax ties to the
+    smallest x.  Distributed shape: per-block (source, n_chars) count
+    partials fold on the driver (n_chars DOMAIN-bounded — the
+    low-cardinality rule); the scan reads two columns only."""
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        b = b[b["source"].isin(["src0", "src1"])]
+        return (
+            b.groupby(["source", "n_chars"], as_index=False).size().rename(columns={"size": "n"})
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    h = p.groupby(["source", "n_chars"], as_index=False)["n"].sum()
+    piv = h.pivot_table(index="n_chars", columns="source", values="n", fill_value=0).sort_index()
+    ca = piv.get("src0", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    cb = piv.get("src1", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    vals = piv.index.to_numpy(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    fa, fb = np.cumsum(ca), np.cumsum(cb)
+    scaled = np.abs(fa.astype(object) * nb - fb.astype(object) * na)
+    best = 0
+    for i in range(1, len(vals)):
+        if scaled[i] > scaled[best]:
+            best = i
+    return pd.DataFrame(
+        {
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+            "at_value": [np.int64(int(vals[best]))],
+            "scaled_d": [np.int64(int(scaled[best]))],
+            "ks_d": [np.float64(np.round(float(int(scaled[best])) / (na * nb), 9))],
+        }
+    )
+
+
+_KS_SOURCES_SQL = """
+WITH ab AS (
+  SELECT source, n_chars FROM documents
+  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+),
+h AS (
+  SELECT n_chars AS v,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM ab GROUP BY 1
+),
+c AS (
+  SELECT v, SUM(ca) OVER (ORDER BY v) AS fa, SUM(cb) OVER (ORDER BY v) AS fb,
+         (SELECT SUM(ca) FROM h) AS na, (SELECT SUM(cb) FROM h) AS nb
+  FROM h
+),
+s AS (SELECT v, ABS(fa * nb - fb * na) AS scaled, na, nb FROM c)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(v AS BIGINT) AS at_value, CAST(scaled AS BIGINT) AS scaled_d,
+       ROUND(CAST(scaled AS DOUBLE) / (na * nb), 9) AS ks_d
+FROM s ORDER BY scaled DESC, v LIMIT 1
+"""
+
+
+def priority_mix_drift_monthly(sf_dir: str) -> pd.DataFrame:
+    """Monthly order-priority mix drift: per month, the chi-square
+    statistic of the month's priority distribution against the GLOBAL
+    mix — the segmented-drift monitor next to the static chi2 and the
+    CUSUM changepoints.  Distributed shape: per-block (month, priority)
+    count partials fold on the driver (months x priorities is calendar x
+    enum bounded); expected counts and chi2 finalize from exact integers
+    with the _CHI2_SQL expression conventions (round 6)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        m = b["o_orderdate"].dt.strftime("%Y-%m")
+        return (
+            pd.DataFrame({"month": m.to_numpy(), "p": b["o_orderpriority"].to_numpy()})
+            .groupby(["month", "p"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cells = p.groupby(["month", "p"], as_index=False)["n"].sum()
+    col = cells.groupby("p")["n"].sum()
+    n_tot = int(cells["n"].sum())
+    rows = []
+    for month, g in cells.groupby("month"):
+        nm = int(g["n"].sum())
+        chi2 = 0.0
+        for pr in col.index:  # full grid: absent cells are obs=0
+            obs = int(g.loc[g["p"] == pr, "n"].sum())
+            e = float(nm * int(col[pr])) / n_tot
+            chi2 += (obs - e) * (obs - e) / e
+        rows.append((month, nm, chi2))
+    out = pd.DataFrame(rows, columns=["month", "n_orders", "chi2"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["chi2"] = _r6(out["chi2"])
+    return out.sort_values("month").reset_index(drop=True)
+
+
+_PRIORITY_DRIFT_SQL = """
+WITH cells AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority AS p,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+),
+ms AS (SELECT month, CAST(SUM(cnt) AS BIGINT) AS nm FROM cells GROUP BY 1),
+cs AS (SELECT p, CAST(SUM(cnt) AS BIGINT) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT ms.month, ms.nm, COALESCE(cells.cnt, 0) AS obs,
+         CAST(ms.nm * cs.cn AS DOUBLE) / (SELECT n FROM tot) AS e
+  FROM ms CROSS JOIN cs
+  LEFT JOIN cells ON cells.month = ms.month AND cells.p = cs.p
+)
+SELECT month, MAX(nm) AS n_orders, ROUND(SUM((obs - e) * (obs - e) / e), 6) AS chi2
+FROM grid GROUP BY month ORDER BY month
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "ks_exact_nchars_sources": (ks_exact_nchars_sources, _KS_SOURCES_SQL),
+    "priority_mix_drift_monthly": (priority_mix_drift_monthly, _PRIORITY_DRIFT_SQL),
     "greedy_coverage_selection_documents": (greedy_coverage_selection_documents, _GREEDY_COVERAGE_SQL),
     "seasonal_anomaly_days_revenue": (seasonal_anomaly_days_revenue, _SEASONAL_ANOMALY_SQL),
     "centroid_purity_embeddings": (centroid_purity_embeddings, _CENTROID_PURITY_SQL),

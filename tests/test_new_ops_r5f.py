@@ -610,3 +610,45 @@ def test_seasonal_anomaly_exact_ranking():
     # epoch-day mod 7 convention
     days = out["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
     assert np.array_equal(days % 7, out["dow"].to_numpy(np.int64))
+
+
+# --- exact two-sample KS -----------------------------------------------------------------
+
+def test_ks_exact_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import ks_exact_nchars_sources
+
+    # src0: {1,2,3,4}; src1: {3,4,5,6} -> D = 2/4 = 0.5 at x=2
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(["src0"] * 4 + ["src1"] * 4 + ["srcX"]),
+                "n_chars": pa.array([1, 2, 3, 4, 3, 4, 5, 6, 999], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = ks_exact_nchars_sources(str(tmp_path)).iloc[0]
+    assert int(out["n_a"]) == 4 and int(out["n_b"]) == 4
+    assert int(out["at_value"]) == 2
+    assert int(out["scaled_d"]) == 8  # |2*4 - 0*4|
+    assert out["ks_d"] == 0.5
+
+
+# --- monthly priority drift ----------------------------------------------------------------
+
+def test_priority_drift_chi2_nonnegative_and_counts():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import priority_mix_drift_monthly
+
+    out = priority_mix_drift_monthly(SF)
+    assert (out["chi2"] >= 0).all()
+    con = duckdb.connect()
+    tot = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet') "
+        "WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out["n_orders"].sum()) == tot
