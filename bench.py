@@ -272,6 +272,8 @@ _QUERY_NAMES = [
     "seasonal_anomaly_days_revenue",
     "ks_exact_nchars_sources",
     "priority_mix_drift_monthly",
+    "brand_homophily_copurchase",
+    "percolation_thresholds_copurchase",
 ]
 
 

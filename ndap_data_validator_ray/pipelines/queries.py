@@ -13458,8 +13458,235 @@ FROM grid GROUP BY month ORDER BY month
 """
 
 
+def brand_homophily_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Categorical (Newman) assortativity of the co-purchase graph by
+    BRAND — do parts co-sell within their brand? — with the statistic as
+    a ratio of EXACT integers: with E distinct edges, S same-brand edges
+    and T = Σ_brand (edge-end count)², r = (4SE − T)/(4E² − T) (the
+    e_ii/a_i² formula cleared of denominators).  Distributed shape:
+    per-order pairs in one l_orderkey exchange, GLOBAL edge dedup in a
+    second (id_a, id_b) exchange, brand ids attached twice via the
+    guarded broadcast; per-block partials are (n, same, per-brand end
+    counts) — brand cardinality-bounded — and the driver folds exact
+    ints (the degree-assortativity posture, categorical flavor)."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    raw = bucketed_groupby(li, ["l_orderkey"], dedup, pairs)
+    edges = bucketed_groupby(raw, ["id_a", "id_b"], lambda b: b.drop_duplicates(),
+                             lambda g: g.drop_duplicates())
+    brands = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy(np.int64),
+                "brand": b["p_brand"].str.split("#").str[1].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    e1 = attach_or_join(
+        edges.map_batches(lambda b: b.rename(columns={"id_a": "p_partkey"}), batch_format="pandas"),
+        brands, on_fact="p_partkey", on_side="p_partkey", attach_cols=["brand"],
+    ).map_batches(
+        lambda b: b.rename(columns={"brand": "brand_a", "p_partkey": "id_a", "id_b": "p_partkey"}),
+        batch_format="pandas",
+    )
+    e2 = attach_or_join(e1, brands, on_fact="p_partkey", on_side="p_partkey", attach_cols=["brand"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ba = b["brand_a"].to_numpy(np.int64)
+        bb = b["brand"].to_numpy(np.int64)
+        ends = pd.Series(np.concatenate([ba, bb])).value_counts()
+        out = pd.DataFrame(
+            {"brand": ends.index.to_numpy(np.int64), "cnt": ends.to_numpy(np.int64)}
+        )
+        out["n_edges"] = np.int64(0)
+        out["n_same"] = np.int64(0)
+        head = pd.DataFrame(
+            {"brand": [np.int64(-1)], "cnt": [np.int64(0)],
+             "n_edges": [np.int64(len(b))], "n_same": [np.int64(int((ba == bb).sum()))]}
+        )
+        return pd.concat([head, out], ignore_index=True)
+
+    p = e2.map_batches(partial, batch_format="pandas").to_pandas()
+    E = int(p["n_edges"].sum())
+    S = int(p["n_same"].sum())
+    ends = p[p["brand"] >= 0].groupby("brand")["cnt"].sum()
+    T = int(sum(int(c) * int(c) for c in ends.to_numpy()))
+    r = float(4 * S * E - T) / float(4 * E * E - T) if (4 * E * E - T) else 0.0
+    return pd.DataFrame(
+        {
+            "n_edges": [np.int64(E)],
+            "n_same": [np.int64(S)],
+            "sum_end_sq": [np.int64(T)],
+            "homophily_r": [np.float64(np.round(r, 9))],
+        }
+    )
+
+
+_BRAND_HOMOPHILY_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+eb AS MATERIALIZED (
+  SELECT CAST(split_part(pa.p_brand, '#', 2) AS BIGINT) AS ba,
+         CAST(split_part(pb.p_brand, '#', 2) AS BIGINT) AS bb
+  FROM e0 JOIN part pa ON pa.p_partkey = e0.u JOIN part pb ON pb.p_partkey = e0.v
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS e,
+         CAST(SUM(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM eb
+),
+ends AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT ba AS brand FROM eb UNION ALL SELECT bb FROM eb)
+  GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS t FROM ends)
+SELECT tot.e AS n_edges, tot.s AS n_same, t.t AS sum_end_sq,
+       ROUND(CAST(4 * tot.s * tot.e - t.t AS DOUBLE)
+             / CAST(4 * tot.e * tot.e - t.t AS DOUBLE), 9) AS homophily_r
+FROM tot, t
+"""
+
+
+def percolation_thresholds_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Weight-threshold percolation of the co-purchase graph: keep only
+    edges whose co-order multiplicity reaches t ∈ {2, 3} and report the
+    surviving component structure — the graph-robustness / confidence
+    sweep a noisy-edge pipeline runs before trusting link clusters.
+    Distributed shape: ONE exchange computes per-pair multiplicities;
+    per threshold, the filtered edges feed `stages/cc.py` (guarded
+    path) and the component stats fold as per-bucket partials
+    (n_components, max size, n_nodes — each component lands whole in one
+    bucket).  DuckDB recomputes each threshold with a recursive
+    reachability CTE (components stay small once t >= 2 — measured max
+    1.9k nodes at sf0.01 — so the closure is bounded; t=1 would explode
+    and is deliberately excluded)."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        )
+
+    raw = bucketed_groupby(li, ["l_orderkey"], dedup, pairs)
+    weighted = bucketed_groupby(
+        raw,
+        ["id_a", "id_b"],
+        lambda b: b.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "w"}),
+        lambda g: g.groupby(["id_a", "id_b"], as_index=False)["w"].sum(),
+    ).materialize()
+
+    rows = []
+    for t in (2, 3):
+        et = weighted.map_batches(
+            lambda b, t=t: b[b["w"] >= t][["id_a", "id_b"]], batch_format="pandas"
+        ).materialize()
+        n_edges = et.count()
+        comp = distributed_connected_components(et)
+
+        def stats(g: pd.DataFrame) -> pd.DataFrame:
+            sizes = g.groupby("component").size()
+            return pd.DataFrame(
+                {
+                    "n_nodes": [np.int64(len(g))],
+                    "n_components": [np.int64(len(sizes))],
+                    "max_component_size": [np.int64(int(sizes.max())) if len(sizes) else np.int64(0)],
+                }
+            )
+
+        p = bucketed_groupby(comp, ["component"], lambda b: b, stats).to_pandas()
+        rows.append(
+            (
+                t,
+                int(p["n_nodes"].sum()),
+                int(n_edges),
+                int(p["n_components"].sum()),
+                int(p["max_component_size"].max()) if len(p) else 0,
+            )
+        )
+    out = pd.DataFrame(
+        rows, columns=["threshold", "n_nodes", "n_edges", "n_components", "max_component_size"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _percolation_sql() -> str:
+    def one(t: int) -> str:
+        return f"""
+sel{t} AS (
+  WITH RECURSIVE et AS (SELECT u, v FROM pw WHERE w >= {t}),
+  ed AS (SELECT u, v FROM et UNION ALL SELECT v, u FROM et),
+  reach AS (
+    SELECT u AS node, v AS r FROM ed
+    UNION
+    SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r
+  ),
+  comp AS (SELECT node, LEAST(node, MIN(r)) AS rep FROM reach GROUP BY node),
+  sizes AS (SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep)
+  SELECT CAST({t} AS BIGINT) AS threshold,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM comp) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM et) AS n_edges,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_components,
+         (SELECT CAST(COALESCE(MAX(sz), 0) AS BIGINT) FROM sizes) AS max_component_size
+)"""
+
+    return (
+        "WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem\n"
+        "  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),\n"
+        "pw AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w\n"
+        "  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+        "  GROUP BY 1, 2),\n"
+        + one(2).strip().rstrip(")") + "),\n"
+        + one(3).strip().rstrip(")") + ")\n"
+        + "SELECT * FROM sel2 UNION ALL SELECT * FROM sel3 ORDER BY threshold"
+    )
+
+
+_PERCOLATION_SQL = _percolation_sql()
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "brand_homophily_copurchase": (brand_homophily_copurchase, _BRAND_HOMOPHILY_SQL),
+    "percolation_thresholds_copurchase": (percolation_thresholds_copurchase, _PERCOLATION_SQL),
     "ks_exact_nchars_sources": (ks_exact_nchars_sources, _KS_SOURCES_SQL),
     "priority_mix_drift_monthly": (priority_mix_drift_monthly, _PRIORITY_DRIFT_SQL),
     "greedy_coverage_selection_documents": (greedy_coverage_selection_documents, _GREEDY_COVERAGE_SQL),

@@ -652,3 +652,64 @@ def test_priority_drift_chi2_nonnegative_and_counts():
         "WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL"
     ).fetchone()[0]
     assert int(out["n_orders"].sum()) == tot
+
+
+# --- brand homophily -------------------------------------------------------------------
+
+def test_brand_homophily_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import brand_homophily_copurchase
+
+    # orders 1:{1,2} same brand, 2:{3,4} cross brand, 3:{1,2} (dup edge
+    # collapses) -> E=2, S=1, ends: brand1 x2 (parts 1,2), brand1... parts
+    # 1,2 -> Brand#1; 3 -> Brand#1; 4 -> Brand#2
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                "l_partkey": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#1", "Brand#2"]),
+            }
+        ),
+        str(tmp_path / "part.parquet"),
+    )
+    out = brand_homophily_copurchase(str(tmp_path)).iloc[0]
+    # edges (1,2) brand1-brand1 (same), (3,4) brand1-brand2: E=2 S=1
+    # ends: brand1 count 3, brand2 count 1 -> T = 9 + 1 = 10
+    assert int(out["n_edges"]) == 2
+    assert int(out["n_same"]) == 1
+    assert int(out["sum_end_sq"]) == 10
+    # r = (4*1*2 - 10) / (4*4 - 10) = -2/6
+    assert out["homophily_r"] == np.round(-2.0 / 6.0, 9)
+
+
+# --- percolation -----------------------------------------------------------------------
+
+def test_percolation_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import percolation_thresholds_copurchase
+
+    # pair (1,2) appears in 3 orders (w=3), (2,3) in 2 (w=2), (4,5) in 1
+    ok = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6]
+    pk = [1, 2, 1, 2, 1, 2, 2, 3, 2, 3, 4, 5]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()), "l_partkey": pa.array(pk, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = percolation_thresholds_copurchase(str(tmp_path)).set_index("threshold")
+    # t=2: edges (1,2) and (2,3) -> one chain component of 3 nodes
+    assert tuple(out.loc[2]) == (3, 2, 1, 3)
+    # t=3: only (1,2)
+    assert tuple(out.loc[3]) == (2, 1, 1, 2)
