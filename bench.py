@@ -274,6 +274,9 @@ _QUERY_NAMES = [
     "priority_mix_drift_monthly",
     "brand_homophily_copurchase",
     "percolation_thresholds_copurchase",
+    "global_transitivity_order_skip",
+    "systematic_sample_orders",
+    "user_feature_matrix",
 ]
 
 

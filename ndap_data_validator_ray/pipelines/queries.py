@@ -13683,8 +13683,197 @@ sel{t} AS (
 _PERCOLATION_SQL = _percolation_sql()
 
 
+def global_transitivity_order_skip(sf_dir: str) -> pd.DataFrame:
+    """Global transitivity (3·triangles / wedges) of the order-skip graph
+    — the whole-graph clustering summary next to the per-node local
+    coefficient: both moments come out of ONE triangle pass
+    (stages/triangles with ``return_degrees=True`` — the degree fold the
+    orientation step already computed), wedges = Σ C(deg, 2) in exact
+    integers, and the ratio is one shared float division.  Total
+    triangle count = Σ per-node counts / 3 (each triangle counted at
+    each corner — the division is exact by construction)."""
+    from ndap_data_validator_ray.stages.triangles import distributed_triangle_counts
+
+    tri, deg = distributed_triangle_counts(_order_skip_edges(sf_dir), return_degrees=True)
+    t3 = int(tri["triangles"].sum()) if len(tri) else 0
+    assert t3 % 3 == 0
+    n_tri = t3 // 3
+    d = deg["deg"].to_numpy(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    return pd.DataFrame(
+        {
+            "n_triangles": [np.int64(n_tri)],
+            "n_wedges": [np.int64(wedges)],
+            "transitivity": [
+                np.float64(np.round(float(3 * n_tri) / float(wedges), 9)) if wedges else np.float64(0.0)
+            ],
+        }
+    )
+
+
+_GLOBAL_TRANSITIVITY_SQL = """
+WITH seq AS (
+  SELECT o_orderkey AS u,
+         LEAD(o_orderkey, 1) OVER w AS n1,
+         LEAD(o_orderkey, 2) OVER w AS n2
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+),
+raw AS (
+  SELECT u, n1 AS v FROM seq WHERE n1 IS NOT NULL
+  UNION ALL SELECT u, n2 FROM seq WHERE n2 IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM raw
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t
+  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+),
+w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg)
+SELECT tri.t AS n_triangles, w.wedges AS n_wedges,
+       ROUND(CAST(3 * tri.t AS DOUBLE) / CAST(w.wedges AS DOUBLE), 9) AS transitivity
+FROM tri, w
+"""
+
+
+def systematic_sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Systematic (every k-th) sampling under a GLOBAL total order — the
+    deterministic thinning pass that needs the distributed rank, not a
+    hash rule: rank all orders by (o_totalprice, o_orderkey) with the
+    range-partitioned ``stages/sort.global_rank`` (no single node sees
+    the table) and keep rank % 97 == 0.  Unlike the md5 keep-rules
+    (stratified/shuffled-shard queries), the kept set here depends on
+    the whole ordering — the classic equal-spaced design."""
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.dropna(), batch_format="pandas"
+    )
+    ranked = global_rank(orders, ["o_totalprice", "o_orderkey"], out="rank")
+    kept = ranked.map_batches(
+        lambda b: b[b["rank"].to_numpy(np.int64) % 97 == 0], batch_format="pandas"
+    ).to_pandas()
+    out = pd.DataFrame(
+        {
+            "o_orderkey": kept["o_orderkey"].astype(np.int64),
+            "o_totalprice": _r2(kept["o_totalprice"]),
+            "rank": kept["rank"].astype(np.int64),
+        }
+    )
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+_SYSTEMATIC_SAMPLE_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rank
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+)
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank % 97 = 0 ORDER BY rank
+"""
+
+
+def user_feature_matrix(sf_dir: str) -> pd.DataFrame:
+    """Feature-store materialization: one wide training-feature row per
+    user — per-type event counts (pivot), total event value, and the
+    account balance attached from the customer dimension (LEFT semantics:
+    users without a customer row keep has_customer = 0 and balance 0).
+    Distributed shape: per-batch (user, type) count + value partials ride
+    ONE bucketed exchange on user_id where the pivot finalizes; the
+    customer (key, balance) side goes through the guarded broadcast
+    (`attach_or_join` posture, hand-rolled LEFT because the guard is
+    inner) — at dimension scale the same lookup rides a bucketed join.
+    Money sums quantize to exact integer cents (the registry rounding
+    convention handles the emitted dollars)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["user_id", "event_type"])
+        cents = np.floor(b["value"].fillna(0.0).to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                          "event_type": b["event_type"].to_numpy(), "cents": cents})
+            .groupby(["user_id", "event_type"], as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+        return g
+
+    def pivot(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["user_id", "event_type"], as_index=False).sum()
+        out = {"user_id": np.sort(f["user_id"].unique())}
+        idx = pd.Index(out["user_id"])
+        for t in types:
+            sub = f[f["event_type"] == t].set_index("user_id")
+            out[f"n_{t}"] = sub["n"].reindex(idx, fill_value=0).to_numpy(np.int64)
+        cents = f.groupby("user_id")["cents"].sum().reindex(idx, fill_value=0)
+        out["sum_value_cents"] = cents.to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    feats = bucketed_groupby(ds, ["user_id"], partial, pivot)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: b.dropna(), batch_format="pandas"
+    ).materialize()
+    s = cust.to_pandas().sort_values("c_custkey")
+    keys = s["c_custkey"].to_numpy(np.int64)
+    bals = np.floor(s["c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+    ref = ray.put((keys, bals))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        ks, vs = ray.get(ref)
+        u = b["user_id"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(ks, u), 0, max(len(ks) - 1, 0))
+        hit = (ks[pos] == u) if len(ks) else np.zeros(len(u), dtype=bool)
+        b = b.copy()
+        b["has_customer"] = hit.astype(np.int64)
+        b["acctbal_cents"] = np.where(hit, vs[pos] if len(ks) else 0, 0).astype(np.int64)
+        return b
+
+    out = feats.map_batches(attach, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_USER_FEATURES_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+),
+f AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+  FROM e GROUP BY 1
+)
+SELECT f.user_id, f.n_click, f.n_error, f.n_purchase, f.n_signup, f.n_view,
+       f.sum_value_cents,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_customer,
+       CAST(CASE WHEN c.c_custkey IS NULL THEN 0
+            ELSE FLOOR(c.c_acctbal * 100 + 0.5) END AS BIGINT) AS acctbal_cents
+FROM f LEFT JOIN customer c ON c.c_custkey = f.user_id AND c.c_acctbal IS NOT NULL
+ORDER BY f.user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "user_feature_matrix": (user_feature_matrix, _USER_FEATURES_SQL),
+    "global_transitivity_order_skip": (global_transitivity_order_skip, _GLOBAL_TRANSITIVITY_SQL),
+    "systematic_sample_orders": (systematic_sample_orders, _SYSTEMATIC_SAMPLE_SQL),
     "brand_homophily_copurchase": (brand_homophily_copurchase, _BRAND_HOMOPHILY_SQL),
     "percolation_thresholds_copurchase": (percolation_thresholds_copurchase, _PERCOLATION_SQL),
     "ks_exact_nchars_sources": (ks_exact_nchars_sources, _KS_SOURCES_SQL),

@@ -713,3 +713,69 @@ def test_percolation_planted(tmp_path):
     assert tuple(out.loc[2]) == (3, 2, 1, 3)
     # t=3: only (1,2)
     assert tuple(out.loc[3]) == (2, 1, 1, 2)
+
+
+# --- global transitivity -----------------------------------------------------------------
+
+def test_global_transitivity_consistent_with_local():
+    from ndap_data_validator_ray.pipelines.queries import (
+        global_transitivity_order_skip,
+        order_skip_triangles,
+    )
+
+    out = global_transitivity_order_skip(SF).iloc[0]
+    tri = order_skip_triangles(SF)
+    assert int(out["n_triangles"]) * 3 == int(tri["triangles"].sum())
+    assert 0.0 <= out["transitivity"] <= 1.0
+    assert int(out["n_wedges"]) >= 3 * int(out["n_triangles"])
+
+
+# --- systematic sampling ------------------------------------------------------------------
+
+def test_systematic_sample_spacing():
+    from ndap_data_validator_ray.pipelines.queries import systematic_sample_orders
+
+    out = systematic_sample_orders(SF)
+    r = out["rank"].to_numpy(np.int64)
+    assert (r % 97 == 0).all()
+    assert np.array_equal(r, np.arange(1, len(r) + 1) * 97)
+    # ranks follow the (price, orderkey) total order
+    assert out["o_totalprice"].is_monotonic_increasing
+
+
+# --- user feature matrix --------------------------------------------------------------------
+
+def test_user_feature_matrix_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import user_feature_matrix
+
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "event_type": pa.array(["click", "click", "purchase", "view"]),
+                "value": pa.array([1.5, 2.0, 10.0, None], pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1], pa.int64()),
+                "c_acctbal": pa.array([99.99], pa.float64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    out = user_feature_matrix(str(tmp_path)).set_index("user_id")
+    assert int(out.loc[1, "n_click"]) == 2
+    assert int(out.loc[1, "n_purchase"]) == 1
+    assert int(out.loc[1, "sum_value_cents"]) == 1350
+    assert int(out.loc[1, "has_customer"]) == 1
+    assert int(out.loc[1, "acctbal_cents"]) == 9999
+    assert int(out.loc[2, "n_view"]) == 1
+    assert int(out.loc[2, "has_customer"]) == 0
+    assert int(out.loc[2, "acctbal_cents"]) == 0
