@@ -277,6 +277,9 @@ _QUERY_NAMES = [
     "global_transitivity_order_skip",
     "systematic_sample_orders",
     "user_feature_matrix",
+    "order_fulfillment_sla",
+    "supplier_hhi_parts",
+    "dedup_cluster_size_histogram",
 ]
 
 

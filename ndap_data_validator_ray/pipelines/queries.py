@@ -13869,8 +13869,188 @@ ORDER BY f.user_id
 """
 
 
+def order_fulfillment_sla(sf_dir: str) -> pd.DataFrame:
+    """Order fulfillment SLA audit: share of orders whose LAST line item
+    shipped within 30 days of the order date — the cross-table temporal
+    aggregate (per-order max, then a dimension-date compare) next to the
+    row-level temporal_consistency_audit.  ONE bucketed exchange on
+    l_orderkey folds each order's max ship date; the order-date side
+    attaches via the guarded broadcast; counts are exact integers and
+    the rate is one shared float division."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        d = b.assign(ship=b["l_shipdate"].to_numpy().astype("datetime64[D]").astype(np.int64))
+        return d.groupby("l_orderkey", as_index=False)["ship"].max()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_orderkey", as_index=False)["ship"].max()
+
+    mx = bucketed_groupby(li, ["l_orderkey"], partial, merge)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.dropna().assign(
+            odate=lambda x: x["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )[["o_orderkey", "odate"]].rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = attach_or_join(mx, orders, on_fact="l_orderkey", on_side="l_orderkey",
+                            attach_cols=["odate"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        lag = b["ship"].to_numpy(np.int64) - b["odate"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_orders": [np.int64(len(b))],
+                "n_within_30d": [np.int64(int((lag <= 30).sum()))],
+                "max_lag_days": [np.int64(int(lag.max())) if len(b) else np.int64(0)],
+                "sum_lag_days": [np.int64(int(lag.sum()))],
+            }
+        )
+
+    p = joined.map_batches(stats, batch_format="pandas").to_pandas()
+    n = int(p["n_orders"].sum())
+    w = int(p["n_within_30d"].sum())
+    return pd.DataFrame(
+        {
+            "n_orders": [np.int64(n)],
+            "n_within_30d": [np.int64(w)],
+            "max_lag_days": [np.int64(int(p["max_lag_days"].max())) if len(p) else np.int64(0)],
+            "sum_lag_days": [np.int64(int(p["sum_lag_days"].sum()))],
+            "sla_rate": [np.float64(np.round(float(w) / float(n), 9)) if n else np.float64(0.0)],
+        }
+    )
+
+
+_SLA_SQL = """
+WITH m AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS ship
+  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1
+),
+j AS (
+  SELECT datediff('day', CAST(o.o_orderdate AS DATE), m.ship) AS lag
+  FROM m JOIN orders o ON o.o_orderkey = m.l_orderkey
+  WHERE o.o_orderdate IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30d,
+       CAST(MAX(lag) AS BIGINT) AS max_lag_days,
+       CAST(SUM(lag) AS BIGINT) AS sum_lag_days,
+       ROUND(CAST(SUM(CASE WHEN lag <= 30 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS sla_rate
+FROM j
+"""
+
+
+def supplier_hhi_parts(sf_dir: str) -> pd.DataFrame:
+    """Supplier concentration per part (Herfindahl-Hirschman index of
+    supplier line-item shares) — the sourcing-risk profile, exact:
+    HHI = Σ c_s² / (Σ c_s)² from integer counts, one shared float
+    division per part.  ONE bucketed exchange on l_partkey (each part's
+    supplier histogram lands whole in one reducer — per-reducer exact
+    fold, O(parts) output rows, supplier sets never on the driver)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.dropna()
+            .groupby(["l_partkey", "l_suppkey"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["l_partkey", "l_suppkey"], as_index=False)["n"].sum()
+        agg = c.groupby("l_partkey").agg(
+            n_lineitems=("n", "sum"),
+            n_suppliers=("n", "size"),
+            sq=("n", lambda s: int((s.to_numpy(np.int64) ** 2).sum())),
+        )
+        tot = agg["n_lineitems"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "l_partkey": agg.index.to_numpy(np.int64),
+                "n_lineitems": tot,
+                "n_suppliers": agg["n_suppliers"].to_numpy(np.int64),
+                "hhi": _r9(agg["sq"].to_numpy(np.float64) / (tot.astype(np.float64) * tot.astype(np.float64))),
+            }
+        )
+
+    out = bucketed_groupby(li, ["l_partkey"], partial, merge).to_pandas()
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["n_lineitems"] = out["n_lineitems"].astype(np.int64)
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+_SUPPLIER_HHI_SQL = """
+WITH c AS (
+  SELECT l_partkey, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT l_partkey, CAST(SUM(n) AS BIGINT) AS n_lineitems,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(n * n) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)), 9) AS hhi
+FROM c GROUP BY l_partkey ORDER BY l_partkey
+"""
+
+
+def dedup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size distribution of the exact prefix-40 dedup
+    (how much of the corpus sits in 2x, 3x, ... duplicate groups) — the
+    dedup telemetry a curation run reports next to the survivor set.
+    Two bounded exchanges: prefix groups count in one (each prefix lands
+    whole per reducer), the (size, n_clusters) histogram folds from
+    per-bucket partials (size domain is tiny) on the driver."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b.dropna(subset=["doc_id"])
+        return pd.DataFrame(
+            {"prefix": p["text"].fillna("").str.slice(0, 40).to_numpy(), "n": np.int64(1)}
+        ).groupby("prefix", as_index=False)["n"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("prefix")["n"].sum()
+        h = sizes.value_counts()
+        return pd.DataFrame(
+            {"cluster_size": h.index.to_numpy(np.int64), "n_clusters": h.to_numpy(np.int64)}
+        )
+
+    p = bucketed_groupby(ds, ["prefix"], partial, merge).to_pandas()
+    out = p.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+    out["cluster_size"] = out["cluster_size"].astype(np.int64)
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    out["n_docs"] = (out["cluster_size"] * out["n_clusters"]).astype(np.int64)
+    return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+_DEDUP_HIST_SQL = """
+WITH g AS (
+  SELECT substr(COALESCE(text, ''), 1, 40) AS prefix, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents WHERE doc_id IS NOT NULL
+  GROUP BY 1
+)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY sz ORDER BY cluster_size
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "order_fulfillment_sla": (order_fulfillment_sla, _SLA_SQL),
+    "supplier_hhi_parts": (supplier_hhi_parts, _SUPPLIER_HHI_SQL),
+    "dedup_cluster_size_histogram": (dedup_cluster_size_histogram, _DEDUP_HIST_SQL),
     "user_feature_matrix": (user_feature_matrix, _USER_FEATURES_SQL),
     "global_transitivity_order_skip": (global_transitivity_order_skip, _GLOBAL_TRANSITIVITY_SQL),
     "systematic_sample_orders": (systematic_sample_orders, _SYSTEMATIC_SAMPLE_SQL),

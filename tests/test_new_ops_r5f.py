@@ -779,3 +779,81 @@ def test_user_feature_matrix_planted(tmp_path):
     assert int(out.loc[2, "n_view"]) == 1
     assert int(out.loc[2, "has_customer"]) == 0
     assert int(out.loc[2, "acctbal_cents"]) == 0
+
+
+# --- fulfillment SLA ---------------------------------------------------------------------
+
+def test_fulfillment_sla_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import order_fulfillment_sla
+
+    ts = lambda s: np.datetime64(s, "us")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_shipdate": pa.array([ts("2020-01-10"), ts("2020-02-15"), ts("2020-01-05")],
+                                       pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array([ts("2020-01-01"), ts("2020-01-01")], pa.timestamp("us")),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = order_fulfillment_sla(str(tmp_path)).iloc[0]
+    # order 1: last ship 2020-02-15 -> 45 days (miss); order 2: 4 days (hit)
+    assert int(out["n_orders"]) == 2
+    assert int(out["n_within_30d"]) == 1
+    assert int(out["max_lag_days"]) == 45
+    assert int(out["sum_lag_days"]) == 49
+    assert out["sla_rate"] == 0.5
+
+
+# --- supplier HHI ------------------------------------------------------------------------
+
+def test_supplier_hhi_bounds_and_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import supplier_hhi_parts
+
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "l_suppkey": pa.array([10, 10, 10, 20, 30], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = supplier_hhi_parts(str(tmp_path)).set_index("l_partkey")
+    # part 1: shares 3/4 and 1/4 -> HHI = 9/16 + 1/16 = 0.625
+    assert out.loc[1, "hhi"] == 0.625
+    assert int(out.loc[1, "n_suppliers"]) == 2
+    # single-supplier part: HHI exactly 1
+    assert out.loc[2, "hhi"] == 1.0
+
+
+# --- dedup cluster size histogram -----------------------------------------------------------
+
+def test_dedup_histogram_conserves_docs():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import dedup_cluster_size_histogram
+
+    out = dedup_cluster_size_histogram(SF)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet') WHERE doc_id IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out["n_docs"].sum()) == n
+    assert (out["n_docs"] == out["cluster_size"] * out["n_clusters"]).all()
