@@ -280,6 +280,8 @@ _QUERY_NAMES = [
     "order_fulfillment_sla",
     "supplier_hhi_parts",
     "dedup_cluster_size_histogram",
+    "rich_club_copurchase",
+    "gini_mean_difference_prices",
 ]
 
 

@@ -14046,8 +14046,192 @@ FROM g GROUP BY sz ORDER BY cluster_size
 """
 
 
+def rich_club_copurchase(sf_dir: str) -> pd.DataFrame:
+    """Rich-club coefficient of the co-purchase graph: edge density among
+    the top-degree nodes (do the hubs trade with each other?).  The
+    degree cutoff d* is the EXACT ascending order statistic at 1-based
+    rank max(1, n − n//20) — computed from a count-of-counts histogram
+    (the kcore order-statistic trick, never a sorted node list); the
+    rich set is every node with deg >= d* (ties included —
+    deterministic).  Distributed shape: canonical edge dedup + ONE
+    degree exchange; both endpoints' degrees attach via the guarded
+    broadcast (bucketed join at hub-graph scale) and the rich-edge count
+    folds exact; density = one shared float division."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        return pd.DataFrame(
+            {
+                "id_a": m["l_partkey_x"].to_numpy(np.int64),
+                "id_b": m["l_partkey_y"].to_numpy(np.int64),
+            }
+        ).drop_duplicates()
+
+    raw = bucketed_groupby(li, ["l_orderkey"], dedup, pairs)
+    edges = bucketed_groupby(
+        raw, ["id_a", "id_b"], lambda b: b.drop_duplicates(), lambda g: g.drop_duplicates()
+    ).materialize()
+    deg = bucketed_groupby(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": np.concatenate([b["id_a"].to_numpy(np.int64), b["id_b"].to_numpy(np.int64)])}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        lambda b: b.groupby("node", as_index=False).size().rename(columns={"size": "deg"}),
+        lambda g: g.groupby("node", as_index=False)["deg"].sum(),
+    ).materialize()
+
+    # d* from the count-of-counts histogram (per-block partials -> driver)
+    hist = deg.map_batches(
+        lambda b: b.groupby("deg", as_index=False).size().rename(columns={"size": "n"}),
+        batch_format="pandas",
+    ).to_pandas().groupby("deg", as_index=False)["n"].sum().sort_values("deg")
+    n_nodes = int(hist["n"].sum())
+    rank = max(1, n_nodes - n_nodes // 20)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    d_star = int(hist["deg"].to_numpy(np.int64)[np.searchsorted(cum, rank)])
+
+    rich = deg.map_batches(
+        lambda b, d=d_star: b[b["deg"].to_numpy(np.int64) >= d], batch_format="pandas"
+    ).materialize()
+    n_rich = rich.count()
+    e1 = attach_or_join(
+        edges.map_batches(lambda b: b.rename(columns={"id_a": "node"}), batch_format="pandas"),
+        rich, on_fact="node", on_side="node", attach_cols=["deg"],
+    ).map_batches(
+        lambda b: b.rename(columns={"node": "id_a", "id_b": "node"})[["id_a", "node"]],
+        batch_format="pandas",
+    )
+    e2 = attach_or_join(e1, rich, on_fact="node", on_side="node", attach_cols=["deg"])
+    n_rich_edges = e2.count()
+    denom = n_rich * (n_rich - 1) // 2
+    return pd.DataFrame(
+        {
+            "d_star": [np.int64(d_star)],
+            "n_rich_nodes": [np.int64(n_rich)],
+            "n_rich_edges": [np.int64(n_rich_edges)],
+            "density": [
+                np.float64(np.round(float(n_rich_edges) / float(denom), 9)) if denom else np.float64(0.0)
+            ],
+        }
+    )
+
+
+_RICH_CLUB_SQL = """
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+),
+ds AS (
+  SELECT d AS d_star FROM (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM deg)
+  WHERE rn = GREATEST(1, (SELECT COUNT(*) FROM deg) - (SELECT COUNT(*) FROM deg) // 20)
+),
+rich AS (SELECT node FROM deg, ds WHERE deg.d >= ds.d_star),
+re AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e
+  JOIN rich r1 ON r1.node = e.u JOIN rich r2 ON r2.node = e.v
+),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM rich)
+SELECT (SELECT CAST(d_star AS BIGINT) FROM ds) AS d_star,
+       k.k AS n_rich_nodes, re.m AS n_rich_edges,
+       ROUND(CAST(re.m AS DOUBLE) / CAST(k.k * (k.k - 1) // 2 AS DOUBLE), 9) AS density
+FROM k, re
+"""
+
+
+def gini_mean_difference_prices(sf_dir: str) -> pd.DataFrame:
+    """Gini mean difference of l_extendedprice (mean |x_i − x_j| over all
+    pairs) — the robust dispersion scalar, EXACT at any scale via the
+    sorted-histogram identity: for a value v with count c and cumulative
+    count F before it, its contribution to Σ|x_i − x_j| (each unordered
+    pair once) is v·c·(2F + c − n) — pure integers on the integer-cents
+    histogram, so the only float is the final normalization by
+    n(n−1)/2.  ONE bucketed exchange bounded by the price DOMAIN (the
+    weighted-median machinery), Python-int driver fold (the n² cent sum
+    outgrows int64 at warehouse scale — HUGEINT twin)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"cents": cents}).groupby("cents", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("cents", as_index=False)["n"].sum()
+
+    h = bucketed_groupby(ds, ["cents"], partial, merge).to_pandas().sort_values("cents")
+    vals = h["cents"].to_numpy(np.int64)
+    cnts = h["n"].to_numpy(np.int64)
+    n = int(cnts.sum())
+    total = 0
+    f = 0
+    for v, c in zip(vals, cnts):
+        v, c = int(v), int(c)
+        total += v * c * (2 * f + c - n)
+        f += c
+    n_pairs = n * (n - 1) // 2
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "sum_abs_diff_cents": [str(total)],
+            "gmd_dollars": [
+                np.float64(np.round(float(total) / float(n_pairs) / 100.0, 6)) if n_pairs else np.float64(0.0)
+            ],
+        }
+    )
+
+
+_GMD_SQL = """
+WITH h AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS f,
+         SUM(c) OVER () AS n
+  FROM h
+),
+s AS (
+  SELECT MAX(n) AS n,
+         SUM(CAST(v AS HUGEINT) * c * (2 * f + c - n)) AS total
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(total AS VARCHAR) AS sum_abs_diff_cents,
+       ROUND(CAST(total AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE) / 100.0, 6) AS gmd_dollars
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "rich_club_copurchase": (rich_club_copurchase, _RICH_CLUB_SQL),
+    "gini_mean_difference_prices": (gini_mean_difference_prices, _GMD_SQL),
     "order_fulfillment_sla": (order_fulfillment_sla, _SLA_SQL),
     "supplier_hhi_parts": (supplier_hhi_parts, _SUPPLIER_HHI_SQL),
     "dedup_cluster_size_histogram": (dedup_cluster_size_histogram, _DEDUP_HIST_SQL),

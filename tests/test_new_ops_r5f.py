@@ -857,3 +857,48 @@ def test_dedup_histogram_conserves_docs():
     ).fetchone()[0]
     assert int(out["n_docs"].sum()) == n
     assert (out["n_docs"] == out["cluster_size"] * out["n_clusters"]).all()
+
+
+# --- rich club ---------------------------------------------------------------------------
+
+def test_rich_club_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import rich_club_copurchase
+
+    # star around 1 (deg 4) + triangle 1-2-3: degrees 1:4(with 2,3,4,5),
+    # 2:2, 3:2, 4:1, 5:1 -> n=5, rank = 5 - 0 = 5 -> d* = max deg = 4
+    # rich set = {1} alone -> 0 edges, denom 0 -> density 0
+    ok = [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+    pk = [1, 2, 1, 3, 1, 4, 1, 5, 2, 3]
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64()), "l_partkey": pa.array(pk, pa.int64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = rich_club_copurchase(str(tmp_path)).iloc[0]
+    assert int(out["d_star"]) == 4
+    assert int(out["n_rich_nodes"]) == 1
+    assert int(out["n_rich_edges"]) == 0
+    assert out["density"] == 0.0
+
+
+# --- Gini mean difference ------------------------------------------------------------------
+
+def test_gmd_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import gini_mean_difference_prices
+
+    # values 1.00, 2.00, 2.00, 4.00 -> pair |diffs| in cents:
+    # (100,200)x2=200, (100,200)... enumerate: pairs (1,2)=100,(1,2)=100,
+    # (1,4)=300,(2,2)=0,(2,4)=200,(2,4)=200 -> sum=900, n_pairs=6
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array([1.0, 2.0, 2.0, 4.0], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = gini_mean_difference_prices(str(tmp_path)).iloc[0]
+    assert int(out["n"]) == 4
+    assert out["sum_abs_diff_cents"] == "900"
+    assert out["gmd_dollars"] == np.round(900 / 6 / 100.0, 6)
