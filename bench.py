@@ -282,6 +282,8 @@ _QUERY_NAMES = [
     "dedup_cluster_size_histogram",
     "rich_club_copurchase",
     "gini_mean_difference_prices",
+    "coalesced_order_windows",
+    "longest_order_day_streak",
 ]
 
 

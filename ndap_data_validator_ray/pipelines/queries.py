@@ -14228,8 +14228,148 @@ FROM s
 """
 
 
+def coalesced_order_windows(sf_dir: str) -> pd.DataFrame:
+    """Interval coalescing (the SQL gaps-and-islands merge): each order
+    opens a 14-day activity window; per customer, overlapping/touching
+    windows merge into maximal spans — the session-building primitive at
+    interval granularity (overlapping_order_windows finds PAIRS; this
+    merges them).  ONE bucketed exchange on o_custkey: each reducer
+    sorts its customers' windows and merges with the vectorized
+    running-max rule (a window starts a new span iff its start exceeds
+    the running max end of everything before it); output is the
+    per-customer span summary in exact integer days."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def spans(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.dropna().copy()
+        p["s"] = p["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        p["e"] = p["s"] + 14
+        p = p.sort_values(["o_custkey", "s", "e"])
+        rows = []
+        for ck, g in p.groupby("o_custkey", sort=False):
+            s = g["s"].to_numpy(np.int64)
+            e = g["e"].to_numpy(np.int64)
+            run_max = np.maximum.accumulate(e)
+            new_span = np.ones(len(s), dtype=bool)
+            new_span[1:] = s[1:] > run_max[:-1]
+            span_id = np.cumsum(new_span)
+            n_spans = int(span_id[-1])
+            covered = 0
+            for sid in range(1, n_spans + 1):
+                sel = span_id == sid
+                covered += int(run_max[sel][-1] - s[sel][0])
+            rows.append((int(ck), len(s), n_spans, covered))
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ["o_custkey", "n_orders", "n_spans", "covered_days"]}
+            )
+        out = pd.DataFrame(rows, columns=["o_custkey", "n_orders", "n_spans", "covered_days"])
+        return out.astype(np.int64)
+
+    out = bucketed_groupby(orders, ["o_custkey"], lambda b: b.dropna(), spans).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+_COALESCE_WINDOWS_SQL = """
+WITH w AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS e
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+),
+m AS (
+  SELECT o_custkey, s, e,
+         MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM w
+),
+t AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN prev_max IS NULL OR s > CAST(prev_max AS DATE) THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+g AS (
+  SELECT o_custkey, s, e,
+         SUM(is_new) OVER (PARTITION BY o_custkey ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM t
+),
+sp AS (
+  SELECT o_custkey, span_id,
+         datediff('day', MIN(s), MAX(CAST(e AS DATE))) AS span_days
+  FROM g GROUP BY 1, 2
+)
+SELECT o_custkey,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM w w2 WHERE w2.o_custkey = sp.o_custkey) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_days) AS BIGINT) AS covered_days
+FROM sp GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def longest_order_day_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest run of consecutive calendar days with at least one order —
+    the gaps-and-islands scalar over the whole stream.  Distributed
+    shape: per-block distinct days fold on the driver (calendar-bounded,
+    the daily-series rule); the streak scan is a vectorized diff over
+    the sorted bounded day list.  DuckDB reproduces it with the classic
+    day − ROW_NUMBER island key."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        day = np.unique(b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"day": day})
+
+    p = orders.map_batches(partial, batch_format="pandas").to_pandas()
+    days = np.unique(p["day"].to_numpy(np.int64))
+    if not len(days):
+        return pd.DataFrame({"n_days": [np.int64(0)], "longest_streak": [np.int64(0)],
+                             "streak_start": [""]})
+    breaks = np.nonzero(np.diff(days) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(days) - 1]])
+    lengths = ends - starts + 1
+    best = int(np.argmax(lengths))  # first maximal streak (ties -> earliest)
+    return pd.DataFrame(
+        {
+            "n_days": [np.int64(len(days))],
+            "longest_streak": [np.int64(int(lengths[best]))],
+            "streak_start": [
+                np.datetime_as_string(days[starts[best]].astype("datetime64[D]"), unit="D")
+            ],
+        }
+    )
+
+
+_STREAK_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+i AS (
+  SELECT day, day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER) AS island
+  FROM d
+),
+s AS (
+  SELECT island, CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start
+  FROM i GROUP BY island
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_days,
+       len AS longest_streak,
+       strftime(start, '%Y-%m-%d') AS streak_start
+FROM s ORDER BY len DESC, start LIMIT 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "coalesced_order_windows": (coalesced_order_windows, _COALESCE_WINDOWS_SQL),
+    "longest_order_day_streak": (longest_order_day_streak, _STREAK_SQL),
     "rich_club_copurchase": (rich_club_copurchase, _RICH_CLUB_SQL),
     "gini_mean_difference_prices": (gini_mean_difference_prices, _GMD_SQL),
     "order_fulfillment_sla": (order_fulfillment_sla, _SLA_SQL),

@@ -902,3 +902,51 @@ def test_gmd_planted(tmp_path):
     assert int(out["n"]) == 4
     assert out["sum_abs_diff_cents"] == "900"
     assert out["gmd_dollars"] == np.round(900 / 6 / 100.0, 6)
+
+
+# --- interval coalescing -------------------------------------------------------------------
+
+def test_coalesced_windows_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import coalesced_order_windows
+
+    ts = lambda s: np.datetime64(s, "us")
+    # cust 1: orders on day 0, 10, 40 -> windows [0,14],[10,24],[40,54]
+    # -> spans [0,24] (24 days) + [40,54] (14 days) = 2 spans, 38 days
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [ts("2020-01-01"), ts("2020-01-11"), ts("2020-02-10")], pa.timestamp("us")
+                ),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = coalesced_order_windows(str(tmp_path)).iloc[0]
+    assert int(out["n_orders"]) == 3
+    assert int(out["n_spans"]) == 2
+    assert int(out["covered_days"]) == 38
+
+
+# --- longest streak ------------------------------------------------------------------------
+
+def test_longest_streak_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import longest_order_day_streak
+
+    ts = lambda s: np.datetime64(s, "us")
+    dates = ["2020-01-01", "2020-01-02", "2020-01-05", "2020-01-06", "2020-01-07", "2020-03-01"]
+    pq.write_table(
+        pa.table({"o_orderdate": pa.array([ts(d) for d in dates], pa.timestamp("us"))}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = longest_order_day_streak(str(tmp_path)).iloc[0]
+    assert int(out["n_days"]) == 6
+    assert int(out["longest_streak"]) == 3
+    assert out["streak_start"] == "2020-01-05"
