@@ -284,6 +284,8 @@ _QUERY_NAMES = [
     "gini_mean_difference_prices",
     "coalesced_order_windows",
     "longest_order_day_streak",
+    "hashed_bow_features",
+    "order_value_mobility_matrix",
 ]
 
 

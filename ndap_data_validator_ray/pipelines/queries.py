@@ -14366,8 +14366,144 @@ FROM s ORDER BY len DESC, start LIMIT 1
 """
 
 
+def hashed_bow_features(sf_dir: str) -> pd.DataFrame:
+    """Hashing-trick featurization: each document becomes a 16-bucket
+    hashed bag-of-words count vector (the fixed-width text feature map a
+    downstream trainer consumes without a vocabulary) — buckets keyed by
+    ``md5_lower64(token) % 16`` so DuckDB recomputes every feature
+    verbatim via ``md5_number_lower``.  Streaming one-pass shape: a doc's
+    tokens never leave its block (tokenize + hash + bincount per row,
+    vectorized via the batch-level md5 memo); no shuffle, no vocabulary,
+    O(16) ints per doc."""
+    from ndap_data_validator_ray.functions.hashing import md5_lower64_batch
+
+    n_buckets = 16
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros((len(b), n_buckets), dtype=np.int64)
+        texts = b["text"].fillna("").tolist()
+        toks_per_doc = [t.split() for t in texts]
+        flat = [tok for toks in toks_per_doc for tok in toks]
+        if flat:
+            h = (md5_lower64_batch(flat) % n_buckets).astype(np.int64)
+            row_id = np.repeat(
+                np.arange(len(b)), np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64)
+            )
+            np.add.at(out, (row_id, h), 1)
+        cols = {"doc_id": b["doc_id"].to_numpy(np.int64)}
+        for k in range(n_buckets):
+            cols[f"f{k:02d}"] = out[:, k]
+        return pd.DataFrame(cols)
+
+    out = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_HASHED_BOW_SQL = (
+    "WITH t AS (\n"
+    "  SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),\n"
+    "                                    x -> x <> '')) AS tok\n"
+    "  FROM documents\n"
+    "),\n"
+    "h AS (SELECT doc_id, md5_number_lower(tok) % 16 AS b FROM t)\n"
+    "SELECT d.doc_id,\n"
+    + ",\n".join(
+        f"  CAST(COALESCE(SUM(CASE WHEN h.b = {k} THEN 1 END), 0) AS BIGINT) AS f{k:02d}"
+        for k in range(16)
+    )
+    + "\nFROM documents d LEFT JOIN h ON h.doc_id = d.doc_id\n"
+    "GROUP BY d.doc_id ORDER BY d.doc_id"
+)
+
+
+def order_value_mobility_matrix(sf_dir: str) -> pd.DataFrame:
+    """Order-value decile mobility: the 10x10 transition matrix between
+    the value deciles of a customer's consecutive orders — the customer-
+    trajectory summary composing two distributed primitives: the
+    range-partitioned GLOBAL rank (decile = (10·(rank−1))//n from
+    ROW_NUMBER over (cents, orderkey) — deterministic under ties, unlike
+    NTILE) and the per-customer LAG inside ONE o_custkey exchange
+    (consecutive by date, then orderkey).  The 100-cell count fold is
+    exact integers (low-cardinality driver rule)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+    from ndap_data_validator_ray.stages.sort import global_rank
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(
+        lambda b: b.dropna().assign(
+            cents=lambda x: np.floor(x["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(
+                np.int64
+            )
+        ),
+        batch_format="pandas",
+    )
+    ranked = global_rank(orders, ["cents", "o_orderkey"], out="rank").materialize()
+    n = ranked.count()
+
+    def decile(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["dec"] = (10 * (b["rank"].to_numpy(np.int64) - 1)) // n
+        return b[["o_custkey", "o_orderdate", "o_orderkey", "dec"]]
+
+    dd = ranked.map_batches(decile, batch_format="pandas")
+
+    def transitions(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ck = p["o_custkey"].to_numpy(np.int64)
+        dc = p["dec"].to_numpy(np.int64)
+        if len(p) < 2:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ["from_decile", "to_decile", "n"]}
+            )
+        same = ck[1:] == ck[:-1]
+        g = (
+            pd.DataFrame({"from_decile": dc[:-1][same], "to_decile": dc[1:][same]})
+            .groupby(["from_decile", "to_decile"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return g
+
+    parts = bucketed_groupby(dd, ["o_custkey"], lambda b: b, transitions).to_pandas()
+    out = parts.groupby(["from_decile", "to_decile"], as_index=False)["n"].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["from_decile", "to_decile"]).reset_index(drop=True)
+
+
+_MOBILITY_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+    AND o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+r AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         (10 * (ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1))
+           // (SELECT COUNT(*) FROM o) AS dec
+  FROM o
+),
+s AS (
+  SELECT dec,
+         LEAD(dec) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM r
+)
+SELECT CAST(dec AS BIGINT) AS from_decile, CAST(nxt AS BIGINT) AS to_decile,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "hashed_bow_features": (hashed_bow_features, _HASHED_BOW_SQL),
+    "order_value_mobility_matrix": (order_value_mobility_matrix, _MOBILITY_SQL),
     "coalesced_order_windows": (coalesced_order_windows, _COALESCE_WINDOWS_SQL),
     "longest_order_day_streak": (longest_order_day_streak, _STREAK_SQL),
     "rich_club_copurchase": (rich_club_copurchase, _RICH_CLUB_SQL),

@@ -950,3 +950,46 @@ def test_longest_streak_planted(tmp_path):
     assert int(out["n_days"]) == 6
     assert int(out["longest_streak"]) == 3
     assert out["streak_start"] == "2020-01-05"
+
+
+# --- hashed bag-of-words --------------------------------------------------------------------
+
+def test_hashed_bow_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.functions.hashing import md5_lower64
+    from ndap_data_validator_ray.pipelines.queries import hashed_bow_features
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["cat cat dog", ""]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = hashed_bow_features(str(tmp_path)).set_index("doc_id")
+    bcat = md5_lower64("cat") % 16
+    bdog = md5_lower64("dog") % 16
+    assert int(out.loc[1, f"f{bcat:02d}"]) >= 2  # 3 if dog collides
+    assert int(out.loc[1].drop("doc_id", errors="ignore").sum()) == 3
+    assert int(out.loc[1, f"f{bdog:02d}"]) >= 1
+    assert int(out.loc[2].sum()) == 0  # empty doc -> zero vector, still a row
+
+
+def test_mobility_matrix_conserves_transitions():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import order_value_mobility_matrix
+
+    out = order_value_mobility_matrix(SF)
+    assert (out["from_decile"] >= 0).all() and (out["from_decile"] <= 9).all()
+    con = duckdb.connect()
+    n_orders, n_cust = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()
+    # transitions = orders - customers (each customer chain of length m
+    # yields m-1 transitions)
+    assert int(out["n"].sum()) == n_orders - n_cust
