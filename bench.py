@@ -286,6 +286,8 @@ _QUERY_NAMES = [
     "longest_order_day_streak",
     "hashed_bow_features",
     "order_value_mobility_matrix",
+    "view_to_purchase_latency_quantiles",
+    "mixture_reweighting_plan",
 ]
 
 

@@ -14500,8 +14500,140 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def view_to_purchase_latency_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency distribution: per user, seconds from FIRST view to
+    FIRST subsequent purchase; P50/P90 over converting users — the
+    time-to-convert read behind funnel_conversion_events' counts.  ONE
+    bucketed exchange on user_id (first-view/first-purchase are per-user
+    scans under the total order (ts, event_id)); per-user latencies are
+    exact integer seconds, folded on the driver (O(users) rows at
+    fixture scale; the percentile uses the PERCENTILE_CONT-bit-exact
+    interpolation convention)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def lat(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.dropna().sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rows = []
+        for uid, g in p.groupby("user_id", sort=False):
+            et = g["event_type"].to_numpy()
+            t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vi = np.nonzero(et == "view")[0]
+            if not len(vi):
+                continue
+            first_view = vi[0]
+            pi = np.nonzero((et == "purchase") & (np.arange(len(et)) > first_view))[0]
+            if not len(pi):
+                continue
+            rows.append((int(t[pi[0]] - t[first_view]) // 1_000_000,))
+        return pd.DataFrame(rows, columns=["lat_s"]) if rows else pd.DataFrame(
+            {"lat_s": pd.Series([], dtype=np.int64)}
+        )
+
+    lats = bucketed_groupby(ds, ["user_id"], lambda b: b.dropna(), lat).to_pandas()
+    v = np.sort(lats["lat_s"].to_numpy(np.int64))
+    if not len(v):
+        return pd.DataFrame({"n_converting": [np.int64(0)], "p50_s": [np.float64(0.0)],
+                             "p90_s": [np.float64(0.0)]})
+
+    def pct(q: float) -> float:
+        pos = q * (len(v) - 1)
+        lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+        return float(v[lo]) + (pos - lo) * (float(v[hi]) - float(v[lo]))
+
+    return pd.DataFrame(
+        {
+            "n_converting": [np.int64(len(v))],
+            "p50_s": [np.float64(np.round(pct(0.5), 6))],
+            "p90_s": [np.float64(np.round(pct(0.9), 6))],
+        }
+    )
+
+
+_VIEW_PURCHASE_LATENCY_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+),
+fv AS (
+  SELECT user_id, MIN(struct_pack(ts := ts, event_id := event_id)) AS first_view
+  FROM e WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS pts
+  FROM e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND (e.ts > fv.first_view.ts OR (e.ts = fv.first_view.ts AND e.event_id > fv.first_view.event_id))
+  GROUP BY 1
+),
+l AS (
+  SELECT CAST(datediff('microsecond', fv.first_view.ts, fp.pts) // 1000000 AS BIGINT) AS lat_s
+  FROM fv JOIN fp ON fp.user_id = fv.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY lat_s), 6) AS p50_s,
+       ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY lat_s), 6) AS p90_s
+FROM l
+"""
+
+
+def mixture_reweighting_plan(sf_dir: str) -> pd.DataFrame:
+    """Mixture reweighting plan: per-source sampling weights that would
+    equalize token mass across sources (weight_s = target/actual with
+    target = total/n_sources) — the knob-setting artifact a mixture
+    builder consumes (temperature_mixture applies a policy; this derives
+    one).  ONE streaming pass: per-block (source, token-count) partials
+    fold on the driver (source cardinality-bounded); weights are single
+    shared float expressions over exact integers."""
+    from ndap_data_validator_ray.functions.text import token_count
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["source"])
+        return pd.DataFrame(
+            {"source": b["source"].to_numpy(), "toks": token_count(b["text"]).astype(np.int64)}
+        ).groupby("source", as_index=False)["toks"].sum()
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = p.groupby("source", as_index=False)["toks"].sum()
+    total = int(g["toks"].sum())
+    ns = len(g)
+    toks = g["toks"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "source": g["source"],
+            "n_tokens": toks,
+            "token_share": _r9(toks.astype(np.float64) / total),
+            "weight": _r9((float(total) / ns) / toks.astype(np.float64)),
+        }
+    )
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_MIXTURE_PLAN_SQL = r"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+  FROM documents WHERE source IS NOT NULL
+  GROUP BY 1
+)
+SELECT source, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM t), 9) AS token_share,
+       ROUND((CAST((SELECT SUM(n_tokens) FROM t) AS DOUBLE) / (SELECT COUNT(*) FROM t))
+             / CAST(n_tokens AS DOUBLE), 9) AS weight
+FROM t ORDER BY source
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "view_to_purchase_latency_quantiles": (view_to_purchase_latency_quantiles, _VIEW_PURCHASE_LATENCY_SQL),
+    "mixture_reweighting_plan": (mixture_reweighting_plan, _MIXTURE_PLAN_SQL),
     "hashed_bow_features": (hashed_bow_features, _HASHED_BOW_SQL),
     "order_value_mobility_matrix": (order_value_mobility_matrix, _MOBILITY_SQL),
     "coalesced_order_windows": (coalesced_order_windows, _COALESCE_WINDOWS_SQL),

@@ -993,3 +993,48 @@ def test_mobility_matrix_conserves_transitions():
     # transitions = orders - customers (each customer chain of length m
     # yields m-1 transitions)
     assert int(out["n"].sum()) == n_orders - n_cust
+
+
+# --- view->purchase latency -----------------------------------------------------------------
+
+def test_view_purchase_latency_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import view_to_purchase_latency_quantiles
+
+    ts = lambda s: np.datetime64(s, "us")
+    # user 1: view at t0, purchase 100s later; user 2: purchase BEFORE
+    # its first view (never converts); user 3: no purchase
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [ts("2020-01-01T00:00:00"), ts("2020-01-01T00:01:40"),
+                     ts("2020-01-01T00:00:30"), ts("2020-01-01T00:01:00"),
+                     ts("2020-01-01T00:00:00")],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["view", "purchase", "purchase", "view", "view"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = view_to_purchase_latency_quantiles(str(tmp_path)).iloc[0]
+    assert int(out["n_converting"]) == 1
+    assert out["p50_s"] == 100.0
+    assert out["p90_s"] == 100.0
+
+
+# --- mixture reweighting plan ----------------------------------------------------------------
+
+def test_mixture_plan_equalizes():
+    from ndap_data_validator_ray.pipelines.queries import mixture_reweighting_plan
+
+    out = mixture_reweighting_plan(SF)
+    # weight x token count is the same (= total/n_sources) for all rows
+    target = out["weight"].to_numpy() * out["n_tokens"].to_numpy(np.float64)
+    assert np.allclose(target, target[0], rtol=1e-6)
+    assert abs(out["token_share"].sum() - 1.0) < 1e-6
