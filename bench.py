@@ -288,6 +288,8 @@ _QUERY_NAMES = [
     "order_value_mobility_matrix",
     "view_to_purchase_latency_quantiles",
     "mixture_reweighting_plan",
+    "similar_user_pairs_behavior",
+    "corpus_health_report",
 ]
 
 

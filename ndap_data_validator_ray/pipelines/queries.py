@@ -14630,8 +14630,184 @@ FROM t ORDER BY source
 """
 
 
+def similar_user_pairs_behavior(sf_dir: str) -> pd.DataFrame:
+    """Top-20 behaviorally-similar user pairs by cosine of their
+    event-type count vectors — collaborative-filtering-style entity
+    similarity with a DETERMINISTIC cross-engine ranking: the count
+    vectors are exact integers, so cos = dot/sqrt(|a|²·|b|²) is ONE
+    shared float expression per pair (bit-identical in DuckDB) and the
+    sort (cos DESC, user_a, user_b) is total.  Distributed shape: the
+    per-user 5-vector folds from block partials (users x types bounded
+    at fixture scale — the corr_matrix driver-fold class, documented);
+    the all-pairs scoring is vectorized numpy on the bounded vector
+    table."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        return b.groupby(["user_id", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    f = p.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+    users = np.sort(f["user_id"].unique())
+    m = np.zeros((len(users), len(types)), dtype=np.int64)
+    uidx = {int(u): i for i, u in enumerate(users)}
+    tidx = {t: j for j, t in enumerate(types)}
+    for r in f.itertuples():
+        if r.event_type in tidx:
+            m[uidx[int(r.user_id)], tidx[r.event_type]] = int(r.n)
+    dots = m @ m.T
+    norms2 = (m * m).sum(axis=1)
+    iu, ju = np.triu_indices(len(users), k=1)
+    cos = dots[iu, ju].astype(np.float64) / np.sqrt(
+        norms2[iu].astype(np.float64) * norms2[ju].astype(np.float64)
+    )
+    df = pd.DataFrame(
+        {
+            "user_a": users[iu].astype(np.int64),
+            "user_b": users[ju].astype(np.int64),
+            "cos_sim": cos,
+        }
+    )
+    df = df.sort_values(["cos_sim", "user_a", "user_b"], ascending=[False, True, True]).head(20)
+    df["cos_sim"] = _r9(df["cos_sim"])
+    return df.reset_index(drop=True)
+
+
+_SIMILAR_USERS_SQL = """
+WITH f AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+),
+p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         CAST(a.c1 * b.c1 + a.c2 * b.c2 + a.c3 * b.c3 + a.c4 * b.c4 + a.c5 * b.c5 AS DOUBLE)
+         / SQRT(CAST(a.c1 * a.c1 + a.c2 * a.c2 + a.c3 * a.c3 + a.c4 * a.c4 + a.c5 * a.c5 AS DOUBLE)
+                * CAST(b.c1 * b.c1 + b.c2 * b.c2 + b.c3 * b.c3 + b.c4 * b.c4 + b.c5 * b.c5 AS DOUBLE)
+               ) AS cos_sim
+  FROM f a JOIN f b ON a.user_id < b.user_id
+)
+SELECT user_a, user_b, ROUND(cos_sim, 9) AS cos_sim
+FROM p ORDER BY cos_sim DESC, user_a, user_b LIMIT 20
+"""
+
+
+def corpus_health_report(sf_dir: str) -> pd.DataFrame:
+    """One-pass corpus health report — the summary artifact a curation
+    run publishes, composing the registry's oracled building blocks into
+    a (metric, value) table: doc/token totals, empty and short docs,
+    exact prefix-duplicate mass, dominant-language share, and distinct
+    sources.  ONE streaming pass computes every per-block partial except
+    the duplicate mass, which pays the registry's standard prefix
+    exchange; all values are exact integers."""
+    from ndap_data_validator_ray.functions.text import token_count
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"]).materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id"])
+        txt = b["text"].fillna("")
+        toks = token_count(b["text"]).astype(np.int64)
+        langs = b["lang"].fillna("").to_numpy()
+        rows = [
+            ("n_docs", len(b)),
+            ("n_tokens", int(toks.sum())),
+            ("n_empty_docs", int((txt.str.strip() == "").sum())),
+            ("n_short_docs_lt20tok", int((toks < 20).sum())),
+        ]
+        lc = pd.Series(langs).value_counts()
+        for lg, c in lc.items():
+            rows.append((f"lang:{lg}", int(c)))
+        return pd.DataFrame(rows, columns=["metric", "value"])
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = p.groupby("metric")["value"].sum()
+
+    # distinct sources exactly (sources are few; distinct per block then set-fold)
+    def srcs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": b["source"].dropna().unique()})
+
+    n_sources = int(ds.map_batches(srcs, batch_format="pandas").to_pandas()["source"].nunique())
+
+    def dup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.dropna(subset=["doc_id"])
+        return pd.DataFrame(
+            {"prefix": d["text"].fillna("").str.slice(0, 40).to_numpy(), "n": np.int64(1)}
+        ).groupby("prefix", as_index=False)["n"].sum()
+
+    def dup_merge(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("prefix")["n"].sum()
+        return pd.DataFrame(
+            {"dups": [np.int64(int((sizes[sizes > 1]).sum() - (sizes > 1).sum()))]}
+        )
+
+    dup_rows = int(
+        bucketed_groupby(ds, ["prefix"], dup_partial, dup_merge).to_pandas()["dups"].sum()
+    )
+
+    langs = {k: v for k, v in agg.items() if k.startswith("lang:")}
+    dom_lang, dom_n = ("", 0)
+    if langs:
+        dom_lang = min([k for k, v in langs.items() if v == max(langs.values())])
+        dom_n = int(langs[dom_lang])
+    rows = [
+        ("dominant_lang_docs", dom_n),
+        ("n_distinct_sources", n_sources),
+        ("n_docs", int(agg.get("n_docs", 0))),
+        ("n_duplicate_docs_excess", dup_rows),
+        ("n_empty_docs", int(agg.get("n_empty_docs", 0))),
+        ("n_short_docs_lt20tok", int(agg.get("n_short_docs_lt20tok", 0))),
+        ("n_tokens", int(agg.get("n_tokens", 0))),
+    ]
+    out = pd.DataFrame(rows, columns=["metric", "value"])
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("metric").reset_index(drop=True)
+
+
+_CORPUS_HEALTH_SQL = r"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text, lang, source
+  FROM documents WHERE doc_id IS NOT NULL
+),
+tok AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+         ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         text, lang, source
+  FROM d
+),
+dup AS (
+  SELECT CAST(SUM(c - 1) AS BIGINT) AS excess
+  FROM (SELECT substr(text, 1, 40) AS p, COUNT(*) AS c FROM d GROUP BY 1 HAVING COUNT(*) > 1)
+),
+doml AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+  GROUP BY COALESCE(lang, '') ORDER BY n DESC, COALESCE(lang, '') LIMIT 1
+)
+SELECT 'dominant_lang_docs' AS metric, (SELECT n FROM doml) AS value
+UNION ALL SELECT 'n_distinct_sources', (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM d WHERE source IS NOT NULL)
+UNION ALL SELECT 'n_docs', (SELECT CAST(COUNT(*) AS BIGINT) FROM d)
+UNION ALL SELECT 'n_duplicate_docs_excess', (SELECT COALESCE(excess, 0) FROM dup)
+UNION ALL SELECT 'n_empty_docs', (SELECT CAST(SUM(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) FROM d)
+UNION ALL SELECT 'n_short_docs_lt20tok', (SELECT CAST(SUM(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) FROM tok)
+UNION ALL SELECT 'n_tokens', (SELECT CAST(SUM(n_tok) AS BIGINT) FROM tok)
+ORDER BY metric
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "similar_user_pairs_behavior": (similar_user_pairs_behavior, _SIMILAR_USERS_SQL),
+    "corpus_health_report": (corpus_health_report, _CORPUS_HEALTH_SQL),
     "view_to_purchase_latency_quantiles": (view_to_purchase_latency_quantiles, _VIEW_PURCHASE_LATENCY_SQL),
     "mixture_reweighting_plan": (mixture_reweighting_plan, _MIXTURE_PLAN_SQL),
     "hashed_bow_features": (hashed_bow_features, _HASHED_BOW_SQL),

@@ -1038,3 +1038,35 @@ def test_mixture_plan_equalizes():
     target = out["weight"].to_numpy() * out["n_tokens"].to_numpy(np.float64)
     assert np.allclose(target, target[0], rtol=1e-6)
     assert abs(out["token_share"].sum() - 1.0) < 1e-6
+
+
+# --- similar user pairs ---------------------------------------------------------------------
+
+def test_similar_user_pairs_invariants():
+    from ndap_data_validator_ray.pipelines.queries import similar_user_pairs_behavior
+
+    out = similar_user_pairs_behavior(SF)
+    assert len(out) == 20
+    assert (out["user_a"] < out["user_b"]).all()
+    assert (out["cos_sim"] <= 1.0).all() and (out["cos_sim"] >= -1.0).all()
+    # descending similarity order
+    c = out["cos_sim"].to_numpy()
+    assert (c[:-1] >= c[1:] - 1e-12).all()
+
+
+# --- corpus health report -------------------------------------------------------------------
+
+def test_corpus_health_report_consistency():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import corpus_health_report
+
+    out = corpus_health_report(SF).set_index("metric")["value"]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet') WHERE doc_id IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out["n_docs"]) == n
+    assert 0 <= int(out["n_duplicate_docs_excess"]) < n
+    assert int(out["dominant_lang_docs"]) <= n
+    assert int(out["n_tokens"]) > 0
