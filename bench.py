@@ -290,6 +290,9 @@ _QUERY_NAMES = [
     "mixture_reweighting_plan",
     "similar_user_pairs_behavior",
     "corpus_health_report",
+    "quality_vs_duplication",
+    "column_entropy_profile",
+    "naive_gap_backtest",
 ]
 
 

@@ -14804,8 +14804,215 @@ ORDER BY metric
 """
 
 
+def quality_vs_duplication(sf_dir: str) -> pd.DataFrame:
+    """Signal-correlation audit: are duplicated documents lower quality?
+    The 2x2 contingency of the curation funnel's quality flag (token
+    count >= 20 AND top-token fraction <= 0.13, the funnel rule
+    verbatim) against prefix-40 duplicate membership (cluster size >= 2),
+    plus the exact-integer odds ratio.  ONE bucketed exchange on the
+    prefix: reducers see each cluster whole, flag dup membership, and
+    emit 2x2 count partials — the driver folds four integers."""
+    from ndap_data_validator_ray.functions.text import repetition_stats
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id"])
+        st = repetition_stats(b["text"])
+        q = (
+            (st["n_tokens"].to_numpy() >= 20) & (st["top_token_frac"].to_numpy() <= 0.13)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {"prefix": b["text"].fillna("").str.slice(0, 40).to_numpy(), "q": q}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("prefix")["q"].transform("size")
+        dup = (sizes >= 2).to_numpy()
+        q = g["q"].to_numpy(np.int64) == 1
+        return pd.DataFrame(
+            {
+                "n_q_dup": [np.int64(int((q & dup).sum()))],
+                "n_q_uniq": [np.int64(int((q & ~dup).sum()))],
+                "n_nq_dup": [np.int64(int((~q & dup).sum()))],
+                "n_nq_uniq": [np.int64(int((~q & ~dup).sum()))],
+            }
+        )
+
+    p = bucketed_groupby(ds, ["prefix"], flags, fold).to_pandas()
+    a = int(p["n_q_dup"].sum())
+    b_ = int(p["n_q_uniq"].sum())
+    c = int(p["n_nq_dup"].sum())
+    d = int(p["n_nq_uniq"].sum())
+    orr = float(a * d) / float(b_ * c) if b_ * c else 0.0
+    return pd.DataFrame(
+        {
+            "n_q_dup": [np.int64(a)],
+            "n_q_uniq": [np.int64(b_)],
+            "n_nq_dup": [np.int64(c)],
+            "n_nq_uniq": [np.int64(d)],
+            "odds_ratio": [np.float64(np.round(orr, 6))],
+        }
+    )
+
+
+_QUALITY_DUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
+),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id,
+         CASE WHEN COALESCE(n_tokens, 0) >= 20
+               AND COALESCE(CAST(mx AS DOUBLE) / n_tokens, 0.0) <= 0.13 THEN 1 ELSE 0 END AS q,
+         CASE WHEN COUNT(*) OVER (PARTITION BY substr(COALESCE(d.text, ''), 1, 40)) >= 2
+              THEN 1 ELSE 0 END AS dup
+  FROM documents d LEFT JOIN agg USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN q = 1 AND dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN q = 1 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN q = 0 AND dup = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN q = 0 AND dup = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM f
+)
+SELECT a AS n_q_dup, b AS n_q_uniq, c AS n_nq_dup, d AS n_nq_uniq,
+       CASE WHEN b * c = 0 THEN 0.0
+            ELSE ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6) END AS odds_ratio
+FROM s
+"""
+
+
+def column_entropy_profile(sf_dir: str) -> pd.DataFrame:
+    """Categorical-column entropy profile across tables — the schema-
+    level information audit (how many effective values does each enum
+    column carry?): per column, row count, distinct count, and Shannon
+    entropy in bits from exact integer counts (<= a few dozen float
+    terms per column, round 9 — the event_type_entropy convention).
+    Each column is one projected streaming pass with a cardinality-
+    bounded driver fold; no shuffles."""
+    specs = [
+        ("documents.lang", "documents", "lang"),
+        ("events.event_type", "events", "event_type"),
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        ("orders.o_orderpriority", "orders", "o_orderpriority"),
+        ("orders.o_orderstatus", "orders", "o_orderstatus"),
+    ]
+    rows = []
+    for name, table, col in specs:
+        ds = _read(sf_dir, table, columns=[col])
+
+        def partial(b: pd.DataFrame, col=col) -> pd.DataFrame:
+            v = b[col].dropna()
+            g = v.value_counts()
+            return pd.DataFrame({"val": g.index.to_numpy(), "n": g.to_numpy().astype(np.int64)})
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        g = p.groupby("val")["n"].sum()
+        n = int(g.sum())
+        pr = g.to_numpy(np.float64) / n
+        h = float(-np.sum(pr * np.log2(pr))) if n else 0.0
+        rows.append((name, n, len(g), np.round(h, 9)))
+    out = pd.DataFrame(rows, columns=["column", "n_rows", "n_distinct", "entropy_bits"])
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["entropy_bits"] = out["entropy_bits"].astype(np.float64)
+    return out.sort_values("column").reset_index(drop=True)
+
+
+_COLUMN_ENTROPY_SQL = """
+WITH e1 AS (
+  SELECT 'documents.lang' AS col, CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), e2 AS (
+  SELECT 'events.event_type', CAST(COUNT(*) AS BIGINT) FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+), e3 AS (
+  SELECT 'lineitem.l_returnflag', CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY l_returnflag
+), e4 AS (
+  SELECT 'orders.o_orderpriority', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority
+), e5 AS (
+  SELECT 'orders.o_orderstatus', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus
+),
+u AS (
+  SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+  UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5
+),
+t AS (SELECT col, n, SUM(n) OVER (PARTITION BY col) AS tot FROM u)
+SELECT col AS "column", CAST(MAX(tot) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(-SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 9) AS entropy_bits
+FROM t GROUP BY col ORDER BY col
+"""
+
+
+def naive_gap_backtest(sf_dir: str) -> pd.DataFrame:
+    """Backtest of the naive next-order forecast (predict the next
+    inter-order gap with the previous gap): MAE over every order with
+    two predecessors — the forecast-audit counterpart of
+    inter_order_gap_stats, EXACT integers end to end (errors are
+    |gap_i − gap_{i−1}| in whole days).  ONE bucketed exchange on
+    o_custkey; the driver folds (n, Σ|err|) partials."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def errs(part: pd.DataFrame) -> pd.DataFrame:
+        p = part.dropna().sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        ck = p["o_custkey"].to_numpy(np.int64)
+        d = p["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        n_preds = 0
+        sae = 0
+        for _, idx in pd.Series(np.arange(len(p))).groupby(ck, sort=False):
+            di = d[idx.to_numpy()]
+            if len(di) < 3:
+                continue
+            gaps = np.diff(di)
+            err = np.abs(np.diff(gaps))
+            n_preds += len(err)
+            sae += int(err.sum())
+        return pd.DataFrame({"n_preds": [np.int64(n_preds)], "sae": [np.int64(sae)]})
+
+    p = bucketed_groupby(orders, ["o_custkey"], lambda b: b.dropna(), errs).to_pandas()
+    n = int(p["n_preds"].sum())
+    sae = int(p["sae"].sum())
+    return pd.DataFrame(
+        {
+            "n_preds": [np.int64(n)],
+            "sum_abs_err_days": [np.int64(sae)],
+            "mae_days": [np.float64(np.round(float(sae) / n, 6)) if n else np.float64(0.0)],
+        }
+    )
+
+
+_GAP_BACKTEST_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL AND o_orderkey IS NOT NULL
+),
+g AS (
+  SELECT o_custkey,
+         CAST(d - LAG(d) OVER w AS BIGINT) AS gap,
+         CAST(LAG(d) OVER w - LAG(d, 2) OVER w AS BIGINT) AS prev_gap
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+),
+e AS (SELECT ABS(gap - prev_gap) AS err FROM g WHERE gap IS NOT NULL AND prev_gap IS NOT NULL)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_preds,
+       CAST(COALESCE(SUM(err), 0) AS BIGINT) AS sum_abs_err_days,
+       CASE WHEN COUNT(*) = 0 THEN 0.0
+            ELSE ROUND(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) END AS mae_days
+FROM e
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "quality_vs_duplication": (quality_vs_duplication, _QUALITY_DUP_SQL),
+    "column_entropy_profile": (column_entropy_profile, _COLUMN_ENTROPY_SQL),
+    "naive_gap_backtest": (naive_gap_backtest, _GAP_BACKTEST_SQL),
     "similar_user_pairs_behavior": (similar_user_pairs_behavior, _SIMILAR_USERS_SQL),
     "corpus_health_report": (corpus_health_report, _CORPUS_HEALTH_SQL),
     "view_to_purchase_latency_quantiles": (view_to_purchase_latency_quantiles, _VIEW_PURCHASE_LATENCY_SQL),

@@ -1070,3 +1070,58 @@ def test_corpus_health_report_consistency():
     assert 0 <= int(out["n_duplicate_docs_excess"]) < n
     assert int(out["dominant_lang_docs"]) <= n
     assert int(out["n_tokens"]) > 0
+
+
+# --- quality vs duplication -----------------------------------------------------------------
+
+def test_quality_vs_duplication_counts_conserve():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import quality_vs_duplication
+
+    out = quality_vs_duplication(SF).iloc[0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet') WHERE doc_id IS NOT NULL"
+    ).fetchone()[0]
+    cells = int(out["n_q_dup"]) + int(out["n_q_uniq"]) + int(out["n_nq_dup"]) + int(out["n_nq_uniq"])
+    assert cells == n
+    assert out["odds_ratio"] >= 0.0
+
+
+# --- column entropy profile ------------------------------------------------------------------
+
+def test_column_entropy_bounds():
+    from ndap_data_validator_ray.pipelines.queries import column_entropy_profile
+
+    out = column_entropy_profile(SF)
+    assert len(out) == 5
+    for r in out.itertuples():
+        assert 0.0 <= r.entropy_bits <= np.log2(r.n_distinct) + 1e-9
+
+
+# --- naive gap backtest -----------------------------------------------------------------------
+
+def test_naive_gap_backtest_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import naive_gap_backtest
+
+    ts = lambda s: np.datetime64(s, "us")
+    # cust 1 orders on days 0, 10, 15, 30: gaps 10,5,15 -> errs |5-10|=5, |15-5|=10
+    dates = ["2020-01-01", "2020-01-11", "2020-01-16", "2020-01-31"]
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+                "o_orderdate": pa.array([ts(d) for d in dates], pa.timestamp("us")),
+                "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = naive_gap_backtest(str(tmp_path)).iloc[0]
+    assert int(out["n_preds"]) == 2
+    assert int(out["sum_abs_err_days"]) == 15
+    assert out["mae_days"] == 7.5
