@@ -293,6 +293,8 @@ _QUERY_NAMES = [
     "quality_vs_duplication",
     "column_entropy_profile",
     "naive_gap_backtest",
+    "temporal_split_leakage",
+    "missingness_pattern_events",
 ]
 
 

@@ -15008,8 +15008,114 @@ FROM e
 """
 
 
+def temporal_split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Temporal-split leakage audit: split orders at 1999-01-01 into
+    train (before) / test (at or after) and count the entity overlap —
+    customers present on BOTH sides of the cut are the leakage channel a
+    time-based eval split must account for (the temporal cousin of the
+    near-dup leakage_safe_split).  ONE bucketed exchange on o_custkey
+    OR-folds a side bitmask per customer (the join-key-overlap pattern);
+    order counts are streaming partials; all integers exact, rates one
+    shared division."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    cut = np.datetime64("1999-01-01").astype("datetime64[D]").astype(np.int64)
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        day = b["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        bit = np.where(day < cut, 1, 2).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(np.int64), "bit": bit})
+        return g.groupby("o_custkey", as_index=False)["bit"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy()))
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey")["bit"].agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        v = m.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_train_only": [np.int64(int((v == 1).sum()))],
+                "n_test_only": [np.int64(int((v == 2).sum()))],
+                "n_both": [np.int64(int((v == 3).sum()))],
+            }
+        )
+
+    p = bucketed_groupby(ds, ["o_custkey"], partial, merge).to_pandas()
+    tr = int(p["n_train_only"].sum())
+    te = int(p["n_test_only"].sum())
+    bo = int(p["n_both"].sum())
+    tot = tr + te + bo
+    return pd.DataFrame(
+        {
+            "n_train_only": [np.int64(tr)],
+            "n_test_only": [np.int64(te)],
+            "n_both": [np.int64(bo)],
+            "leak_rate": [np.float64(np.round(float(bo) / tot, 9)) if tot else np.float64(0.0)],
+        }
+    )
+
+
+_TEMPORAL_LEAK_SQL = """
+WITH c AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS tr,
+         MAX(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS te
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  GROUP BY 1
+)
+SELECT CAST(SUM(CASE WHEN tr = 1 AND te = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train_only,
+       CAST(SUM(CASE WHEN tr = 0 AND te = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_test_only,
+       CAST(SUM(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       ROUND(CAST(SUM(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9) AS leak_rate
+FROM c
+"""
+
+
+def missingness_pattern_events(sf_dir: str) -> pd.DataFrame:
+    """Missingness-pattern histogram for the events table: the bitmask of
+    which nullable columns (value, props) are NULL per row — the
+    data-quality fingerprint that distinguishes "values missing at
+    random" from structured gaps (e.g. every error event lacking a
+    value).  Streaming pass with a 4-row driver fold per block, broken
+    out per event_type so the structure is visible; exact integers."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["event_type"])
+        mask = (
+            b["value"].isna().to_numpy().astype(np.int64)
+            + 2 * b["props"].isna().to_numpy().astype(np.int64)
+        )
+        return (
+            pd.DataFrame({"event_type": b["event_type"].to_numpy(), "pattern": mask})
+            .groupby(["event_type", "pattern"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = p.groupby(["event_type", "pattern"], as_index=False)["n"].sum()
+    out["pattern"] = out["pattern"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["event_type", "pattern"]).reset_index(drop=True)
+
+
+_MISSINGNESS_SQL = """
+SELECT event_type,
+       CAST(CASE WHEN value IS NULL THEN 1 ELSE 0 END
+            + 2 * CASE WHEN props IS NULL THEN 1 ELSE 0 END AS BIGINT) AS pattern,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "temporal_split_leakage": (temporal_split_leakage, _TEMPORAL_LEAK_SQL),
+    "missingness_pattern_events": (missingness_pattern_events, _MISSINGNESS_SQL),
     "quality_vs_duplication": (quality_vs_duplication, _QUALITY_DUP_SQL),
     "column_entropy_profile": (column_entropy_profile, _COLUMN_ENTROPY_SQL),
     "naive_gap_backtest": (naive_gap_backtest, _GAP_BACKTEST_SQL),

@@ -1125,3 +1125,35 @@ def test_naive_gap_backtest_planted(tmp_path):
     assert int(out["n_preds"]) == 2
     assert int(out["sum_abs_err_days"]) == 15
     assert out["mae_days"] == 7.5
+
+
+# --- temporal split leakage -----------------------------------------------------------------
+
+def test_temporal_leakage_conserves_customers():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import temporal_split_leakage
+
+    out = temporal_split_leakage(SF).iloc[0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert int(out["n_train_only"]) + int(out["n_test_only"]) + int(out["n_both"]) == n
+    assert 0.0 <= out["leak_rate"] <= 1.0
+
+
+# --- missingness patterns -------------------------------------------------------------------
+
+def test_missingness_patterns_conserve_rows():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import missingness_pattern_events
+
+    out = missingness_pattern_events(SF)
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/events.parquet') WHERE event_type IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out["n"].sum()) == n
+    assert set(out["pattern"]).issubset({0, 1, 2, 3})
