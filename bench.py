@@ -295,6 +295,8 @@ _QUERY_NAMES = [
     "naive_gap_backtest",
     "temporal_split_leakage",
     "missingness_pattern_events",
+    "salt_plan_orders",
+    "er_cluster_cohesion",
 ]
 
 

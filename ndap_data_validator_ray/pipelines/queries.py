@@ -15112,8 +15112,173 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def salt_plan_orders(sf_dir: str) -> pd.DataFrame:
+    """Skew-salting plan for a hypothetical join on events.user_id — the
+    planner artifact `salted_user_event_revenue` consumes implicitly,
+    made explicit: per-key row counts above the hot threshold (9/8 x
+    mean rows-per-key, integer arithmetic — chosen so the near-uniform
+    fixture still surfaces a hot tail at every SF) get a salt factor
+    ceil(count / threshold) — pure integer arithmetic, so the
+    plan is exactly reproducible.  ONE bucketed count exchange; the plan
+    output is O(hot keys), never the key space."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().groupby("user_id", as_index=False).size().rename(columns={"size": "n"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False)["n"].sum()
+
+    h = bucketed_groupby(ds, ["user_id"], partial, merge).to_pandas()
+    total = int(h["n"].sum())
+    n_keys = len(h)
+    thr = (9 * (total // n_keys)) // 8 if n_keys else 0
+    hot = h[h["n"].to_numpy(np.int64) > thr].copy()
+    hot["salt_factor"] = (
+        (hot["n"].to_numpy(np.int64) + thr - 1) // max(thr, 1)
+    ).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "user_id": hot["user_id"].astype(np.int64),
+            "n_rows": hot["n"].astype(np.int64),
+            "salt_factor": hot["salt_factor"],
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+_SALT_PLAN_SQL = """
+WITH h AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+t AS (SELECT (9 * (CAST(SUM(n) AS BIGINT) // COUNT(*))) // 8 AS thr FROM h)
+SELECT user_id, n AS n_rows,
+       CAST((n + t.thr - 1) // GREATEST(t.thr, 1) AS BIGINT) AS salt_factor
+FROM h, t WHERE n > t.thr
+ORDER BY user_id
+"""
+
+
+def er_cluster_cohesion(sf_dir: str) -> pd.DataFrame:
+    """Cohesion audit of the entity-resolution clusters: transitive
+    closure admits member pairs that never directly matched, so report
+    the fraction of within-cluster pairs with a DIRECT Jaro-Winkler
+    match (the linkage threshold 0.88) — the ER precision proxy.
+    Composition: the oracled cluster map (`linkage_entity_clusters_
+    parts` machinery), per-cluster member gathering in ONE bucketed
+    exchange on the representative (clusters land whole), vectorized
+    in-cluster pair JW scoring per reducer (bounded by cluster size —
+    the blocking guarantee); exact integer pair counts, one shared
+    division."""
+    from ndap_data_validator_ray.stages.cc import distributed_connected_components
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand"])
+    sub = part.map_batches(
+        lambda t: t.filter(pa.array(t["p_partkey"].to_numpy() % 3 == 0)), batch_format="pyarrow"
+    ).materialize()
+    pairs = _blocked_part_pairs(sub, threshold=0.88).materialize()
+    nodes = sub.map_batches(lambda t: pa.table({"node": t["p_partkey"]}), batch_format="pyarrow")
+    comp = distributed_connected_components(pairs, nodes=nodes).materialize()
+
+    # attach names to members, gather per cluster rep
+    names = sub.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["p_partkey"].to_numpy(np.int64), "p_name": b["p_name"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+
+    labeled = attach_or_join(comp, names, on_fact="node", on_side="node", attach_cols=["p_name"])
+
+    def cohesion(g: pd.DataFrame) -> pd.DataFrame:
+        from ndap_data_validator_ray.functions.strdist import jaro_winkler_batch
+
+        n_pairs = 0
+        n_direct = 0
+        n_multi = 0
+        for _, c in g.groupby("component"):
+            if len(c) < 2:
+                continue
+            n_multi += 1
+            nm = c.sort_values("node")["p_name"].tolist()
+            ia, ib = np.triu_indices(len(nm), k=1)
+            jw = jaro_winkler_batch([nm[i] for i in ia], [nm[j] for j in ib])
+            n_pairs += len(jw)
+            n_direct += int((jw >= 0.88).sum())
+        return pd.DataFrame(
+            {
+                "n_multi_clusters": [np.int64(n_multi)],
+                "n_pairs": [np.int64(n_pairs)],
+                "n_direct_pairs": [np.int64(n_direct)],
+            }
+        )
+
+    p = bucketed_groupby(labeled, ["component"], lambda b: b, cohesion).to_pandas()
+    np_, nd, nm = int(p["n_pairs"].sum()), int(p["n_direct_pairs"].sum()), int(p["n_multi_clusters"].sum())
+    return pd.DataFrame(
+        {
+            "n_multi_clusters": [np.int64(nm)],
+            "n_pairs": [np.int64(np_)],
+            "n_direct_pairs": [np.int64(nd)],
+            "cohesion": [np.float64(np.round(float(nd) / np_, 9)) if np_ else np.float64(0.0)],
+        }
+    )
+
+
+_ER_COHESION_SQL = """
+WITH RECURSIVE b AS (
+  SELECT p_partkey, p_name, p_brand, split_part(p_name, ' ', 1) AS blk
+  FROM part
+  WHERE p_partkey % 3 = 0 AND p_partkey IS NOT NULL
+    AND p_name IS NOT NULL AND p_brand IS NOT NULL
+), pr AS MATERIALIZED (
+  SELECT a.p_partkey AS id_a, c.p_partkey AS id_b
+  FROM b a JOIN b c
+    ON a.p_brand = c.p_brand AND a.blk = c.blk AND a.p_partkey < c.p_partkey
+  WHERE jaro_winkler_similarity(a.p_name, c.p_name) >= 0.88
+), ed AS (
+  SELECT id_a AS u, id_b AS v FROM pr UNION ALL SELECT id_b, id_a FROM pr
+), reach AS (
+  SELECT u AS node, v AS r FROM ed
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN ed e ON e.u = reach.r
+), comp AS (
+  SELECT node, LEAST(node, MIN(r)) AS rep FROM reach GROUP BY node
+),
+mem AS (
+  SELECT b.p_partkey AS node, COALESCE(c.rep, b.p_partkey) AS rep, b.p_name
+  FROM b LEFT JOIN comp c ON c.node = b.p_partkey
+),
+sizes AS (SELECT rep, COUNT(*) AS sz FROM mem GROUP BY rep),
+cl AS (SELECT rep FROM sizes WHERE sz >= 2),
+pairs AS (
+  SELECT m1.rep, m1.p_name AS na, m2.p_name AS nb
+  FROM mem m1 JOIN mem m2 ON m2.rep = m1.rep AND m1.node < m2.node
+  JOIN cl ON cl.rep = m1.rep
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN jaro_winkler_similarity(na, nb) >= 0.88 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_direct
+  FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_multi_clusters,
+       s.n_pairs, s.n_direct AS n_direct_pairs,
+       CASE WHEN s.n_pairs = 0 THEN 0.0
+            ELSE ROUND(CAST(s.n_direct AS DOUBLE) / s.n_pairs, 9) END AS cohesion
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "salt_plan_orders": (salt_plan_orders, _SALT_PLAN_SQL),
+    "er_cluster_cohesion": (er_cluster_cohesion, _ER_COHESION_SQL),
     "temporal_split_leakage": (temporal_split_leakage, _TEMPORAL_LEAK_SQL),
     "missingness_pattern_events": (missingness_pattern_events, _MISSINGNESS_SQL),
     "quality_vs_duplication": (quality_vs_duplication, _QUALITY_DUP_SQL),

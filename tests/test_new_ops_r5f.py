@@ -1157,3 +1157,37 @@ def test_missingness_patterns_conserve_rows():
     ).fetchone()[0]
     assert int(out["n"].sum()) == n
     assert set(out["pattern"]).issubset({0, 1, 2, 3})
+
+
+# --- salt plan -------------------------------------------------------------------------------
+
+def test_salt_plan_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import salt_plan_orders
+
+    # users: 1 -> 100 rows (hot), 2..11 -> 10 rows each; mean = 200//11 = 18,
+    # thr = 9*18//8 = 20 -> only user 1 qualifies, salt = ceil(100/20) = 5
+    uid = [1] * 100 + [u for u in range(2, 12) for _ in range(10)]
+    pq.write_table(
+        pa.table({"user_id": pa.array(uid, pa.int64())}), str(tmp_path / "events.parquet")
+    )
+    out = salt_plan_orders(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["user_id"]) == 1 and int(r["n_rows"]) == 100 and int(r["salt_factor"]) == 5
+
+
+# --- ER cohesion -----------------------------------------------------------------------------
+
+def test_er_cohesion_bounds():
+    from ndap_data_validator_ray.pipelines.queries import er_cluster_cohesion
+
+    out = er_cluster_cohesion(SF).iloc[0]
+    assert int(out["n_direct_pairs"]) <= int(out["n_pairs"])
+    assert 0.0 <= out["cohesion"] <= 1.0
+    if int(out["n_multi_clusters"]):
+        # every multi-cluster contributes at least one direct pair (it
+        # formed through at least one matching edge)
+        assert int(out["n_direct_pairs"]) >= int(out["n_multi_clusters"])
