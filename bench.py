@@ -297,6 +297,8 @@ _QUERY_NAMES = [
     "missingness_pattern_events",
     "salt_plan_orders",
     "er_cluster_cohesion",
+    "source_scorecard",
+    "heavy_hitter_stability",
 ]
 
 

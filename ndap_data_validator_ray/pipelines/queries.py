@@ -15275,8 +15275,179 @@ FROM s
 """
 
 
+def source_scorecard(sf_dir: str) -> pd.DataFrame:
+    """Per-source curation scorecard — the health report broken out by
+    provenance, the table a mixture owner actually reads: per source,
+    docs, tokens, quality passes (funnel rule verbatim), within-source
+    prefix-duplicate excess, and corpus token share.  One streaming pass
+    folds everything except the duplicate excess, which rides ONE
+    bucketed exchange on (source, prefix); all counts exact, shares one
+    shared division."""
+    from ndap_data_validator_ray.functions.text import repetition_stats, token_count
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"]).materialize()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id", "source"])
+        st = repetition_stats(b["text"])
+        q = (
+            (st["n_tokens"].to_numpy() >= 20) & (st["top_token_frac"].to_numpy() <= 0.13)
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "source": b["source"].to_numpy(),
+                    "n_docs": np.int64(1),
+                    "n_tokens": token_count(b["text"]).astype(np.int64),
+                    "n_quality": q,
+                }
+            )
+            .groupby("source", as_index=False)
+            .sum()
+        )
+
+    base = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    base = base.groupby("source", as_index=False).sum()
+
+    def dup_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.dropna(subset=["doc_id", "source"])
+        return pd.DataFrame(
+            {
+                "source": d["source"].to_numpy(),
+                "prefix": d["text"].fillna("").str.slice(0, 40).to_numpy(),
+                "n": np.int64(1),
+            }
+        ).groupby(["source", "prefix"], as_index=False)["n"].sum()
+
+    def dup_merge(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby(["source", "prefix"])["n"].sum().reset_index()
+        sizes = sizes[sizes["n"] > 1]
+        agg = sizes.groupby("source")["n"].agg(lambda s: int((s - 1).sum()))
+        return pd.DataFrame({"source": agg.index.to_numpy(), "dups": agg.to_numpy(np.int64)})
+
+    dups = (
+        bucketed_groupby(ds, ["source", "prefix"], dup_partial, dup_merge)
+        .to_pandas()
+        .groupby("source", as_index=False)["dups"]
+        .sum()
+    )
+    out = base.merge(dups, on="source", how="left")
+    out["dups"] = out["dups"].fillna(0).astype(np.int64)
+    total_toks = int(out["n_tokens"].sum())
+    out = pd.DataFrame(
+        {
+            "source": out["source"],
+            "n_docs": out["n_docs"].astype(np.int64),
+            "n_tokens": out["n_tokens"].astype(np.int64),
+            "n_quality": out["n_quality"].astype(np.int64),
+            "n_dup_excess": out["dups"],
+            "token_share": _r9(out["n_tokens"].to_numpy(np.float64) / total_toks),
+        }
+    )
+    return out.sort_values("source").reset_index(drop=True)
+
+
+_SOURCE_SCORECARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text, source
+  FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM d
+),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_terms, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+q AS (
+  SELECT d.source, d.doc_id,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE array_length(regexp_split_to_array(trim(d.text), '\s+')) END AS n_tok,
+         CASE WHEN COALESCE(a.n_terms, 0) >= 20
+               AND COALESCE(CAST(a.mx AS DOUBLE) / a.n_terms, 0.0) <= 0.13 THEN 1 ELSE 0 END AS qf
+  FROM d LEFT JOIN agg a USING (doc_id)
+),
+base AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(SUM(qf) AS BIGINT) AS n_quality
+  FROM q GROUP BY 1
+),
+dups AS (
+  SELECT source, CAST(SUM(c - 1) AS BIGINT) AS n_dup_excess
+  FROM (SELECT source, substr(text, 1, 40) AS p, COUNT(*) AS c FROM d GROUP BY 1, 2
+        HAVING COUNT(*) > 1)
+  GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.n_tokens, b.n_quality,
+       COALESCE(dups.n_dup_excess, 0) AS n_dup_excess,
+       ROUND(CAST(b.n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM base), 9) AS token_share
+FROM base b LEFT JOIN dups USING (source)
+ORDER BY source
+"""
+
+
+def heavy_hitter_stability(sf_dir: str) -> pd.DataFrame:
+    """Heavy-hitter STABILITY check: the top-20 part keys by line-item
+    count computed independently on the two orderkey-parity halves of
+    the data, reported as the overlap of the two top sets — the
+    split-half validation a sketch consumer runs before trusting a
+    heavy-hitter list.  Per half: pre-aggregated count partials ride one
+    bucketed exchange with per-bucket local top-20 under the total order
+    (n DESC, key) — the frequent-triples fold at k=1; overlap is exact
+    set arithmetic on the driver's 2 x 20 rows."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def topk(par: int) -> pd.DataFrame:
+        def partial(b: pd.DataFrame, par=par) -> pd.DataFrame:
+            b = b.dropna()
+            b = b[b["l_orderkey"].to_numpy(np.int64) % 2 == par]
+            return b.groupby("l_partkey", as_index=False).size().rename(columns={"size": "n"})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.groupby("l_partkey", as_index=False)["n"].sum()
+            return c.sort_values(["n", "l_partkey"], ascending=[False, True]).head(20)
+
+        p = bucketed_groupby(li, ["l_partkey"], partial, merge).to_pandas()
+        return p.sort_values(["n", "l_partkey"], ascending=[False, True]).head(20)
+
+    a = topk(0)
+    b = topk(1)
+    inter = len(set(a["l_partkey"].astype(int)) & set(b["l_partkey"].astype(int)))
+    return pd.DataFrame(
+        {
+            "k": [np.int64(20)],
+            "n_overlap": [np.int64(inter)],
+            "jaccard": [np.float64(np.round(inter / (40 - inter), 9))],
+        }
+    )
+
+
+_HH_STABILITY_SQL = """
+WITH a AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, COUNT(*) AS n FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_orderkey % 2 = 0
+    GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 20)
+),
+b AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, COUNT(*) AS n FROM lineitem
+    WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_orderkey % 2 = 1
+    GROUP BY 1 ORDER BY n DESC, l_partkey LIMIT 20)
+),
+i AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM a JOIN b USING (l_partkey))
+SELECT CAST(20 AS BIGINT) AS k, i.m AS n_overlap,
+       ROUND(CAST(i.m AS DOUBLE) / (40 - i.m), 9) AS jaccard
+FROM i
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "source_scorecard": (source_scorecard, _SOURCE_SCORECARD_SQL),
+    "heavy_hitter_stability": (heavy_hitter_stability, _HH_STABILITY_SQL),
     "salt_plan_orders": (salt_plan_orders, _SALT_PLAN_SQL),
     "er_cluster_cohesion": (er_cluster_cohesion, _ER_COHESION_SQL),
     "temporal_split_leakage": (temporal_split_leakage, _TEMPORAL_LEAK_SQL),

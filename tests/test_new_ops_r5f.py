@@ -1191,3 +1191,29 @@ def test_er_cohesion_bounds():
         # every multi-cluster contributes at least one direct pair (it
         # formed through at least one matching edge)
         assert int(out["n_direct_pairs"]) >= int(out["n_multi_clusters"])
+
+
+# --- source scorecard -----------------------------------------------------------------------
+
+def test_source_scorecard_consistency():
+    from ndap_data_validator_ray.pipelines.queries import (
+        corpus_health_report,
+        source_scorecard,
+    )
+
+    sc = source_scorecard(SF)
+    hr = corpus_health_report(SF).set_index("metric")["value"]
+    assert int(sc["n_tokens"].sum()) == int(hr["n_tokens"])
+    assert abs(sc["token_share"].sum() - 1.0) < 1e-6
+    assert (sc["n_quality"] <= sc["n_docs"]).all()
+    assert (sc["n_dup_excess"] < sc["n_docs"]).all()
+
+
+# --- heavy hitter stability ------------------------------------------------------------------
+
+def test_heavy_hitter_stability_bounds():
+    from ndap_data_validator_ray.pipelines.queries import heavy_hitter_stability
+
+    out = heavy_hitter_stability(SF).iloc[0]
+    assert 0 <= int(out["n_overlap"]) <= 20
+    assert 0.0 <= out["jaccard"] <= 1.0
