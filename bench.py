@@ -299,6 +299,8 @@ _QUERY_NAMES = [
     "er_cluster_cohesion",
     "source_scorecard",
     "heavy_hitter_stability",
+    "trending_parts_quarterly",
+    "volatile_customers",
 ]
 
 

@@ -15444,8 +15444,149 @@ FROM i
 """
 
 
+def trending_parts_quarterly(sf_dir: str) -> pd.DataFrame:
+    """Trending-item analytics: top-10 parts by line-item count in the
+    LAST calendar quarter present in the data, each with its rank delta
+    vs the previous quarter (absent last quarter -> previous rank NULL
+    semantics, emitted as -1) — the rank-movement table a merchandising
+    dashboard shows.  ONE bucketed exchange on (quarter, part) with
+    per-bucket local top-k is wrong here because ranks need the FULL
+    per-quarter ordering; instead counts fold per bucket and the two
+    relevant quarters' count vectors (part-domain bounded) rank on the
+    driver under the total order (n DESC, partkey) — deterministic ties,
+    exact integers."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_shipdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        d = b["l_shipdate"].dt
+        q = d.year.to_numpy(np.int64) * 10 + ((d.month.to_numpy(np.int64) - 1) // 3 + 1)
+        return (
+            pd.DataFrame({"q": q, "l_partkey": b["l_partkey"].to_numpy(np.int64)})
+            .groupby(["q", "l_partkey"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["q", "l_partkey"], as_index=False)["n"].sum()
+
+    c = bucketed_groupby(li, ["q", "l_partkey"], partial, merge).to_pandas()
+    qmax = int(c["q"].max())
+    qprev = qmax - 1 if qmax % 10 != 1 else (qmax // 10 - 1) * 10 + 4
+
+    def ranks(qv: int) -> pd.DataFrame:
+        g = c[c["q"] == qv].sort_values(["n", "l_partkey"], ascending=[False, True])
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["l_partkey", "n", "rank"]]
+
+    cur = ranks(qmax).head(10)
+    prev = ranks(qprev).rename(columns={"rank": "prev_rank"})[["l_partkey", "prev_rank"]]
+    out = cur.merge(prev, on="l_partkey", how="left")
+    out["prev_rank"] = out["prev_rank"].fillna(-1).astype(np.int64)
+    out["l_partkey"] = out["l_partkey"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+_TRENDING_SQL = """
+WITH c AS (
+  SELECT CAST(year(l_shipdate) * 10 + ((month(l_shipdate) - 1) // 3 + 1) AS BIGINT) AS q,
+         l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
+  GROUP BY 1, 2
+),
+qm AS (SELECT MAX(q) AS qmax FROM c),
+qp AS (SELECT CASE WHEN qmax % 10 <> 1 THEN qmax - 1 ELSE (qmax // 10 - 1) * 10 + 4 END AS qprev
+       FROM qm),
+cur AS (
+  SELECT l_partkey, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS BIGINT) AS rank
+  FROM c, qm WHERE c.q = qm.qmax
+),
+prev AS (
+  SELECT l_partkey, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, l_partkey) AS BIGINT) AS prev_rank
+  FROM c, qp WHERE c.q = qp.qprev
+)
+SELECT cur.l_partkey, cur.n, cur.rank, COALESCE(prev.prev_rank, -1) AS prev_rank
+FROM cur LEFT JOIN prev USING (l_partkey)
+WHERE cur.rank <= 10
+ORDER BY cur.rank
+"""
+
+
+def volatile_customers(sf_dir: str) -> pd.DataFrame:
+    """Top-20 customers by order-value coefficient of variation (sd/mean
+    over >= 5 orders) — the volatility screen next to RFM, with a
+    deterministic cross-engine ranking: per-customer moments are exact
+    integer cents (one `sum_by_key`-shaped exchange), CV is ONE shared
+    float expression per customer (population sd), and the sort
+    (cv DESC, custkey) is total."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        g = pd.DataFrame(
+            {"o_custkey": b["o_custkey"].to_numpy(np.int64), "n": np.int64(1), "s": cents,
+             "s2": cents * cents}
+        )
+        return g.groupby("o_custkey", as_index=False).sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("o_custkey", as_index=False).sum()
+        f = f[f["n"] >= 5]
+        n = f["n"].to_numpy(np.float64)
+        s = f["s"].to_numpy(np.float64)
+        s2 = f["s2"].to_numpy(np.float64)
+        cv = np.sqrt((s2 - s * s / n) / n) / (s / n)
+        out = pd.DataFrame(
+            {
+                "o_custkey": f["o_custkey"].to_numpy(np.int64),
+                "n_orders": f["n"].to_numpy(np.int64),
+                "cv": cv,
+            }
+        )
+        return out.sort_values(["cv", "o_custkey"], ascending=[False, True]).head(20)
+
+    p = bucketed_groupby(orders, ["o_custkey"], partial, merge).to_pandas()
+    out = p.sort_values(["cv", "o_custkey"], ascending=[False, True]).head(20)
+    out["cv"] = _r9(out["cv"])
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_VOLATILE_SQL = """
+WITH m AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1 HAVING COUNT(*) >= 5
+),
+v AS (
+  SELECT o_custkey, n AS n_orders,
+         SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+         / (CAST(s AS DOUBLE) / n) AS cv
+  FROM m
+)
+SELECT o_custkey, n_orders, ROUND(cv, 9) AS cv
+FROM v ORDER BY cv DESC, o_custkey LIMIT 20
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "trending_parts_quarterly": (trending_parts_quarterly, _TRENDING_SQL),
+    "volatile_customers": (volatile_customers, _VOLATILE_SQL),
     "source_scorecard": (source_scorecard, _SOURCE_SCORECARD_SQL),
     "heavy_hitter_stability": (heavy_hitter_stability, _HH_STABILITY_SQL),
     "salt_plan_orders": (salt_plan_orders, _SALT_PLAN_SQL),

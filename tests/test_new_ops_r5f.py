@@ -1217,3 +1217,38 @@ def test_heavy_hitter_stability_bounds():
     out = heavy_hitter_stability(SF).iloc[0]
     assert 0 <= int(out["n_overlap"]) <= 20
     assert 0.0 <= out["jaccard"] <= 1.0
+
+
+# --- trending parts --------------------------------------------------------------------------
+
+def test_trending_parts_invariants():
+    from ndap_data_validator_ray.pipelines.queries import trending_parts_quarterly
+
+    out = trending_parts_quarterly(SF)
+    assert len(out) == 10
+    assert np.array_equal(out["rank"].to_numpy(), np.arange(1, 11))
+    n = out["n"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
+    assert ((out["prev_rank"] >= 1) | (out["prev_rank"] == -1)).all()
+
+
+# --- volatile customers ----------------------------------------------------------------------
+
+def test_volatile_customers_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import volatile_customers
+
+    # cust 1: constant prices -> cv 0; cust 2: high spread; cust 3: only
+    # 2 orders (excluded by the >= 5 floor)
+    ck = [1] * 5 + [2] * 5 + [3] * 2
+    pr = [10.0] * 5 + [1.0, 1.0, 1.0, 1.0, 100.0] + [5.0, 6.0]
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(ck, pa.int64()), "o_totalprice": pa.array(pr, pa.float64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = volatile_customers(str(tmp_path))
+    assert list(out["o_custkey"]) == [2, 1]
+    assert out.iloc[0]["cv"] > out.iloc[1]["cv"]
+    assert out.iloc[1]["cv"] == 0.0
