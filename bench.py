@@ -301,6 +301,8 @@ _QUERY_NAMES = [
     "heavy_hitter_stability",
     "trending_parts_quarterly",
     "volatile_customers",
+    "error_then_purchase_sessions",
+    "lines_per_order_p99",
 ]
 
 

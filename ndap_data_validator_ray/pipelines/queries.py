@@ -15583,8 +15583,159 @@ FROM v ORDER BY cv DESC, o_custkey LIMIT 20
 """
 
 
+def error_then_purchase_sessions(sf_dir: str) -> pd.DataFrame:
+    """Conditional session outcome: of the 30-minute-gap sessions that
+    contain an error event, how many still convert (a purchase STRICTLY
+    AFTER the first error under the total order (ts, event_id))? — the
+    resilience read a funnel owner wants next to the raw conversion
+    counts.  ONE bucketed exchange on user_id (sessions are user-local,
+    the documented sessionization assumption); reducers rebuild sessions
+    with the shared 30-min rule and fold exact session counts; the rate
+    is one shared division."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def flags(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.dropna().sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = part["ts"].diff() > pd.Timedelta(minutes=30)
+        new_user = part["user_id"].ne(part["user_id"].shift())
+        sid = (gap | new_user).cumsum()
+        n_sessions = 0
+        n_err = 0
+        n_etp = 0
+        for _, g in part.groupby(sid, sort=False):
+            n_sessions += 1
+            et = g["event_type"].to_numpy()
+            ei = np.nonzero(et == "error")[0]
+            if not len(ei):
+                continue
+            n_err += 1
+            if (et[ei[0] + 1:] == "purchase").any():
+                n_etp += 1
+        return pd.DataFrame(
+            {
+                "n_sessions": [np.int64(n_sessions)],
+                "n_with_error": [np.int64(n_err)],
+                "n_error_then_purchase": [np.int64(n_etp)],
+            }
+        )
+
+    p = bucketed_groupby(ds, ["user_id"], lambda b: b.dropna(), flags).to_pandas()
+    ns = int(p["n_sessions"].sum())
+    ne = int(p["n_with_error"].sum())
+    np_ = int(p["n_error_then_purchase"].sum())
+    return pd.DataFrame(
+        {
+            "n_sessions": [np.int64(ns)],
+            "n_with_error": [np.int64(ne)],
+            "n_error_then_purchase": [np.int64(np_)],
+            "recovery_rate": [np.float64(np.round(float(np_) / ne, 9)) if ne else np.float64(0.0)],
+        }
+    )
+
+
+_ERROR_PURCHASE_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+fe AS (
+  SELECT user_id, sid, MIN(struct_pack(ts := ts, event_id := event_id)) AS first_err
+  FROM g WHERE event_type = 'error' GROUP BY 1, 2
+),
+conv AS (
+  SELECT fe.user_id, fe.sid,
+         MAX(CASE WHEN g.event_type = 'purchase'
+                   AND (g.ts > fe.first_err.ts
+                        OR (g.ts = fe.first_err.ts AND g.event_id > fe.first_err.event_id))
+                  THEN 1 ELSE 0 END) AS etp
+  FROM fe JOIN g ON g.user_id = fe.user_id AND g.sid = fe.sid
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT DISTINCT user_id, sid FROM g))
+SELECT tot.n AS n_sessions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fe) AS n_with_error,
+       (SELECT CAST(COALESCE(SUM(etp), 0) AS BIGINT) FROM conv) AS n_error_then_purchase,
+       CASE WHEN (SELECT COUNT(*) FROM fe) = 0 THEN 0.0
+            ELSE ROUND((SELECT CAST(SUM(etp) AS DOUBLE) FROM conv)
+                       / (SELECT COUNT(*) FROM fe), 9) END AS recovery_rate
+FROM tot
+"""
+
+
+def lines_per_order_p99(sf_dir: str) -> pd.DataFrame:
+    """Tail profile of order width: the exact P50/P99 of line items per
+    order via a count-of-counts histogram — the planner input for
+    per-order explode stages (the kcore order-statistic trick on a
+    derived count).  ONE bucketed count exchange on l_orderkey, then the
+    (width, n_orders) histogram folds on the driver (width domain tiny);
+    percentiles are exact 1-based order statistics at rank
+    ceil(q · n) — pure integers, no interpolation."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.dropna().groupby("l_orderkey", as_index=False).size().rename(columns={"size": "w"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("l_orderkey")["w"].sum()
+        h = w.value_counts()
+        return pd.DataFrame({"w": h.index.to_numpy(np.int64), "n": h.to_numpy(np.int64)})
+
+    h = (
+        bucketed_groupby(li, ["l_orderkey"], partial, merge)
+        .to_pandas()
+        .groupby("w", as_index=False)["n"]
+        .sum()
+        .sort_values("w")
+    )
+    n = int(h["n"].sum())
+    cum = np.cumsum(h["n"].to_numpy(np.int64))
+    ws = h["w"].to_numpy(np.int64)
+
+    def ostat(q_num: int, q_den: int) -> int:
+        rank = -(-q_num * n // q_den)  # ceil(q * n) in integers
+        return int(ws[np.searchsorted(cum, rank)])
+
+    return pd.DataFrame(
+        {
+            "n_orders": [np.int64(n)],
+            "p50_lines": [np.int64(ostat(1, 2))],
+            "p99_lines": [np.int64(ostat(99, 100))],
+            "max_lines": [np.int64(int(ws[-1])) if len(ws) else np.int64(0)],
+        }
+    )
+
+
+_LINES_P99_SQL = """
+WITH w AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS w
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+),
+r AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rn, COUNT(*) OVER () AS n FROM w)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_orders,
+       (SELECT CAST(w AS BIGINT) FROM r WHERE rn = (n + 1) // 2 LIMIT 1) AS p50_lines,
+       (SELECT CAST(w AS BIGINT) FROM r WHERE rn = (99 * n + 99) // 100 LIMIT 1) AS p99_lines,
+       (SELECT CAST(MAX(w) AS BIGINT) FROM w) AS max_lines
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "error_then_purchase_sessions": (error_then_purchase_sessions, _ERROR_PURCHASE_SQL),
+    "lines_per_order_p99": (lines_per_order_p99, _LINES_P99_SQL),
     "trending_parts_quarterly": (trending_parts_quarterly, _TRENDING_SQL),
     "volatile_customers": (volatile_customers, _VOLATILE_SQL),
     "source_scorecard": (source_scorecard, _SOURCE_SCORECARD_SQL),

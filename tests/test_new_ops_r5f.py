@@ -1252,3 +1252,59 @@ def test_volatile_customers_planted(tmp_path):
     assert list(out["o_custkey"]) == [2, 1]
     assert out.iloc[0]["cv"] > out.iloc[1]["cv"]
     assert out.iloc[1]["cv"] == 0.0
+
+
+# --- error-then-purchase sessions -------------------------------------------------------------
+
+def test_error_then_purchase_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import error_then_purchase_sessions
+
+    ts = lambda s: np.datetime64(s, "us")
+    # user 1 session A: error -> purchase (recovers); session B (gap >30m):
+    # purchase -> error (no recovery); user 2: view only
+    rows = [
+        (1, 1, "2020-01-01T00:00:00", "error"),
+        (2, 1, "2020-01-01T00:05:00", "purchase"),
+        (3, 1, "2020-01-01T02:00:00", "purchase"),
+        (4, 1, "2020-01-01T02:10:00", "error"),
+        (5, 2, "2020-01-01T00:00:00", "view"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([ts(r[2]) for r in rows], pa.timestamp("us")),
+                "event_type": pa.array([r[3] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = error_then_purchase_sessions(str(tmp_path)).iloc[0]
+    assert int(out["n_sessions"]) == 3
+    assert int(out["n_with_error"]) == 2
+    assert int(out["n_error_then_purchase"]) == 1
+    assert out["recovery_rate"] == 0.5
+
+
+# --- lines per order P99 -----------------------------------------------------------------------
+
+def test_lines_p99_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import lines_per_order_p99
+
+    # 99 orders with 1 line, 1 order with 50 lines
+    ok = list(range(1, 100)) + [100] * 50
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(ok, pa.int64())}), str(tmp_path / "lineitem.parquet")
+    )
+    out = lines_per_order_p99(str(tmp_path)).iloc[0]
+    assert int(out["n_orders"]) == 100
+    assert int(out["p50_lines"]) == 1
+    assert int(out["p99_lines"]) == 1   # rank ceil(99) = 99 -> still 1
+    assert int(out["max_lines"]) == 50
