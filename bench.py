@@ -303,6 +303,8 @@ _QUERY_NAMES = [
     "volatile_customers",
     "error_then_purchase_sessions",
     "lines_per_order_p99",
+    "winsorized_value_by_type",
+    "distinctive_brand_tokens",
 ]
 
 

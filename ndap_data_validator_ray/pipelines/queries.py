@@ -15732,8 +15732,155 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_orders,
 """
 
 
+def winsorized_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Winsorized mean of event value per type — the robust aggregate
+    that CLAMPS the tails instead of dropping them (the trimmed-mean
+    sibling), exact end to end: per type, the P1/P99 clamp bounds are
+    integer order statistics from the (type, cents) histogram (rank
+    ceil(q·n), the kcore trick), the winsorized SUM replaces each tail
+    value by its bound in exact integer cents, and the mean is one
+    shared float division.  ONE bucketed exchange bounded by the value
+    DOMAIN per type."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return (
+            pd.DataFrame({"event_type": b["event_type"].to_numpy(), "cents": cents})
+            .groupby(["event_type", "cents"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "cents"], as_index=False)["n"].sum()
+
+    h = bucketed_groupby(ds, ["event_type", "cents"], partial, merge).to_pandas()
+    rows = []
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("cents")
+        c = g["cents"].to_numpy(np.int64)
+        cnt = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        lo = int(c[np.searchsorted(cum, -(-1 * n // 100))])
+        hi = int(c[np.searchsorted(cum, -(-99 * n // 100))])
+        clamped = np.clip(c, lo, hi)
+        wsum = int((clamped * cnt).sum())
+        rows.append((et, n, lo, hi, wsum))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "lo_cents", "hi_cents", "wsum_cents"])
+    for col in ["n", "lo_cents", "hi_cents", "wsum_cents"]:
+        out[col] = out[col].astype(np.int64)
+    out["winsorized_mean"] = _r6(
+        out["wsum_cents"].to_numpy(np.float64) / out["n"].to_numpy(np.float64) / 100.0
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+_WINSORIZED_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+b AS (
+  SELECT event_type, MAX(n) AS n,
+         MAX(CASE WHEN rn = (1 * n + 99) // 100 THEN cents END) AS lo,
+         MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi
+  FROM r GROUP BY event_type
+)
+SELECT v.event_type, CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo AS BIGINT) AS lo_cents, CAST(b.hi AS BIGINT) AS hi_cents,
+       CAST(SUM(LEAST(GREATEST(v.cents, b.lo), b.hi)) AS BIGINT) AS wsum_cents,
+       ROUND(CAST(SUM(LEAST(GREATEST(v.cents, b.lo), b.hi)) AS DOUBLE) / b.n / 100.0, 6)
+         AS winsorized_mean
+FROM v JOIN b USING (event_type)
+GROUP BY v.event_type, b.n, b.lo, b.hi
+ORDER BY v.event_type
+"""
+
+
+def distinctive_brand_tokens(sf_dir: str) -> pd.DataFrame:
+    """Most distinctive part-name token per brand — grouped TF-IDF-lite
+    over the catalog (which adjective/noun does each brand over-use?):
+    score = in-brand count x total-token-count / brand-size /
+    corpus-count of the token, one shared float expression from four
+    exact integers, top-1 per brand under (score DESC, token ASC).
+    Distributed shape: (brand, token) counts ride ONE bucketed exchange
+    on token (corpus counts need the token co-located), brand totals
+    fold as partials; the final per-brand argmax folds brand-bounded
+    rows on the driver."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "part", columns=["p_name", "p_brand"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        toks = b["p_name"].str.split(" ")
+        flat = pd.DataFrame(
+            {
+                "p_brand": b["p_brand"].to_numpy().repeat(toks.str.len().to_numpy()),
+                "tok": np.concatenate(toks.to_numpy()),
+            }
+        )
+        return flat.groupby(["p_brand", "tok"], as_index=False).size().rename(columns={"size": "n"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["p_brand", "tok"], as_index=False)["n"].sum()
+
+    bt = bucketed_groupby(ds, ["tok"], partial, merge).to_pandas()
+    bt = bt.groupby(["p_brand", "tok"], as_index=False)["n"].sum()
+    tot = int(bt["n"].sum())
+    tok_tot = bt.groupby("tok")["n"].sum()
+    brand_tot = bt.groupby("p_brand")["n"].sum()
+    bt["score"] = (
+        bt["n"].to_numpy(np.float64) * tot
+        / brand_tot.loc[bt["p_brand"]].to_numpy(np.float64)
+        / tok_tot.loc[bt["tok"]].to_numpy(np.float64)
+    )
+    bt = bt.sort_values(["p_brand", "score", "tok"], ascending=[True, False, True])
+    out = bt.drop_duplicates("p_brand")[["p_brand", "tok", "n", "score"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["score"] = _r9(out["score"])
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_DISTINCTIVE_TOKENS_SQL = """
+WITH t AS (
+  SELECT p_brand, UNNEST(string_split(p_name, ' ')) AS tok
+  FROM part WHERE p_name IS NOT NULL AND p_brand IS NOT NULL
+),
+bt AS (SELECT p_brand, tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+tt AS (SELECT tok, CAST(SUM(n) AS BIGINT) AS tn FROM bt GROUP BY 1),
+brt AS (SELECT p_brand, CAST(SUM(n) AS BIGINT) AS bn FROM bt GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS g FROM bt),
+s AS (
+  SELECT bt.p_brand, bt.tok, bt.n,
+         CAST(bt.n AS DOUBLE) * tot.g / CAST(brt.bn AS DOUBLE) / CAST(tt.tn AS DOUBLE) AS score
+  FROM bt JOIN tt USING (tok) JOIN brt USING (p_brand), tot
+),
+rk AS (
+  SELECT p_brand, tok, n, score,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY score DESC, tok) AS rn
+  FROM s
+)
+SELECT p_brand, tok, n, ROUND(score, 9) AS score
+FROM rk WHERE rn = 1 ORDER BY p_brand
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "winsorized_value_by_type": (winsorized_value_by_type, _WINSORIZED_SQL),
+    "distinctive_brand_tokens": (distinctive_brand_tokens, _DISTINCTIVE_TOKENS_SQL),
     "error_then_purchase_sessions": (error_then_purchase_sessions, _ERROR_PURCHASE_SQL),
     "lines_per_order_p99": (lines_per_order_p99, _LINES_P99_SQL),
     "trending_parts_quarterly": (trending_parts_quarterly, _TRENDING_SQL),

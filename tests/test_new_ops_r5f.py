@@ -1308,3 +1308,42 @@ def test_lines_p99_planted(tmp_path):
     assert int(out["p50_lines"]) == 1
     assert int(out["p99_lines"]) == 1   # rank ceil(99) = 99 -> still 1
     assert int(out["max_lines"]) == 50
+
+
+# --- winsorized mean -------------------------------------------------------------------------
+
+def test_winsorized_value_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import winsorized_value_by_type
+
+    # 100 values: 98 ones, one 0.00 and one 1000.00 -> P1 clamps the 0 up
+    # to 0 (rank 1 = 0.00!), P99 clamps 1000 down to 1.00
+    vals = [0.0] + [1.0] * 98 + [1000.0]
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["x"] * 100),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = winsorized_value_by_type(str(tmp_path)).iloc[0]
+    assert int(out["n"]) == 100
+    assert int(out["lo_cents"]) == 0     # rank ceil(1) = 1 -> the 0.00 itself
+    assert int(out["hi_cents"]) == 100   # rank 99 -> 1.00; the 1000 clamps down
+    assert int(out["wsum_cents"]) == 0 + 98 * 100 + 100
+    assert out["winsorized_mean"] == np.round((98 * 100 + 100) / 100 / 100.0, 6)
+
+
+# --- distinctive brand tokens ----------------------------------------------------------------
+
+def test_distinctive_brand_tokens_invariants():
+    from ndap_data_validator_ray.pipelines.queries import distinctive_brand_tokens
+
+    out = distinctive_brand_tokens(SF)
+    assert len(out) == out["p_brand"].nunique()
+    assert (out["score"] > 0).all()
+    assert (out["n"] >= 1).all()
