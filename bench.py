@@ -305,6 +305,7 @@ _QUERY_NAMES = [
     "lines_per_order_p99",
     "winsorized_value_by_type",
     "distinctive_brand_tokens",
+    "brand_price_positioning",
 ]
 
 

@@ -15877,8 +15877,95 @@ FROM rk WHERE rn = 1 ORDER BY p_brand
 """
 
 
+def brand_price_positioning(sf_dir: str) -> pd.DataFrame:
+    """Brand price positioning: each brand's mean line-item price as a
+    z-score against the global distribution — the assortment-strategy
+    read (premium vs value brands), exact-moment style: per-brand and
+    global (n, Σcents, Σcents²) fold from ONE bucketed exchange on
+    l_partkey -> brand attach (guarded broadcast) -> low-cardinality
+    brand fold; z = (brand_mean − global_mean) / global_sd is one shared
+    float expression from exact integers."""
+    from ndap_data_validator_ray.stages.broadcast import attach_or_join
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"]).map_batches(
+        lambda b: b.dropna().assign(
+            cents=lambda x: np.floor(
+                x["l_extendedprice"].to_numpy(np.float64) * 100.0 + 0.5
+            ).astype(np.int64)
+        )[["l_partkey", "cents"]],
+        batch_format="pandas",
+    )
+    brands = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.dropna().rename(columns={"p_partkey": "l_partkey"}), batch_format="pandas"
+    )
+    j = attach_or_join(li, brands, on_fact="l_partkey", on_side="l_partkey",
+                       attach_cols=["p_brand"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # per-brand (n, s) rows + one global-moment row carrying s2:
+        # cents² sums outgrow int64 at warehouse scale, so s2 stays
+        # per-block int64 (safe) and folds in PYTHON ints on the driver
+        # (the HUGEINT-twin posture)
+        c = b["cents"].to_numpy(np.int64)
+        g = pd.DataFrame({"p_brand": b["p_brand"].to_numpy(), "n": np.int64(1), "s": c})
+        out = g.groupby("p_brand", as_index=False).sum()
+        out["s2"] = np.int64(0)
+        head = pd.DataFrame(
+            {"p_brand": ["\x00global"], "n": [np.int64(len(c))],
+             "s": [np.int64(int(c.sum()))], "s2": [np.int64(int((c * c).sum()))]}
+        )
+        return pd.concat([head, out], ignore_index=True)
+
+    p = j.map_batches(partial, batch_format="pandas").to_pandas()
+    gmask = p["p_brand"] == "\x00global"
+    gn = int(p.loc[gmask, "n"].sum())
+    gs = int(p.loc[gmask, "s"].sum())
+    gs2 = sum(int(x) for x in p.loc[gmask, "s2"])
+    f = p[~gmask].groupby("p_brand", as_index=False)[["n", "s"]].sum()
+    gmean = float(gs) / gn
+    gsd = float(np.sqrt((float(gs2) - float(gs) * float(gs) / gn) / gn))
+    bmean = f["s"].to_numpy(np.float64) / f["n"].to_numpy(np.float64)
+    out = pd.DataFrame(
+        {
+            "p_brand": f["p_brand"],
+            "n_lineitems": f["n"].astype(np.int64),
+            "mean_price": _r6(bmean / 100.0),
+            "z": _r6((bmean - gmean) / gsd),
+        }
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+_BRAND_POSITIONING_SQL = """
+WITH li AS (
+  SELECT l.l_partkey, p.p_brand,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_partkey IS NOT NULL AND l.l_extendedprice IS NOT NULL
+    AND p.p_brand IS NOT NULL
+),
+b AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM li GROUP BY 1
+),
+g AS (
+  -- gs2 stays HUGEINT (a BIGINT cast would overflow at warehouse scale)
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn, CAST(SUM(cents) AS BIGINT) AS gs,
+         SUM(CAST(cents AS HUGEINT) * cents) AS gs2
+  FROM li
+)
+SELECT b.p_brand, b.n AS n_lineitems,
+       ROUND(CAST(b.s AS DOUBLE) / b.n / 100.0, 6) AS mean_price,
+       ROUND((CAST(b.s AS DOUBLE) / b.n - CAST(g.gs AS DOUBLE) / g.gn)
+             / SQRT((CAST(g.gs2 AS DOUBLE) - CAST(g.gs AS DOUBLE) * CAST(g.gs AS DOUBLE) / g.gn) / g.gn), 6) AS z
+FROM b, g ORDER BY p_brand
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "brand_price_positioning": (brand_price_positioning, _BRAND_POSITIONING_SQL),
     "winsorized_value_by_type": (winsorized_value_by_type, _WINSORIZED_SQL),
     "distinctive_brand_tokens": (distinctive_brand_tokens, _DISTINCTIVE_TOKENS_SQL),
     "error_then_purchase_sessions": (error_then_purchase_sessions, _ERROR_PURCHASE_SQL),

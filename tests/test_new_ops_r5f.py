@@ -1347,3 +1347,16 @@ def test_distinctive_brand_tokens_invariants():
     assert len(out) == out["p_brand"].nunique()
     assert (out["score"] > 0).all()
     assert (out["n"] >= 1).all()
+
+
+# --- brand price positioning -----------------------------------------------------------------
+
+def test_brand_positioning_z_centered():
+    from ndap_data_validator_ray.pipelines.queries import brand_price_positioning
+
+    out = brand_price_positioning(SF)
+    # count-weighted mean of z-scores is ~0 by construction
+    w = out["n_lineitems"].to_numpy(np.float64)
+    z = out["z"].to_numpy(np.float64)
+    assert abs((w * z).sum() / w.sum()) < 1e-4
+    assert (out["mean_price"] > 0).all()
