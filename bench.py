@@ -306,6 +306,8 @@ _QUERY_NAMES = [
     "winsorized_value_by_type",
     "distinctive_brand_tokens",
     "brand_price_positioning",
+    "revenue_concentration_top1pct",
+    "user_behavior_entropy_mean",
 ]
 
 

@@ -15963,8 +15963,145 @@ FROM b, g ORDER BY p_brand
 """
 
 
+def revenue_concentration_top1pct(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration: the share of total revenue carried by the
+    top 1% of customers (one Lorenz-curve point) — exact integers end to
+    end: per-customer totals fold in ONE o_custkey exchange, the top
+    ceil(n/100) customer totals are picked under the total order
+    (revenue DESC, custkey ASC), and the share is one division.  The
+    per-customer total list is entity-bounded (the corr_matrix driver-
+    fold class — at warehouse scale the top-k pick moves to the local
+    top-k partial pattern with k = ceil(n/100))."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(np.int64), "rev": cents}).groupby(
+            "o_custkey", as_index=False
+        )["rev"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    c = bucketed_groupby(orders, ["o_custkey"], partial, merge).to_pandas()
+    c = c.sort_values(["rev", "o_custkey"], ascending=[False, True])
+    n = len(c)
+    k = -(-n // 100)  # ceil(n / 100)
+    top = int(c["rev"].to_numpy(np.int64)[:k].sum())
+    tot = int(c["rev"].sum())
+    return pd.DataFrame(
+        {
+            "n_customers": [np.int64(n)],
+            "k_top": [np.int64(k)],
+            "top_revenue_cents": [np.int64(top)],
+            "total_revenue_cents": [np.int64(tot)],
+            "share": [np.float64(np.round(float(top) / float(tot), 9)) if tot else np.float64(0.0)],
+        }
+    )
+
+
+_CONCENTRATION_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+),
+s AS (
+  SELECT MAX(n) AS n, (MAX(n) + 99) // 100 AS k,
+         CAST(SUM(CASE WHEN rn <= (n + 99) // 100 THEN rev ELSE 0 END) AS BIGINT) AS top,
+         CAST(SUM(rev) AS BIGINT) AS tot
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(k AS BIGINT) AS k_top,
+       top AS top_revenue_cents, tot AS total_revenue_cents,
+       ROUND(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS share
+FROM s
+"""
+
+
+def user_behavior_entropy_mean(sf_dir: str) -> pd.DataFrame:
+    """Mean behavioral diversity: average per-user Shannon entropy of the
+    event-type mix — an order-dependent float aggregate made EXACT by
+    the quantize-then-sum trick: each user's entropy (<= n_types float
+    terms, which SQL may sum in a different order, so last-ulp
+    divergence is possible) is first ROUNDED to the 1e-6 grid — mapping
+    ulp-apart values to the same cell with ~1e-10 residual risk — then
+    quantized to integer micro-bits (floor(h6·1e6 + 0.5)); the
+    cross-user aggregate is a pure integer sum with NO accumulation-
+    order exposure at any user count.  ONE bucketed exchange on
+    user_id; per-bucket integer partials."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        return b.groupby(["user_id", "event_type"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        hq_sum = 0
+        n_users = 0
+        for _, u in f.groupby("user_id"):
+            cnt = u["n"].to_numpy(np.float64)
+            tot = cnt.sum()
+            p = cnt / tot
+            h = float(np.round(-np.sum(p * np.log2(p)), 6))
+            hq_sum += int(np.floor(h * 1e6 + 0.5))
+            n_users += 1
+        return pd.DataFrame(
+            {"n_users": [np.int64(n_users)], "hq_sum": [np.int64(hq_sum)]}
+        )
+
+    p = bucketed_groupby(ds, ["user_id"], partial, merge).to_pandas()
+    n = int(p["n_users"].sum())
+    hq = int(p["hq_sum"].sum())
+    return pd.DataFrame(
+        {
+            "n_users": [np.int64(n)],
+            "sum_entropy_microbits": [np.int64(hq)],
+            "mean_entropy_bits": [
+                np.float64(np.round(float(hq) / 1e6 / n, 9)) if n else np.float64(0.0)
+            ],
+        }
+    )
+
+
+_USER_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+t AS (SELECT user_id, n, SUM(n) OVER (PARTITION BY user_id) AS tot FROM c),
+h AS (
+  SELECT user_id,
+         -SUM((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+              * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) AS hbits
+  FROM t GROUP BY user_id
+),
+q AS (SELECT CAST(FLOOR(ROUND(hbits, 6) * 1000000 + 0.5) AS BIGINT) AS hq FROM h)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(hq) AS BIGINT) AS sum_entropy_microbits,
+       ROUND(CAST(SUM(hq) AS DOUBLE) / 1000000 / COUNT(*), 9) AS mean_entropy_bits
+FROM q
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "revenue_concentration_top1pct": (revenue_concentration_top1pct, _CONCENTRATION_SQL),
+    "user_behavior_entropy_mean": (user_behavior_entropy_mean, _USER_ENTROPY_SQL),
     "brand_price_positioning": (brand_price_positioning, _BRAND_POSITIONING_SQL),
     "winsorized_value_by_type": (winsorized_value_by_type, _WINSORIZED_SQL),
     "distinctive_brand_tokens": (distinctive_brand_tokens, _DISTINCTIVE_TOKENS_SQL),

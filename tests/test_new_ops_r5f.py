@@ -1360,3 +1360,37 @@ def test_brand_positioning_z_centered():
     z = out["z"].to_numpy(np.float64)
     assert abs((w * z).sum() / w.sum()) < 1e-4
     assert (out["mean_price"] > 0).all()
+
+
+# --- revenue concentration -------------------------------------------------------------------
+
+def test_revenue_concentration_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import revenue_concentration_top1pct
+
+    # 100 customers: one whale (1000.00), 99 x 1.00 -> top 1% (k=1) share
+    ck = list(range(1, 101))
+    pr = [1000.0] + [1.0] * 99
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(ck, pa.int64()), "o_totalprice": pa.array(pr, pa.float64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = revenue_concentration_top1pct(str(tmp_path)).iloc[0]
+    assert int(out["n_customers"]) == 100
+    assert int(out["k_top"]) == 1
+    assert int(out["top_revenue_cents"]) == 100000
+    assert out["share"] == np.round(100000 / 109900, 9)
+
+
+# --- user behavior entropy -------------------------------------------------------------------
+
+def test_user_entropy_quantize_bounds():
+    from ndap_data_validator_ray.pipelines.queries import user_behavior_entropy_mean
+
+    out = user_behavior_entropy_mean(SF).iloc[0]
+    assert int(out["n_users"]) > 0
+    # entropy over 5 types is bounded by log2(5)
+    assert 0.0 <= out["mean_entropy_bits"] <= np.log2(5) + 1e-9
+    assert int(out["sum_entropy_microbits"]) >= 0
