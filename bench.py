@@ -308,6 +308,7 @@ _QUERY_NAMES = [
     "brand_price_positioning",
     "revenue_concentration_top1pct",
     "user_behavior_entropy_mean",
+    "pps_systematic_sample_customers",
 ]
 
 

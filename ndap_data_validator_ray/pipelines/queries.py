@@ -16098,8 +16098,73 @@ FROM q
 """
 
 
+def pps_systematic_sample_customers(sf_dir: str) -> pd.DataFrame:
+    """Probability-proportional-to-size systematic sampling: walk the
+    customer list in custkey order accumulating revenue and pick every
+    customer whose cumulative revenue crosses a multiple of
+    step = total // 50 — the classic PPS design (big spenders are
+    near-certain picks, small ones proportionally likely), fully
+    deterministic in EXACT integer cents: a customer is selected iff
+    floor(cum/step) > floor((cum − rev)/step).  Per-customer totals fold
+    in ONE exchange; the ordered cumulative walk runs on the
+    entity-bounded total list (at warehouse scale it becomes the
+    range-partitioned running sum — the peak_concurrent machinery)."""
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        cents = np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(np.int64), "rev": cents}).groupby(
+            "o_custkey", as_index=False
+        )["rev"].sum()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)["rev"].sum()
+
+    c = bucketed_groupby(orders, ["o_custkey"], partial, merge).to_pandas()
+    c = c.sort_values("o_custkey").reset_index(drop=True)
+    rev = c["rev"].to_numpy(np.int64)
+    cum = np.cumsum(rev)
+    tot = int(cum[-1]) if len(cum) else 0
+    step = tot // 50 if tot else 1
+    prev = cum - rev
+    keep = (cum // step) > (prev // step)
+    out = pd.DataFrame(
+        {
+            "o_custkey": c["o_custkey"].to_numpy(np.int64)[keep],
+            "rev_cents": rev[keep],
+            "cum_cents": cum[keep],
+        }
+    )
+    for col in out.columns:
+        out[col] = out[col].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+_PPS_SQL = """
+WITH c AS (
+  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
+),
+w AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY o_custkey ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS tot
+  FROM c
+),
+s AS (SELECT o_custkey, rev, cum, tot // 50 AS step FROM w)
+SELECT o_custkey, CAST(rev AS BIGINT) AS rev_cents, CAST(cum AS BIGINT) AS cum_cents
+FROM s WHERE cum // step > (cum - rev) // step
+ORDER BY o_custkey
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "pps_systematic_sample_customers": (pps_systematic_sample_customers, _PPS_SQL),
     "revenue_concentration_top1pct": (revenue_concentration_top1pct, _CONCENTRATION_SQL),
     "user_behavior_entropy_mean": (user_behavior_entropy_mean, _USER_ENTROPY_SQL),
     "brand_price_positioning": (brand_price_positioning, _BRAND_POSITIONING_SQL),

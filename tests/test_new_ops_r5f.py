@@ -1394,3 +1394,25 @@ def test_user_entropy_quantize_bounds():
     # entropy over 5 types is bounded by log2(5)
     assert 0.0 <= out["mean_entropy_bits"] <= np.log2(5) + 1e-9
     assert int(out["sum_entropy_microbits"]) >= 0
+
+
+# --- PPS systematic sampling -----------------------------------------------------------------
+
+def test_pps_sampling_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import pps_systematic_sample_customers
+
+    # one whale worth 96% of revenue is picked (crosses many steps);
+    # total picks ~50 with near-zero-revenue customers mostly skipped
+    ck = list(range(1, 101))
+    pr = [9600.0] + [4.0] * 99
+    pq.write_table(
+        pa.table({"o_custkey": pa.array(ck, pa.int64()), "o_totalprice": pa.array(pr, pa.float64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = pps_systematic_sample_customers(str(tmp_path))
+    assert 1 in set(out["o_custkey"])       # the whale is certain
+    assert len(out) <= 51
+    assert out["cum_cents"].is_monotonic_increasing
