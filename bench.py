@@ -309,6 +309,8 @@ _QUERY_NAMES = [
     "revenue_concentration_top1pct",
     "user_behavior_entropy_mean",
     "pps_systematic_sample_customers",
+    "dedup_survivor_quality_delta",
+    "peak_minute_events",
 ]
 
 

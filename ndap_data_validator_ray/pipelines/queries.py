@@ -16162,8 +16162,141 @@ ORDER BY o_custkey
 """
 
 
+def dedup_survivor_quality_delta(sf_dir: str) -> pd.DataFrame:
+    """Does dedup keep the right docs?  Quality pass-rate of prefix-dedup
+    SURVIVORS (keep-lowest-doc_id per prefix-40 group) vs the DROPPED
+    duplicates — the curation-policy audit that catches a dedup rule
+    which systematically discards the better copy.  ONE bucketed
+    exchange on the prefix (clusters land whole; survivors resolve
+    in-reducer); quality is the funnel rule verbatim; four exact-integer
+    counts and two shared divisions."""
+    from ndap_data_validator_ray.functions.text import repetition_stats
+    from ndap_data_validator_ray.stages.groupby import bucketed_groupby
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["doc_id"])
+        st = repetition_stats(b["text"])
+        q = (
+            (st["n_tokens"].to_numpy() >= 20) & (st["top_token_frac"].to_numpy() <= 0.13)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "prefix": b["text"].fillna("").str.slice(0, 40).to_numpy(),
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "q": q,
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("prefix")["doc_id"].transform("min") == g["doc_id"]
+        q = g["q"].to_numpy(np.int64) == 1
+        k = keep.to_numpy()
+        return pd.DataFrame(
+            {
+                "n_survivors": [np.int64(int(k.sum()))],
+                "n_survivors_q": [np.int64(int((k & q).sum()))],
+                "n_dropped": [np.int64(int((~k).sum()))],
+                "n_dropped_q": [np.int64(int((~k & q).sum()))],
+            }
+        )
+
+    p = bucketed_groupby(ds, ["prefix"], flags, fold).to_pandas()
+    ns = int(p["n_survivors"].sum())
+    nsq = int(p["n_survivors_q"].sum())
+    nd = int(p["n_dropped"].sum())
+    ndq = int(p["n_dropped_q"].sum())
+    return pd.DataFrame(
+        {
+            "n_survivors": [np.int64(ns)],
+            "n_survivors_q": [np.int64(nsq)],
+            "n_dropped": [np.int64(nd)],
+            "n_dropped_q": [np.int64(ndq)],
+            "survivor_q_rate": [np.float64(np.round(float(nsq) / ns, 9)) if ns else np.float64(0.0)],
+            "dropped_q_rate": [np.float64(np.round(float(ndq) / nd, 9)) if nd else np.float64(0.0)],
+        }
+    )
+
+
+_SURVIVOR_QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE doc_id IS NOT NULL
+),
+cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY doc_id, term),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS mx FROM cnt GROUP BY doc_id),
+f AS (
+  SELECT d.doc_id,
+         CASE WHEN COALESCE(n_tokens, 0) >= 20
+               AND COALESCE(CAST(mx AS DOUBLE) / n_tokens, 0.0) <= 0.13 THEN 1 ELSE 0 END AS q,
+         CASE WHEN d.doc_id = MIN(d.doc_id) OVER (PARTITION BY substr(COALESCE(d.text, ''), 1, 40))
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d LEFT JOIN agg USING (doc_id)
+  WHERE d.doc_id IS NOT NULL
+),
+s AS (
+  SELECT CAST(SUM(keep) AS BIGINT) AS ns,
+         CAST(SUM(keep * q) AS BIGINT) AS nsq,
+         CAST(SUM(1 - keep) AS BIGINT) AS nd,
+         CAST(SUM((1 - keep) * q) AS BIGINT) AS ndq
+  FROM f
+)
+SELECT ns AS n_survivors, nsq AS n_survivors_q, nd AS n_dropped, ndq AS n_dropped_q,
+       ROUND(CAST(nsq AS DOUBLE) / ns, 9) AS survivor_q_rate,
+       CASE WHEN nd = 0 THEN 0.0 ELSE ROUND(CAST(ndq AS DOUBLE) / nd, 9) END AS dropped_q_rate
+FROM s
+"""
+
+
+def peak_minute_events(sf_dir: str) -> pd.DataFrame:
+    """Burst detection at minute resolution: the busiest 1-minute window
+    (on minute boundaries) in the event stream, ties to the earliest
+    minute — the rate-limit/capacity read next to the hourly activity
+    profile.  Per-block minute-count partials fold on the driver
+    (minutes bounded by the time RANGE, the calendar rule); exact
+    integers, deterministic argmax."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna()
+        m = b["ts"].to_numpy().astype("datetime64[m]").astype(np.int64)
+        g = pd.DataFrame({"minute": m}).groupby("minute", as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        return g
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = p.groupby("minute", as_index=False)["n"].sum().sort_values(["n", "minute"],
+                                                                   ascending=[False, True])
+    top = g.iloc[0]
+    return pd.DataFrame(
+        {
+            "peak_minute": [
+                np.datetime_as_string(np.int64(top["minute"]).astype("datetime64[m]"), unit="m").replace("T", " ") + ":00"
+            ],
+            "n_events": [np.int64(int(top["n"]))],
+            "n_active_minutes": [np.int64(len(g))],
+        }
+    )
+
+
+_PEAK_MINUTE_SQL = """
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS minute, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+)
+SELECT strftime((SELECT minute FROM m ORDER BY n DESC, minute LIMIT 1), '%Y-%m-%d %H:%M:%S')
+         AS peak_minute,
+       (SELECT n FROM m ORDER BY n DESC, minute LIMIT 1) AS n_events,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_active_minutes
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[str], Any], str | None]] = {
     "seed_part_distance_copurchase": (seed_part_distance_copurchase, _BFS_SEED_SQL),
+    "dedup_survivor_quality_delta": (dedup_survivor_quality_delta, _SURVIVOR_QUALITY_SQL),
+    "peak_minute_events": (peak_minute_events, _PEAK_MINUTE_SQL),
     "pps_systematic_sample_customers": (pps_systematic_sample_customers, _PPS_SQL),
     "revenue_concentration_top1pct": (revenue_concentration_top1pct, _CONCENTRATION_SQL),
     "user_behavior_entropy_mean": (user_behavior_entropy_mean, _USER_ENTROPY_SQL),

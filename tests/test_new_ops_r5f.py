@@ -1416,3 +1416,40 @@ def test_pps_sampling_planted(tmp_path):
     assert 1 in set(out["o_custkey"])       # the whale is certain
     assert len(out) <= 51
     assert out["cum_cents"].is_monotonic_increasing
+
+
+# --- dedup survivor quality -------------------------------------------------------------------
+
+def test_dedup_survivor_quality_conserves():
+    import duckdb
+
+    from ndap_data_validator_ray.pipelines.queries import dedup_survivor_quality_delta
+
+    out = dedup_survivor_quality_delta(SF).iloc[0]
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet') WHERE doc_id IS NOT NULL"
+    ).fetchone()[0]
+    assert int(out["n_survivors"]) + int(out["n_dropped"]) == n
+    assert int(out["n_survivors_q"]) <= int(out["n_survivors"])
+    assert int(out["n_dropped_q"]) <= int(out["n_dropped"])
+
+
+# --- peak minute ------------------------------------------------------------------------------
+
+def test_peak_minute_planted(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ndap_data_validator_ray.pipelines.queries import peak_minute_events
+
+    ts = lambda s: np.datetime64(s, "us")
+    stamps = [ts("2020-01-01T00:00:10"), ts("2020-01-01T00:05:01"),
+              ts("2020-01-01T00:05:59"), ts("2020-01-01T00:07:00")]
+    pq.write_table(
+        pa.table({"ts": pa.array(stamps, pa.timestamp("us"))}), str(tmp_path / "events.parquet")
+    )
+    out = peak_minute_events(str(tmp_path)).iloc[0]
+    assert out["peak_minute"] == "2020-01-01 00:05:00"
+    assert int(out["n_events"]) == 2
+    assert int(out["n_active_minutes"]) == 3
